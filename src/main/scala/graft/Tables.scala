@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the harness testdata tables (TESTDATA.md).
+  *
+  * All tables are single parquet files under `sfDir`. At 100 TB these would be
+  * partitioned directories; nothing here assumes a single file — `spark.read
+  * .parquet(path)` takes files or directories alike, and every downstream
+  * operator relies on Catalyst pushdown (filters/column pruning reach the
+  * scan) rather than on data being small.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extension: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extension
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries a nanosecond-precision timestamp (INT64
+    * TIMESTAMP(NANOS)), which Parquet readers expose inconsistently. If Spark
+    * surfaces it as a plain LONG (legacy nanosAsLong mode), convert to a
+    * microsecond timestamp so downstream date functions behave identically to
+    * the DuckDB oracle (which also works at µs resolution).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+}

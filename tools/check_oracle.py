@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's t2 gate: run Verify output vs DuckDB oracle.
+
+Usage: python tools/check_oracle.py <sfDir> <verifyOutDir>
+Compares, per query: row count, column names, and cell values (exact, after
+sorting columns by name and rows by all columns).
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        odf = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    try:
+        sdf = pq.read_table(f"{out}/{name}").to_pandas()
+    except Exception as e:
+        print(f"FAIL {name}: spark result missing: {e}"); fails += 1; continue
+    ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+    if ocols != scols:
+        print(f"FAIL {name}: cols oracle={ocols} spark={scols}"); fails += 1; continue
+    if len(odf) != len(sdf):
+        print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}"); fails += 1; continue
+    o = odf[ocols].sort_values(ocols).reset_index(drop=True)
+    s = sdf[scols].sort_values(scols).reset_index(drop=True)
+    bad = None
+    for c in ocols:
+        ov, sv = o[c].tolist(), s[c].tolist()
+        for i, (a, b) in enumerate(zip(ov, sv)):
+            if a is None and b is None: continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b): continue
+                if a == b: continue
+                bad = (c, i, a, b); break
+            if str(a) != str(b):
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col {c} row {i}: oracle={a!r} spark={b!r}"); fails += 1
+    else:
+        print(f"ok   {name}: {len(odf)} rows")
+print(f"{'ALL OK' if fails==0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)
