@@ -28,14 +28,21 @@ object Tables {
     * microsecond timestamp so downstream date functions behave identically to
     * the DuckDB oracle (which also works at µs resolution).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEvents(rawEvents(spark, sfDir))
+
+  /** Raw events read; ts may surface as LONG nanos (legacy mode). */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Normalize a raw events frame: LONG-nanos ts → µs timestamp. */
+  def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
-  }
 }

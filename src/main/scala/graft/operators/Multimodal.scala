@@ -1,0 +1,91 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (builder brief / SURVEY §2.3): treat media as
+  * opaque `binary` columns with typed metadata, and run decode /
+  * feature-extraction as distributed per-partition batch functions.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake ([[fakeDecode]]): it derives "frame"
+  * features purely from the bytes. Everything around it — binary column
+  * handling, schema of the feature struct, partition-preserving
+  * `mapPartitions` execution, batch shape — is real and tested; swapping
+  * [[fakeDecode]] for a JNI/codec call is a one-function change.
+  *
+  * Scale notes (100 TB): media blobs stay in executors (never collected);
+  * decode is a narrow mapPartitions (no shuffle); metadata extraction
+  * (mm01) is pure codegen'd expressions.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Feature schema produced by the decode step. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("frame_hashes", ArrayType(LongType)),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** STUB decode: deterministic fake standing in for an image/audio codec.
+    * Frames = 100-byte windows; per-frame hash + a 4-dim "feature" vector
+    * derived from byte sums. Replace with a real codec at deployment.
+    */
+  def fakeDecode(docId: Long, bytes: Array[Byte]): Row = {
+    val n = bytes.length
+    val nFrames = n / 100 + 1
+    val frameHashes = (0 until nFrames).map { f =>
+      val frame = bytes.slice(f * 100, math.min((f + 1) * 100, n))
+      frame.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
+    }.toArray
+    val feature = Array.tabulate(4) { i =>
+      val slice = bytes.indices.filter(_ % 4 == i).map(bytes(_).toInt)
+      if (slice.isEmpty) 0f else slice.sum.toFloat / slice.length
+    }
+    Row(docId, n, nFrames, frameHashes, feature)
+  }
+
+  val queries: Map[String, Q] = ListMap(
+    // Binary metadata via pure expressions (oracle-checked).
+    "mm01_binary_meta" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("bin"))
+        .select(col("doc_id"),
+          length(col("bin")).as("byte_len"),
+          (floor(length(col("bin")) / 100) + 1).cast("int").as("n_frames"),
+          md5(col("bin")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Decode + feature-extract via mapPartitions (rows-only: stubbed codec).
+    "mm02_decode_features" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(featureSchema)
+      src.mapPartitions { it =>
+        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+        .select(col("doc_id"), col("byte_len"), col("n_frames"),
+          element_at(col("frame_hashes"), 1).as("first_frame_hash"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "mm01_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | CAST(FLOOR(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

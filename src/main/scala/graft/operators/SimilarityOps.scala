@@ -1,0 +1,158 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (builder brief / SURVEY §2.3).
+  *
+  * Cosine math is done in DOUBLE via higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) — codegen-friendly, no UDF in the
+  * exact paths — mirroring DuckDB's `list_inner_product` on
+  * double-transformed lists so the oracle compares exactly (rounded to 6dp).
+  *
+  * Scale notes (100 TB):
+  *  - `ss02` brute-force top-k broadcasts the (small) query set and scans the
+  *    corpus once per partition: embarrassingly parallel, no shuffle besides
+  *    the final per-query top-k (tiny). This is the correct baseline even at
+  *    scale when the query set is small.
+  *  - `ss03` is the bucketed path: random-hyperplane LSH signatures put
+  *    near vectors in the same bucket; candidate generation is a hash join on
+  *    the signature, so work scales with bucket size, not corpus size. The
+  *    number of planes should grow with log2(corpus/target-bucket-size); it
+  *    is fixed at 4 here only because the test corpus is 500–5000 vectors.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Embeddings with double-precision vector and L2 norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+
+  private val dot12: Column =
+    expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+
+  /** Deterministic random hyperplanes for LSH (seed fixed → reproducible). */
+  private[operators] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  val queries: Map[String, Q] = ListMap(
+    // Cosine over consecutive-id pairs — oracle-checked exact kernel.
+    "ss01_cosine_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
+        .orderBy("id1")
+    }),
+
+    // Brute-force cosine top-k: broadcast query set × corpus scan.
+    "ss02_topk_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("v1"), col("nrm").as("n1"))
+      val c = e.select(col("vec_id"), col("v").as("v2"), col("nrm").as("n2"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      broadcast(q).join(c, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot12 / (col("n1") * col("n2"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // LSH-bucketed ANN: same-signature candidates only (approximate →
+    // rows-only check; recall vs ss02 is asserted in the test suite).
+    "ss03_ann_lsh" -> ((s, dir) => {
+      val nPlanes = 4
+      val pl = planes(nPlanes, 64)
+      // signature bit p = sign(v · plane_p), folded into an int bucket id
+      val sigCol = (0 until nPlanes).map { p =>
+        val dotP = expr(
+          s"aggregate(zip_with(v, pl$p, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+        when(dotP > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+      val e0 = emb(s, dir)
+      val withPl = (0 until nPlanes).foldLeft(e0) { (df, p) =>
+        df.withColumn(s"pl$p", array(pl(p).map(lit): _*))
+      }
+      val sig = withPl.withColumn("sig", sigCol)
+        .select("vec_id", "v", "nrm", "sig")
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("v1"),
+          col("nrm").as("n1"), col("sig"))
+      val c = sig.select(col("vec_id"), col("v").as("v2"),
+        col("nrm").as("n2"), col("sig"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      broadcast(q).join(c, Seq("sig")).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot12 / (col("n1") * col("n2"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Embedding near-dup: bounded candidate window, rounded-cosine flag.
+    "dd05_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + 20)
+        .filter(col("id1") < 100)
+        .select(col("id1"), col("id2"),
+          round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
+        .withColumn("near_dup", (col("cosine") >= 0.3).cast("int"))
+        .orderBy("id1", "id2")
+    }),
+  )
+
+  private val oWith =
+    """WITH d AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      | n AS (SELECT vec_id, label, v,
+      |   sqrt(list_inner_product(v, v)) AS nrm FROM d)""".stripMargin
+
+  val oracle: Map[String, String] = ListMap(
+    "ss01_cosine_pairs" ->
+      s"""$oWith
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         | ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1 ORDER BY id1""".stripMargin,
+
+    "ss02_topk_bruteforce" ->
+      s"""$oWith,
+         | s AS (SELECT q.vec_id AS qid, c.vec_id,
+         |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "dd05_embedding_neardup" ->
+      s"""$oWith
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         | ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+         | CAST(ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+         |   AS INT) AS near_dup
+         |FROM n a JOIN n b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+         |WHERE a.vec_id < 100 ORDER BY id1, id2""".stripMargin,
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + document-dedup operators over the `documents` table — the
+  * training-data-pipeline surface (builder brief; SURVEY.md §2.3 / §7.1 M4).
+  *
+  * Everything here is built from codegen'd `functions._` / higher-order array
+  * functions — no UDFs — so whole-stage codegen covers the hot path and the
+  * same logic is expressible in the DuckDB oracle dialect.
+  *
+  * Scale notes (100 TB): all row-local (narrow) transformations except the
+  * dedup group-bys, which shuffle on the dedup key (full text / hash) with
+  * map-side partial aggregation. Word-level Jaccard is bounded to a window of
+  * candidate pairs (id delta ≤ 20) — the unbounded version is MinHash-LSH in
+  * [[MinHashDedup]], whose band join is the scalable path.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Stopword markers; also the language-ID vote lists. */
+  private val enWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val esWords = Seq("el", "la", "de", "y", "que", "en")
+  private val deWords = Seq("der", "die", "und", "ein", "zu", "mit")
+
+  private def litArray(ws: Seq[String]): Column = array(ws.map(lit): _*)
+  private def hitCount(words: Column, ws: Seq[String]): Column =
+    size(filter(words, w => array_contains(litArray(ws), w)))
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = ListMap(
+    // Exact dedup: hash-groupBy on full text; survivor = min doc_id.
+    "dd01_dedup_exact" -> ((s, dir) => {
+      docs(s, dir).groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), md5(col("text")).as("text_md5"))
+        .orderBy("keep_id")
+    }),
+
+    // Word-set Jaccard over a bounded candidate window (oracle-checkable
+    // flavor of n-gram Jaccard; the LSH-scaled variant is dd02).
+    "dd04_word_jaccard" -> ((s, dir) => {
+      val w = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("w"))
+      val a = w.select(col("doc_id").as("id1"), col("w").as("w1"))
+      val b = w.select(col("doc_id").as("id2"), col("w").as("w2"))
+      val inter = size(array_intersect(col("w1"), col("w2")))
+      a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + 20)
+        .select(col("id1"), col("id2"),
+          round(inter.cast("double")
+            / (size(col("w1")) + size(col("w2")) - inter), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
+    "tx01_token_counts" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("re_tokens"),
+        length(col("text")).as("n_chars_measured"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length / stopword-ratio / punctuation-ratio heuristic.
+    "tx02_quality" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val nStop = hitCount(words, enWords)
+      val punct = length(regexp_replace(col("text"), "[^.!?,;]", ""))
+      docs(s, dir).select(col("doc_id"),
+        nWords.as("n_words"),
+        nStop.as("n_stopwords"),
+        round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
+        round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(
+          least(lit(1.0), nWords.cast("double") / 200) * 0.5
+            + (nStop.cast("double") / nWords) * 0.5, 6).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: marker-word voting (n-gram heuristic, unigram flavor).
+    "tx03_langid" -> ((s, dir) => {
+      val words = split(lower(col("text")), " ")
+      val en = hitCount(words, enWords)
+      val es = hitCount(words, esWords)
+      val de = hitCount(words, deWords)
+      docs(s, dir).select(col("doc_id"),
+        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        when(en >= es && en >= de, "en")
+          .when(es >= de, "es").otherwise("de").as("pred_lang"),
+        col("lang").as("labeled_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: canonicalize whitespace+case, then hash.
+    "tx04_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "dd01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dd04_word_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |   / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+        |FROM t a JOIN t b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+        |ORDER BY id1, id2""".stripMargin,
+
+    "tx01_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+        |   AS re_tokens,
+        | CAST(LENGTH(text) AS INT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx02_quality" -> {
+      val stop = sqlList(enWords)
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         | CAST(len(list_filter(string_split(text, ' '),
+         |   w -> list_contains($stop, w))) AS INT) AS n_stopwords,
+         | ROUND(CAST(len(list_filter(string_split(text, ' '),
+         |     w -> list_contains($stop, w))) AS DOUBLE)
+         |   / len(string_split(text, ' ')), 6) AS stop_ratio,
+         | ROUND(CAST(LENGTH(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+         |   / LENGTH(text), 6) AS punct_ratio,
+         | ROUND(
+         |   LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200) * 0.5
+         |   + (CAST(len(list_filter(string_split(text, ' '),
+         |        w -> list_contains($stop, w))) AS DOUBLE)
+         |      / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "tx03_langid" -> {
+      def h(l: Seq[String]) =
+        s"len(list_filter(string_split(lower(text), ' '), w -> list_contains(${sqlList(l)}, w)))"
+      s"""SELECT doc_id,
+         | CAST(${h(enWords)} AS INT) AS en_hits,
+         | CAST(${h(esWords)} AS INT) AS es_hits,
+         | CAST(${h(deWords)} AS INT) AS de_hits,
+         | CASE WHEN ${h(enWords)} >= ${h(esWords)} AND ${h(enWords)} >= ${h(deWords)}
+         |   THEN 'en' WHEN ${h(esWords)} >= ${h(deWords)} THEN 'es' ELSE 'de' END
+         |   AS pred_lang,
+         | lang AS labeled_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "tx04_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
