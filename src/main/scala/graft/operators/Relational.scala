@@ -241,7 +241,7 @@ object Relational {
     "q18_having" -> ((s, dir) => {
       t(s, dir, "customer").groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_customers"), msum(col("c_acctbal")).as("total_bal"))
-        .filter(col("n_customers") > 50)
+        .filter(col("n_customers") > 5)
         .orderBy("c_nationkey")
     }),
 
@@ -452,7 +452,7 @@ object Relational {
     "q18_having" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_customers,
          | ${oSum("c_acctbal")} AS total_bal
-         |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50
+         |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 5
          |ORDER BY c_nationkey""".stripMargin,
 
     "q19_topk_parts" ->

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.nio.file.{Files, Path}
+
+/** Charset detection + normalization (reference `main.py:134-158`).
+  *
+  * The reference uses chardet on the first 100,000 bytes and rewrites to
+  * UTF-8 with `errors='replace'` (undecodable bytes → U+FFFD, never fail).
+  * This is a pure-JDK equivalent: BOM sniff → strict-UTF-8 validation →
+  * Latin-1 fallback, which covers the RFB corpus (ASCII/Latin-1/UTF-8±BOM).
+  *
+  * Divergence (documented): output is plain UTF-8, not the reference's
+  * `utf-8-sig` — a BOM buys nothing in a lake/parquet world and trips up
+  * concatenating readers. Line-count audit semantics are unaffected.
+  */
+object Charsets {
+  /** Detection sample size, matching `main.py:135`. */
+  val SampleBytes = 100000
+
+  /** Detect the charset of a file from its first [[SampleBytes]] bytes. */
+  def detect(path: Path): Charset = {
+    val in = Files.newInputStream(path)
+    val sample =
+      try in.readNBytes(SampleBytes)
+      finally in.close()
+    detectBytes(sample)
+  }
+
+  def detectBytes(sample: Array[Byte]): Charset = {
+    if (sample.length >= 3 && (sample(0) & 0xFF) == 0xEF
+      && (sample(1) & 0xFF) == 0xBB && (sample(2) & 0xFF) == 0xBF)
+      return StandardCharsets.UTF_8 // UTF-8 with BOM ("utf-8-sig")
+    if (sample.length >= 2 && (sample(0) & 0xFF) == 0xFF && (sample(1) & 0xFF) == 0xFE)
+      return StandardCharsets.UTF_16LE
+    if (sample.length >= 2 && (sample(0) & 0xFF) == 0xFE && (sample(1) & 0xFF) == 0xFF)
+      return StandardCharsets.UTF_16BE
+    if (isValidUtf8(sample)) StandardCharsets.UTF_8
+    else StandardCharsets.ISO_8859_1
+  }
+
+  private def isValidUtf8(bytes: Array[Byte]): Boolean = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      // The sample may cut a multi-byte sequence at its end; tolerate a
+      // truncated tail by retrying without the last 1-3 bytes.
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)); true
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        (1 to 3).exists { k =>
+          bytes.length > k && {
+            val d2 = StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(CodingErrorAction.REPORT)
+              .onUnmappableCharacter(CodingErrorAction.REPORT)
+            try { d2.decode(java.nio.ByteBuffer.wrap(bytes.dropRight(k))); true }
+            catch { case _: java.nio.charset.CharacterCodingException => false }
+          }
+        }
+    }
+  }
+
+  /** Count lines at a given charset; -1 on error (reference
+    * `contar_linhas_arquivo`, `main.py:39-45`).
+    */
+  def countLines(path: Path, cs: Charset): Long = {
+    try {
+      val r = reader(path, cs)
+      try {
+        var n = 0L
+        while (r.readLine() != null) n += 1
+        n
+      } finally r.close()
+    } catch { case _: Exception => -1L }
+  }
+
+  /** Transcode `src` (at `cs`, replace-don't-fail) to UTF-8 at `dest`;
+    * returns (linesRead, linesWritten). Reference `main.py:140-158`.
+    */
+  def transcode(src: Path, cs: Charset, dest: Path): (Long, Long) = {
+    if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    val in = reader(src, cs)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      Files.newOutputStream(dest), StandardCharsets.UTF_8))
+    var read = 0L
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        out.write(line); out.write("\n")
+        read += 1
+        line = in.readLine()
+      }
+    } finally { in.close(); out.close() }
+    (read, countLines(dest, StandardCharsets.UTF_8))
+  }
+
+  /** Replace-not-fail decoder (reference `errors='replace'`, `main.py:145`),
+    * also skipping a leading UTF-8 BOM if present.
+    */
+  private def reader(path: Path, cs: Charset): BufferedReader = {
+    val raw = Files.newInputStream(path)
+    if (cs == StandardCharsets.UTF_8) {
+      // consume BOM if present (utf-8-sig read semantics)
+      val pb = new java.io.PushbackInputStream(raw, 3)
+      val head = new Array[Byte](3)
+      val n = pb.read(head)
+      val isBom = n == 3 && (head(0) & 0xFF) == 0xEF &&
+        (head(1) & 0xFF) == 0xBB && (head(2) & 0xFF) == 0xBF
+      if (!isBom && n > 0) pb.unread(head, 0, n)
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      new BufferedReader(new InputStreamReader(pb, dec))
+    } else {
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      new BufferedReader(new InputStreamReader(raw, dec))
+    }
+  }
+}

@@ -1,0 +1,300 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipException, ZipFile}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Final-report shape (reference `relatorio_final`, `main.py:222-237`). */
+case class PipelineReport(
+    sucesso: Long,
+    falhasOuPendentes: Long,
+    failed: Seq[ManifestEntry])
+
+/** The RFB monthly-snapshot ingestion pipeline, Spark-first
+  * (SURVEY §2.1, §3.1): discover → download → extract → fix → load → report,
+  * with the manifest as the per-file state machine persisted after every
+  * transition (reference `main.py:103,120,162,220`) so any crash resumes
+  * exactly where it stopped; stage filters skip non-`pendente` work
+  * (`main.py:82,108,125,183`).
+  *
+  * Stage semantics preserved from the reference:
+  *  - download: ≤3 attempts, fixed backoff (`main.py:85-96`); failure counts
+  *    attempts and marks `falhou`.
+  *  - extract: corrupt zip self-heals by resetting download to `pendente`
+  *    (`main.py:116-119`).
+  *  - fix: per-file charset detect on a 100 KB sample, transcode to UTF-8
+  *    replace-don't-fail, line-count equality gates success
+  *    (`main.py:134-158`).
+  *  - load: route by filename suffix (`main.py:166-194`), full refresh,
+  *    count audit gates success (`main.py:198-216`); unroutable → `ignorada`.
+  *
+  * Deliberate divergences (SURVEY §3.3, §0.1), all documented:
+  *  - ALL files of a multi-entry zip are processed, not just the first.
+  *  - Loads are grouped per destination table and written once as an atomic
+  *    overwrite — the reference TRUNCATEs per file, so with the real dump
+  *    (10 zips → one table) it silently keeps only the last zip's rows, and
+  *    a failed load leaves a truncated table behind.
+  *  - Sink is parquet partitioned by snapshot (`ref_month=YYYYMM` directory
+  *    per table) instead of a Postgres schema per month — same side-by-side
+  *    time-travel layout (`main.py:177,258`), lake-native. A JDBC sink would
+  *    be `df.write.format("jdbc").option("truncate", true)` with identical
+  *    audit semantics.
+  *
+  * Scale notes (100 TB): the manifest loop is driver-side over ~37 rows —
+  * correct, it is metadata; all row-level work (CSV scan, parquet write,
+  * counts) is distributed. Per-table scans list all corrected files in one
+  * `csv(paths:_*)` read so Spark parallelizes by file/split.
+  */
+class RfbPipeline(
+    spark: SparkSession,
+    workDir: Path,
+    outDir: String,
+    refMonth: String,
+    fetcher: Fetcher,
+    maxRetries: Int = 3,
+    backoffMs: Long = 5000L) {
+
+  val manifestPath: String = workDir.resolve("manifesto.json").toString
+  private val downloadDir = workDir.resolve("downloads")
+  private val extractDir = workDir.resolve("extracted")
+  private val fixedDir = workDir.resolve("fixed")
+
+  private def save(entries: Seq[ManifestEntry]): Unit =
+    Manifest.save(manifestPath, entries)
+
+  /** Phase 1 — discovery (reference `fase_planejamento`, `main.py:49-77`):
+    * reuse an existing manifest (resume), else parse the listing for `.zip`
+    * anchors and create pending entries.
+    */
+  def plan(listingUrl: String): Seq[ManifestEntry] = {
+    if (Manifest.exists(manifestPath)) Manifest.load(spark, manifestPath)
+    else {
+      val html = fetcher.fetchText(listingUrl)
+      val entries = parseListing(html).map { name =>
+        ManifestEntry(arquivo = name, url = listingUrl + name,
+          caminhoZip = downloadDir.resolve(name).toString)
+      }
+      save(entries)
+      entries
+    }
+  }
+
+  /** `.zip` anchors from a directory-listing page (reference `main.py:61-64`,
+    * BeautifulSoup equivalent).
+    */
+  def parseListing(html: String): Seq[String] =
+    "href=\"([^\"]+?\\.zip)\"".r.findAllMatchIn(html).map(_.group(1))
+      .filterNot(_.contains("/")).distinct.toSeq
+
+  /** Phase 2 — download with retry (reference `main.py:79-103`). */
+  def download(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    var entries = entries0
+    entries0.zipWithIndex.foreach { case (e, i) =>
+      if (e.statusDownload == Status.Pendente) {
+        var ok = false
+        var attempt = 0
+        while (!ok && attempt < maxRetries) {
+          attempt += 1
+          try { fetcher.fetchFile(e.url, Paths.get(e.caminhoZip)); ok = true }
+          catch { case _: Exception => if (backoffMs > 0) Thread.sleep(backoffMs) }
+        }
+        val updated =
+          if (ok) e.copy(statusDownload = Status.Sucesso)
+          else e.copy(statusDownload = Status.Falhou,
+            tentativasDownload = e.tentativasDownload + 1)
+        entries = entries.updated(i, updated)
+        save(entries)
+      }
+    }
+    entries
+  }
+
+  /** Phase 3 — extraction with corrupt-zip self-heal (reference
+    * `main.py:105-120`).
+    */
+  def extract(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    var entries = entries0
+    entries0.zipWithIndex.foreach { case (e, i) =>
+      if (e.statusDownload == Status.Sucesso && e.statusExtracao == Status.Pendente) {
+        val updated =
+          try {
+            val zf = new ZipFile(e.caminhoZip)
+            try {
+              Files.createDirectories(extractDir)
+              val names = zf.entries().asScala.filterNot(_.isDirectory).toSeq
+              val outPaths = names.map { ze =>
+                val dest = extractDir.resolve(
+                  Paths.get(ze.getName).getFileName.toString)
+                val in = zf.getInputStream(ze)
+                try Files.copy(in, dest,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                finally in.close()
+                dest.toString
+              }
+              e.copy(statusExtracao = Status.Sucesso, arquivosExtraidos = outPaths)
+            } finally zf.close()
+          } catch {
+            case _: ZipException | _: java.io.IOException =>
+              // Self-heal: corrupt archive ⇒ force re-download next run.
+              // The reference marks extraction `falhou` here (main.py:117),
+              // but its own extract phase only picks up `pendente` entries —
+              // so its self-heal can never complete. We reset BOTH stages to
+              // `pendente` so the resumed run actually recovers.
+              e.copy(statusExtracao = Status.Pendente,
+                statusDownload = Status.Pendente)
+          }
+        entries = entries.updated(i, updated)
+        save(entries)
+      }
+    }
+    entries
+  }
+
+  /** Phase 4 — charset fix + line-count validation (reference
+    * `main.py:122-162`); processes ALL extracted files of the entry.
+    */
+  def fix(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    var entries = entries0
+    entries0.zipWithIndex.foreach { case (e, i) =>
+      if (e.statusExtracao == Status.Sucesso && e.statusCorrecao == Status.Pendente) {
+        val updated =
+          if (e.arquivosExtraidos.isEmpty) e.copy(statusCorrecao = Status.Ignorada)
+          else {
+            try {
+              val results = e.arquivosExtraidos.map { f =>
+                val src = Paths.get(f)
+                val cs = Charsets.detect(src)
+                val orig = Charsets.countLines(src, cs)
+                val name = src.getFileName.toString
+                val (base, ext) = name.lastIndexOf('.') match {
+                  case -1 => (name, "")
+                  case k => (name.substring(0, k), name.substring(k))
+                }
+                val dest = fixedDir.resolve(s"${base}__corrigido$ext")
+                val (_, fixedCount) = Charsets.transcode(src, cs, dest)
+                (dest.toString, orig, fixedCount)
+              }
+              val allOk = results.forall { case (_, o, c) => o == c && o != -1L }
+              e.copy(
+                statusCorrecao = if (allOk) Status.Sucesso else Status.Falhou,
+                arquivosCorrigidos = results.map(_._1),
+                linhasOriginais = results.map(_._2).sum,
+                linhasCorrigidas = results.map(_._3).sum)
+            } catch {
+              case _: Exception => e.copy(statusCorrecao = Status.Falhou)
+            }
+          }
+        entries = entries.updated(i, updated)
+        save(entries)
+      }
+    }
+    entries
+  }
+
+  /** Phase 5 — load + count audit (reference `main.py:164-220`), grouped per
+    * destination table with a single atomic overwrite per table.
+    */
+  def load(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    var entries = entries0
+    val candidates = entries0.zipWithIndex.filter { case (e, _) =>
+      e.statusCorrecao == Status.Sucesso && e.statusCarga == Status.Pendente
+    }
+    // (entryIdx, correctedFile, table?, lineCount) — per-file routing
+    val files = candidates.flatMap { case (e, i) =>
+      e.arquivosCorrigidos.map { f =>
+        (i, f, RfbTables.route(f), Charsets.countLines(
+          Paths.get(f), java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    // unroutable-only entries → ignorada (reference main.py:192-194)
+    candidates.foreach { case (e, i) =>
+      val mine = files.filter(_._1 == i)
+      if (mine.forall(_._3.isEmpty)) {
+        entries = entries.updated(i, e.copy(statusCarga = Status.Ignorada))
+        save(entries)
+      } else {
+        entries = entries.updated(i,
+          e.copy(tabelasDestino = mine.flatMap(_._3).distinct))
+      }
+    }
+    val byTable = files.collect { case (i, f, Some(t), n) => (t, i, f, n) }
+      .groupBy(_._1)
+    val tableOk = byTable.map { case (table, group) =>
+      val paths = group.map(_._3)
+      val expected = group.map(_._4).sum
+      val ok =
+        try {
+          val nCols = firstLine(paths.head).count(_ == ';') + 1
+          val df = spark.read
+            .options(Map("sep" -> ";", "header" -> "false",
+              "encoding" -> "UTF-8", "mode" -> "PERMISSIVE"))
+            .schema(RfbTables.rawSchema(nCols))
+            .csv(paths: _*)
+          val dest = s"$outDir/$table/ref_month=$refMonth"
+          df.write.mode("overwrite").parquet(dest)
+          val loaded = spark.read.parquet(dest).count()
+          loaded == expected
+        } catch { case _: Exception => false }
+      table -> ok
+    }
+    // propagate per-table audit to contributing entries
+    candidates.foreach { case (_, i) =>
+      val e = entries(i)
+      if (e.statusCarga == Status.Pendente) {
+        val myTables = files.filter(_._1 == i).flatMap(_._3).distinct
+        val allOk = myTables.nonEmpty && myTables.forall(t => tableOk(t))
+        val myRows = files.filter(f => f._1 == i && f._3.isDefined).map(_._4).sum
+        entries = entries.updated(i, e.copy(
+          statusCarga = if (allOk) Status.Sucesso else Status.Falhou,
+          registrosCarregados = if (allOk) myRows else -1L))
+        save(entries)
+      }
+    }
+    entries
+  }
+
+  private def firstLine(path: String): String = {
+    val r = Files.newBufferedReader(Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try Option(r.readLine()).getOrElse("") finally r.close()
+  }
+
+  /** Final report (reference `relatorio_final`, `main.py:222-237`). */
+  def report(entries: Seq[ManifestEntry]): PipelineReport = {
+    val (ok, bad) = entries.partition(_.statusCarga == Status.Sucesso)
+    PipelineReport(ok.size.toLong, bad.size.toLong, bad)
+  }
+
+  /** Status aggregation as a DataFrame (the `groupBy(status).count()` shape
+    * of SURVEY §2.1 #16).
+    */
+  def statusSummary(entries: Seq[ManifestEntry]): DataFrame =
+    Manifest.toDataset(spark, entries).groupBy("statusCarga")
+      .agg(count(lit(1)).as("n")).orderBy("statusCarga")
+
+  /** Full run: all phases in order (reference `main.py:272-279`). */
+  def run(listingUrl: String): Seq[ManifestEntry] = {
+    val planned = plan(listingUrl)
+    val done = load(fix(extract(download(planned))))
+    save(done)
+    done
+  }
+
+  /** Typed view of a loaded raw table: public RFB column names applied over
+    * the positional all-string layout (raw stays the source of truth).
+    */
+  def typedView(table: String): DataFrame = {
+    val raw = spark.read.parquet(s"$outDir/$table")
+    RfbTables.typedColumns.get(table) match {
+      case Some(names) =>
+        raw.select(names.zipWithIndex.map { case (nm, i) =>
+          col(s"c$i").as(nm)
+        } ++ Seq(col("ref_month")): _*)
+      case None => raw
+    }
+  }
+}

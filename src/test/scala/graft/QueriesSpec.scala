@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariants for every declared query on sf0.001 (the full
+  * hash-vs-DuckDB gate runs via graft.Verify + tools/check_oracle.py).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  // Approximate candidate generators may legitimately return few/no rows.
+  private val mayBeEmpty = Set("dd02_minhash_lsh", "dd03_simhash")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("ss02 top-k: ranks in 1..5, cosine within [-1,1], descending per query") {
+    val rows = SparkEntry.queries("ss02_topk_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, c, rn) => rn >= 1 && rn <= 5 && c >= -1 && c <= 1 })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ss03 ANN results are a subset of the vector space with valid cosines") {
+    val ann = SparkEntry.queries("ss03_ann_lsh")(spark, dir).collect()
+    assert(ann.nonEmpty)
+    val bruteBest = SparkEntry.queries("ss02_topk_bruteforce")(spark, dir)
+      .collect().groupBy(_.getLong(0)).map { case (q, g) =>
+        q -> g.map(_.getDouble(2)).max
+      }
+    // ANN can't beat exhaustive search
+    ann.foreach { r =>
+      assert(r.getDouble(2) <= bruteBest(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("dd01 exact dedup partitions the corpus") {
+    val total = Tables(spark, dir, "documents").count()
+    val agg = SparkEntry.queries("dd01_dedup_exact")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
+    assert(agg == total)
+  }
+
+  test("tx03 langid predicts a known language") {
+    val langs = SparkEntry.queries("tx03_langid")(spark, dir)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de")))
+  }
+
+  test("st01 streaming result equals q23 batch result") {
+    val stream = SparkEntry.queries("st01_stream_hourly")(spark, dir).collect()
+    val batch = SparkEntry.queries("q23_event_hourly")(spark, dir).collect()
+    assert(stream.map(_.toString).toSet == batch.map(_.toString).toSet)
+  }
+}

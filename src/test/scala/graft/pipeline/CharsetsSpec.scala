@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CharsetsSpec extends AnyFunSuite {
+  private def tmpFile(bytes: Array[Byte]): Path = {
+    val p = Files.createTempFile("charsets", ".csv")
+    Files.write(p, bytes)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("detects UTF-8 BOM") {
+    val p = tmpFile(Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "01;a\n".getBytes(StandardCharsets.UTF_8))
+    assert(Charsets.detect(p) == StandardCharsets.UTF_8)
+  }
+
+  test("detects clean UTF-8 with accents") {
+    val p = tmpFile("01;Ação\n02;café\n".getBytes(StandardCharsets.UTF_8))
+    assert(Charsets.detect(p) == StandardCharsets.UTF_8)
+  }
+
+  test("detects Latin-1 accents as ISO-8859-1") {
+    val p = tmpFile("01;Ação\n02;café\n".getBytes(StandardCharsets.ISO_8859_1))
+    assert(Charsets.detect(p) == StandardCharsets.ISO_8859_1)
+  }
+
+  test("transcode Latin-1 → UTF-8 preserves line count and fixes accents") {
+    val src = tmpFile("01;São Paulo\n02;Ação\n".getBytes(StandardCharsets.ISO_8859_1))
+    val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+    val (orig, fixed) = Charsets.transcode(src, StandardCharsets.ISO_8859_1, dest)
+    assert(orig == 2 && fixed == 2)
+    val text = new String(Files.readAllBytes(dest), StandardCharsets.UTF_8)
+    assert(text.contains("São Paulo") && text.contains("Ação"))
+  }
+
+  test("undecodable bytes are replaced with U+FFFD, not dropped (errors=replace)") {
+    // invalid UTF-8 sequence 0xC3 0x28 in a file decoded as UTF-8
+    val bytes = "ok;line\nbad;".getBytes(StandardCharsets.UTF_8) ++
+      Array(0xC3, 0x28).map(_.toByte) ++ "\n".getBytes(StandardCharsets.UTF_8)
+    val src = tmpFile(bytes)
+    val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+    val (orig, fixed) = Charsets.transcode(src, StandardCharsets.UTF_8, dest)
+    assert(orig == 2 && fixed == 2)
+    val text = new String(Files.readAllBytes(dest), StandardCharsets.UTF_8)
+    assert(text.contains('�'))
+  }
+
+  test("BOM is stripped when reading utf-8-sig content") {
+    val src = tmpFile(Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "01;a\n".getBytes(StandardCharsets.UTF_8))
+    val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+    Charsets.transcode(src, StandardCharsets.UTF_8, dest)
+    val out = Files.readAllBytes(dest)
+    assert(out(0) == '0'.toByte) // no BOM residue in the first cell
+  }
+
+  test("countLines returns -1 on missing file") {
+    assert(Charsets.countLines(
+      java.nio.file.Paths.get("/nonexistent/x.csv"), StandardCharsets.UTF_8) == -1L)
+  }
+}

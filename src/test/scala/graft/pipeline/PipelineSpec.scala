@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end fixture run per FIXTURES.md §A: every reference semantic has a
+  * fixture (charset mix, corrupt zip + self-heal, unmapped file, multi-file
+  * zip, retry, resume).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkZip(dir: Path, zipName: String,
+      files: Seq[(String, Array[Byte])]): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(dir.resolve(zipName).toFile))
+    try files.foreach { case (name, bytes) =>
+      z.putNextEntry(new ZipEntry(name)); z.write(bytes); z.closeEntry()
+    } finally z.close()
+  }
+
+  private def listingHtml(zips: Seq[String]): String =
+    "<html><body>" +
+      zips.map(z => s"""<a href="$z">$z</a>""").mkString +
+      """<a href="leiame.pdf">doc</a></body></html>"""
+
+  private def freshDirs(): (Path, Path, Path) = {
+    val src = Files.createTempDirectory("rfb-src")
+    val work = Files.createTempDirectory("rfb-work")
+    val out = Files.createTempDirectory("rfb-out")
+    (src, work, out)
+  }
+
+  test("full run: charset mix, multi-file zip, unmapped file, report") {
+    val (src, work, out) = freshDirs()
+    // latin-1 file with accents
+    mkZip(src, "Cnaes.zip", Seq(
+      "K1.D509.CNAECSV" ->
+        "0111301;Cultivo de café\n0111302;Ação agrícola\n"
+          .getBytes(StandardCharsets.ISO_8859_1)))
+    // utf-8 with BOM
+    mkZip(src, "Naturezas.zip", Seq(
+      "K1.D509.NATJU" -> (Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+        "2046;Sociedade Anônima\n".getBytes(StandardCharsets.UTF_8))))
+    // multi-file zip: BOTH files must load (divergence from main.py:130)
+    mkZip(src, "Mix.zip", Seq(
+      "K1.D509.MUNIC" -> "0001;São Paulo\n0002;Río\n".getBytes(StandardCharsets.UTF_8),
+      "K1.D509.PAIS" -> "105;Brasil\n;Desconhecido\n".getBytes(StandardCharsets.UTF_8)))
+    // unmapped filename → carga ignorada
+    mkZip(src, "Leiame.zip", Seq(
+      "K1.D509.LEIAME" -> "readme\n".getBytes(StandardCharsets.UTF_8)))
+
+    val zips = Seq("Cnaes.zip", "Naturezas.zip", "Mix.zip", "Leiame.zip")
+    Files.write(src.resolve("listing.html"),
+      listingHtml(zips).getBytes(StandardCharsets.UTF_8))
+
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+
+    val byName = done.map(e => e.arquivo -> e).toMap
+    assert(byName("Cnaes.zip").statusCarga == Status.Sucesso)
+    assert(byName("Naturezas.zip").statusCarga == Status.Sucesso)
+    assert(byName("Mix.zip").statusCarga == Status.Sucesso)
+    assert(byName("Leiame.zip").statusCarga == Status.Ignorada)
+
+    // accents normalized to real UTF-8 in the loaded table
+    val cnaes = spark.read.parquet(s"$out/rfb_cnaes").collect()
+    assert(cnaes.length == 2)
+    assert(cnaes.map(_.getString(1)).toSet ==
+      Set("Cultivo de café", "Ação agrícola"))
+    // BOM stripped: first cell is the bare code
+    val natju = spark.read.parquet(s"$out/rfb_naturezas").collect()
+    assert(natju.head.getString(0) == "2046")
+    // multi-file zip: both tables materialized
+    assert(spark.read.parquet(s"$out/rfb_municipios").count() == 2)
+    assert(spark.read.parquet(s"$out/rfb_paises").count() == 2)
+    // line counts recorded
+    assert(byName("Cnaes.zip").linhasOriginais == 2)
+    assert(byName("Cnaes.zip").linhasCorrigidas == 2)
+    assert(byName("Mix.zip").registrosCarregados == 4)
+    // typed view applies public column names
+    val typed = pipe.typedView("rfb_cnaes")
+    assert(typed.columns.take(2).toSeq == Seq("codigo", "descricao"))
+    // report
+    val rep = pipe.report(done)
+    assert(rep.sucesso == 3 && rep.falhasOuPendentes == 1)
+  }
+
+  test("corrupt zip self-heals: download reset to pendente, next run loads (main.py:116-119)") {
+    val (src, work, out) = freshDirs()
+    Files.write(src.resolve("Quals.zip"),
+      "this is not a zip file".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Quals.zip")).getBytes(StandardCharsets.UTF_8))
+
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r1 = pipe.run("file://rfb/")
+    // both stages reset so a resumed run re-downloads AND re-extracts
+    // (the reference's falhou-marking leaves it unrecoverable, main.py:117)
+    assert(r1.head.statusExtracao == Status.Pendente)
+    assert(r1.head.statusDownload == Status.Pendente) // self-heal
+
+    // upstream fixes the archive; resumed run re-downloads and completes
+    mkZip(src, "Quals.zip", Seq(
+      "K1.D509.QUALS" -> "05;Administrador\n".getBytes(StandardCharsets.UTF_8)))
+    val pipe2 = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r2 = pipe2.run("file://rfb/")
+    assert(r2.head.statusCarga == Status.Sucesso)
+    assert(spark.read.parquet(s"$out/rfb_qualificacoes").count() == 1)
+  }
+
+  test("download retry: transient failures retried within a run (main.py:85-96)") {
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Motivos.zip", Seq(
+      "K1.D509.MOTIV" -> "00;Sem motivo\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Motivos.zip")).getBytes(StandardCharsets.UTF_8))
+
+    // two injected failures < 3 attempts → succeeds
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src, failFirst = Map("Motivos.zip" -> 2)), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.head.statusCarga == Status.Sucesso)
+  }
+
+  test("download failure after max retries → falhou + attempt counted") {
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Motivos.zip", Seq(
+      "K1.D509.MOTIV" -> "00;Sem motivo\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Motivos.zip")).getBytes(StandardCharsets.UTF_8))
+
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src, failFirst = Map("Motivos.zip" -> 99)), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.head.statusDownload == Status.Falhou)
+    assert(done.head.tentativasDownload == 1)
+    assert(done.head.statusCarga == Status.Pendente)
+  }
+
+  test("resume: completed entries are never reprocessed (main.py:51-53,82)") {
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Paises.zip")).getBytes(StandardCharsets.UTF_8))
+
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r1 = pipe.run("file://rfb/")
+    assert(r1.head.statusCarga == Status.Sucesso)
+
+    // corrupt the upstream source; a resumed run must not touch it
+    Files.write(src.resolve("Paises.zip"), "garbage".getBytes)
+    val pipe2 = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r2 = pipe2.run("file://rfb/")
+    assert(r2.head.statusCarga == Status.Sucesso)
+    assert(spark.read.parquet(s"$out/rfb_paises").count() == 1)
+  }
+
+  test("manifest round-trips through JSON (main.py:29-37)") {
+    val p = Files.createTempDirectory("mani").resolve("manifesto.json")
+    val entries = Seq(
+      ManifestEntry("A.zip", "u/A.zip", statusDownload = Status.Sucesso,
+        arquivosExtraidos = Seq("/tmp/x"), linhasOriginais = 7,
+        tabelasDestino = Seq("rfb_cnaes")),
+      ManifestEntry("B — ação;\"quoted\".zip", "u/B.zip"))
+    Manifest.save(p.toString, entries)
+    val loaded = Manifest.load(spark, p.toString)
+    assert(loaded.toSet == entries.toSet)
+  }
+
+  test("listing parser keeps only .zip anchors (main.py:61-64)") {
+    val pipe = new RfbPipeline(spark, Files.createTempDirectory("w"),
+      "/tmp/o", "202601", new LocalFetcher(Files.createTempDirectory("s")))
+    val html = listingHtml(Seq("Empresas0.zip", "Socios1.zip"))
+    assert(pipe.parseListing(html) == Seq("Empresas0.zip", "Socios1.zip"))
+  }
+}
