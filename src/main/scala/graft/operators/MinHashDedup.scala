@@ -27,12 +27,18 @@ object MinHashDedup {
   private val K = 16      // minhash functions
   private val BANDS = 8   // bands of 2 rows each
 
-  /** doc_id + 3-word shingles (whole text if shorter than 3 words). */
+  /** doc_id + 3-word shingles (whole text if shorter than 3 words).
+    * `words` is materialized first so the per-shingle lambda slices a column
+    * reference — inlining `split` into the lambda re-tokenizes the text once
+    * per shingle, turning tokenization O(words) into O(words²) per doc.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"), expr(
-      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-        | i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin)
-      .as("shingles"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(words) - 2, 1)),
+          | i -> concat_ws(' ', slice(words, i, 3)))""".stripMargin)
+        .as("shingles"))
 
   /** Adds mh0..mhK-1 minhash columns + the full signature array `mhs`. */
   private def minhashed(df: DataFrame): DataFrame = {
@@ -47,11 +53,15 @@ object MinHashDedup {
     // MinHash + LSH banding: candidate pairs + estimated Jaccard.
     "dd02_minhash_lsh" -> ((s, dir) => {
       val mh = minhashed(shingled(s, dir))
+      // Materialize signatures before the self-join: both join branches
+      // would otherwise recompute the whole shingle→minhash pipeline. At
+      // lake scale this step is a signature table written to storage.
       val bands = mh.select(col("doc_id"), col("mhs"), explode(array(
         (0 until BANDS).map(j => struct(lit(j).as("band"),
           xxhash64(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("bh"))): _*))
         .as("b"))
         .select(col("doc_id"), col("mhs"), col("b.band"), col("b.bh"))
+        .persist()
       val a = bands.select(col("doc_id").as("id1"), col("mhs").as("mh1"),
         col("band"), col("bh"))
       val b = bands.select(col("doc_id").as("id2"), col("mhs").as("mh2"),
@@ -78,11 +88,13 @@ object MinHashDedup {
         .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L))
         .reduce((x, y) => x.bitwiseOR(y))
       val sigs = sums.select(col("doc_id"), sig.as("sig"))
+      // materialized for the same reason as the minhash band table
       val chunks = sigs.select(col("doc_id"), col("sig"), explode(array(
         (0 until 4).map(i => struct(lit(i).as("chunk"),
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL).as("cv"))): _*))
         .as("c"))
         .select(col("doc_id"), col("sig"), col("c.chunk"), col("c.cv"))
+        .persist()
       val a = chunks.select(col("doc_id").as("id1"), col("sig").as("sig1"),
         col("chunk"), col("cv"))
       val b = chunks.select(col("doc_id").as("id2"), col("sig").as("sig2"),
