@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MinHashDedup, Multimodal, Relational, SimilarityOps, TextOps}
+import graft.operators.{MinHashDedup, Multimodal, Relational, Relational2, SimilarityOps, TextOps}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,10 +18,12 @@ object SparkEntry {
     Relational.queries("q05_nation_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      MinHashDedup.queries ++ Multimodal.queries ++ EventsStream.queries
+    Relational.queries ++ Relational2.queries ++ TextOps.queries ++
+      SimilarityOps.queries ++ MinHashDedup.queries ++ Multimodal.queries ++
+      EventsStream.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ SimilarityOps.oracle ++
-      MinHashDedup.oracle ++ Multimodal.oracle ++ EventsStream.oracle
+    Relational.oracle ++ Relational2.oracle ++ TextOps.oracle ++
+      SimilarityOps.oracle ++ MinHashDedup.oracle ++ Multimodal.oracle ++
+      EventsStream.oracle
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Second tranche of the relational surface (SURVEY §2.2): the SQL entry
+  * point, distinct/statistical aggregates, exact percentiles, array
+  * explode/unnest, pivot, gap-based sessionization, and null-handling
+  * scalars. Same determinism policy as [[Relational]].
+  */
+object Relational2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = ListMap(
+    // SQL API entry point: same engine, text-SQL front door.
+    "q24_sql_entrypoint" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_early
+          |FROM customer_v c JOIN orders_v o ON o.o_custkey = c.c_custkey
+          |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+          | AND datediff(o.o_orderdate, DATE '1995-01-01') <= 60
+          |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    // Distinct + statistical aggregates.
+    "q25_stat_aggs" -> ((s, dir) => {
+      Tables(s, dir, "customer").groupBy("c_mktsegment")
+        .agg(
+          countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+          round(var_samp(col("c_acctbal")), 2).as("var_bal"),
+          round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 4)
+            .as("corr_bal_nation"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Exact percentiles (linear interpolation in both engines).
+    "q26_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Array explode / unnest with ordinality.
+    "q27_explode_unnest" -> ((s, dir) => {
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), size(col("embedding")))).as("pos"))
+        .select(col("vec_id"), col("pos"),
+          element_at(col("embedding"), col("pos")).cast("double").as("val"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    // Pivot: order counts per priority × status.
+    "q28_pivot" -> ((s, dir) => {
+      Tables(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // Gap-based sessionization (30-min inactivity) — the batch form of the
+    // training-pipeline session operator; lag → cumulative flag → group.
+    "q29_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val withGap = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 1)
+            .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("session_value"))
+        .withColumn("session_id", col("session_id").cast("int"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Null-handling scalars.
+    "q30_null_funcs" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_coalesced"),
+          nullif(col("l_discount"), lit(0.0)).isNull.cast("int").as("zero_disc"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_qd"),
+          least(col("l_quantity"), col("l_tax") * 100).as("least_qt"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "q24_sql_entrypoint" ->
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_early
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        | AND date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) <= 60
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    "q25_stat_aggs" ->
+      """SELECT c_mktsegment,
+        | CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        | COUNT(*) AS n_customers,
+        | ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+        | ROUND(var_samp(c_acctbal), 2) AS var_bal,
+        | ROUND(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS corr_bal_nation
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q26_percentiles" ->
+      """SELECT o_orderpriority,
+        | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q27_explode_unnest" ->
+      """SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+        |   WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM g),
+        |sid AS (
+        | SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM f)
+        |SELECT user_id, CAST(session_id AS INT) AS session_id,
+        | COUNT(*) AS n_events,
+        | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q30_null_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | nullif(l_discount, 0.0) AS disc_or_null,
+        | coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+        | CAST(nullif(l_discount, 0.0) IS NULL AS INT) AS zero_disc,
+        | greatest(l_quantity, l_discount * 100) AS greatest_qd,
+        | least(l_quantity, l_tax * 100) AS least_qt
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}
