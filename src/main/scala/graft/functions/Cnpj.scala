@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CNPJ (Brazilian company registry number) check-digit validation — the
+  * domain scalar for the reference's data (`cnpj_basico`+`ordem`+`dv` columns,
+  * FIXTURES.md §A). Public mod-11 algorithm over 14 digits.
+  *
+  * Static methods so generated code can call them directly (see
+  * [[CnpjValid]]'s `doGenCode`).
+  */
+object Cnpj {
+  private val W1 = Array(5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+  private val W2 = Array(6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+
+  def isValid(s: UTF8String): Boolean = s != null && isValidStr(s.toString)
+
+  def isValidStr(raw: String): Boolean = {
+    if (raw == null) return false
+    val digits = raw.filter(Character.isDigit)
+    if (digits.length != 14) return false
+    if (digits.forall(_ == digits.head)) return false // 00000000000000 etc.
+    val d = new Array[Int](14)
+    var i = 0
+    while (i < 14) { d(i) = digits.charAt(i) - '0'; i += 1 }
+    var s1 = 0
+    i = 0
+    while (i < 12) { s1 += d(i) * W1(i); i += 1 }
+    val c1 = { val m = s1 % 11; if (m < 2) 0 else 11 - m }
+    if (d(12) != c1) return false
+    var s2 = 0
+    i = 0
+    while (i < 12) { s2 += d(i) * W2(i); i += 1 }
+    s2 += c1 * W2(12)
+    val c2 = { val m = s2 % 11; if (m < 2) 0 else 11 - m }
+    d(13) == c2
+  }
+
+  /** Compute the two check digits for a 12-digit prefix (fixture helper). */
+  def checkDigits(prefix12: String): String = {
+    require(prefix12.length == 12 && prefix12.forall(Character.isDigit))
+    val d = prefix12.map(_ - '0').toArray
+    var s1 = 0
+    (0 until 12).foreach(i => s1 += d(i) * W1(i))
+    val c1 = { val m = s1 % 11; if (m < 2) 0 else 11 - m }
+    var s2 = 0
+    (0 until 12).foreach(i => s2 += d(i) * W2(i))
+    s2 += c1 * W2(12)
+    val c2 = { val m = s2 % 11; if (m < 2) 0 else 11 - m }
+    s"$c1$c2"
+  }
+}

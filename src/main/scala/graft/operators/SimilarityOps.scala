@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (builder brief / SURVEY §2.3).
   *
@@ -29,16 +30,20 @@ import graft.Tables
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Embeddings with double-precision vector and L2 norm. */
+  /** Embeddings with L2 norm. The dot-product kernel is the native
+    * codegen'd [[graft.functions.DotProduct]] expression — double-precision
+    * sequential accumulation directly over the float arrays, bit-identical
+    * to the `aggregate(zip_with(...))` higher-order formulation (and to the
+    * DuckDB oracle) but without materializing intermediate arrays.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").select(
-      col("vec_id"), col("label"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+        sqrt(GraftFunctions.dot_product(col("v"), col("v"))))
 
   private val dot12: Column =
-    expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    GraftFunctions.dot_product(col("v1"), col("v2"))
 
   /** Deterministic random hyperplanes for LSH (seed fixed → reproducible). */
   private[operators] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
@@ -82,8 +87,7 @@ object SimilarityOps {
       val pl = planes(nPlanes, 64)
       // signature bit p = sign(v · plane_p), folded into an int bucket id
       val sigCol = (0 until nPlanes).map { p =>
-        val dotP = expr(
-          s"aggregate(zip_with(v, pl$p, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+        val dotP = GraftFunctions.dot_product(col("v"), col(s"pl$p"))
         when(dotP > 0, 1 << p).otherwise(0)
       }.reduce(_ + _)
       val e0 = emb(s, dir)

@@ -45,10 +45,17 @@ object EventsStream {
         s.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir))
-      val q = hourlyAgg(stream)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
-        .start()
+      // State-store cost scales with shuffle partitions (one checkpoint
+      // file per partition per batch); the windowed state here is tiny, so
+      // run the stateful stage narrow and restore the session conf after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try hourlyAgg(stream)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
         .select(

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cnpj check-digit algorithm: known valid/invalid numbers") {
+    assert(Cnpj.isValidStr("11222333000181")) // canonical example
+    assert(Cnpj.isValidStr("11.222.333/0001-81")) // formatted
+    assert(!Cnpj.isValidStr("11222333000182")) // wrong dv
+    assert(!Cnpj.isValidStr("00000000000000")) // repeated digits
+    assert(!Cnpj.isValidStr("1122233300018")) // 13 digits
+    assert(!Cnpj.isValidStr(null))
+    // generator round-trips through the validator
+    (0 until 50).foreach { i =>
+      val prefix = f"${i * 7919 + 13}%012d"
+      assert(Cnpj.isValidStr(prefix + Cnpj.checkDigits(prefix)))
+    }
+  }
+
+  test("cnpj_valid works as a Column and as a SQL function") {
+    import spark.implicits._
+    val df = Seq("11222333000181", "11222333000182", "junk")
+      .toDF("cnpj")
+    val viaCol = df.select(GraftFunctions.cnpj_valid(col("cnpj")).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(viaCol == Seq(true, false, false))
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cnpjs")
+    val viaSql = spark.sql("SELECT cnpj_valid(cnpj) AS ok FROM cnpjs")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(viaSql == Seq(true, false, false))
+  }
+
+  test("dot_product matches the higher-order-function formulation exactly") {
+    val e = Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val both = e.select(
+      GraftFunctions.dot_product(col("embedding"), col("embedding")).as("native"),
+      expr("""aggregate(
+             |  zip_with(transform(embedding, x -> cast(x as double)),
+             |           transform(embedding, x -> cast(x as double)),
+             |           (x, y) -> x * y),
+             |  0D, (a, x) -> a + x)""".stripMargin).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("dot_product handles mixed float/double array inputs") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0, 0.5, 1.0))).toDF("f", "d")
+    val got = df.select(GraftFunctions.dot_product(col("f"), col("d")))
+      .collect()(0).getDouble(0)
+    assert(got == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+  }
+
+  test("expressions stay inside whole-stage codegen (no fallback)") {
+    val e = Tables(spark, TestSpark.sf0001, "embeddings")
+      .select(GraftFunctions.dot_product(col("embedding"), col("embedding")).as("d"))
+    val codegenNodes = e.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenNodes.nonEmpty)
+    // and the expression actually evaluates under codegen
+    assert(e.collect().forall(_.getDouble(0) >= 0.0))
+  }
+}
