@@ -284,17 +284,10 @@ class RfbPipeline(
     done
   }
 
-  /** Typed view of a loaded raw table: public RFB column names applied over
-    * the positional all-string layout (raw stays the source of truth).
+  /** Typed view of a loaded raw table: public RFB column names + real types
+    * ([[RfbTyped]]) over the positional all-string layout (raw stays the
+    * source of truth).
     */
-  def typedView(table: String): DataFrame = {
-    val raw = spark.read.parquet(s"$outDir/$table")
-    RfbTables.typedColumns.get(table) match {
-      case Some(names) =>
-        raw.select(names.zipWithIndex.map { case (nm, i) =>
-          col(s"c$i").as(nm)
-        } ++ Seq(col("ref_month")): _*)
-      case None => raw
-    }
-  }
+  def typedView(table: String): DataFrame =
+    RfbTyped.typed(table, spark.read.parquet(s"$outDir/$table"))
 }

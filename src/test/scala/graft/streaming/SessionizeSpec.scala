@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.Sessionize.Event
+
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("stateful sessionization: gap split, watermark-timeout emission") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Sessionize.sessionize(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    try {
+      // user 1: two bursts 40 min apart (→ 2 sessions); user 2: one event
+      ms.addData(
+        Event(1L, t("2024-01-01 10:00:00"), 1.0),
+        Event(1L, t("2024-01-01 10:10:00"), 2.0),
+        Event(1L, t("2024-01-01 10:50:00"), 4.0),
+        Event(2L, t("2024-01-01 10:05:00"), 8.0))
+      q.processAllAvailable()
+      // user 1's first session closed by the in-batch gap split; user 2's
+      // session (end 10:05, timeout 10:35) closed by the watermark, which
+      // advanced to 10:40 (= max event 10:50 − 10 min delay)
+      val afterBatch1 = spark.table("sess_test").as[Sessionize.Session]
+        .collect().map(s => (s.user_id, s.n_events, s.session_value)).toSet
+      assert(afterBatch1 == Set((1L, 2L, 3.0), (2L, 1L, 8.0)))
+
+      // advance watermark far past every open session's end+gap
+      ms.addData(Event(99L, t("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val after = spark.table("sess_test").as[Sessionize.Session]
+        .collect().map(s => (s.user_id, s.n_events, s.session_value)).toSet
+      assert(after == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+
+      // late event behind the watermark never reopens a closed session
+      ms.addData(Event(1L, t("2024-01-01 10:20:00"), 100.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("sess_test").as[Sessionize.Session]
+        .collect().map(s => (s.user_id, s.n_events, s.session_value)).toSet
+      assert(afterLate == after)
+    } finally q.stop()
+  }
+}
