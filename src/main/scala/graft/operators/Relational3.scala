@@ -1,0 +1,86 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Third tranche (SURVEY §2.2 tail): map functions, multiset set-ops
+  * (UNION ALL / EXCEPT ALL), and array sorting/positioning. The oracle only
+  * has to produce the same *result* — DuckDB computes the scalars directly
+  * where its map surface differs.
+  */
+object Relational3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = ListMap(
+    // Map construction, lookup, merge, cardinality.
+    "q31_map_funcs" -> ((s, dir) => {
+      val m = map(lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority"))
+      Tables(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), m.as("m"))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "status").as("status"),
+          element_at(col("m"), "prio").as("prio"),
+          size(map_concat(col("m"), map(lit("extra"), lit("x"))))
+            .as("n_keys"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Multiset semantics: UNION ALL + EXCEPT ALL with per-key counts.
+    "q32_multiset_ops" -> ((s, dir) => {
+      val a = Tables(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val b = Tables(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val u = a.union(b).groupBy("k").agg(count(lit(1)).as("n_all"))
+      val e = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_excess"))
+      u.join(e, Seq("k"), "left")
+        .select(col("k"), col("n_all"),
+          coalesce(col("n_excess"), lit(0L)).as("n_excess"))
+        .orderBy("k")
+    }),
+
+    // Array sort / position / slicing over embeddings.
+    "q33_array_sort" -> ((s, dir) => {
+      val sorted = sort_array(col("embedding"), asc = false)
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          element_at(sorted, 1).cast("double").as("top1"),
+          element_at(sorted, 2).cast("double").as("top2"),
+          element_at(sorted, 3).cast("double").as("top3"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast("int").as("argmax_pos"))
+        .orderBy("vec_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "q31_map_funcs" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
+        | 3 AS n_keys, 'prio,status' AS keys_csv
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q32_multiset_ops" ->
+      """WITH u AS (
+        | SELECT k, COUNT(*) AS n_all FROM (
+        |   SELECT c_nationkey AS k FROM customer
+        |   UNION ALL SELECT s_nationkey FROM supplier) GROUP BY k),
+        |ex AS (
+        | SELECT k, COUNT(*) AS n_excess FROM (
+        |   SELECT c_nationkey AS k FROM customer
+        |   EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k)
+        |SELECT u.k, u.n_all, COALESCE(ex.n_excess, 0) AS n_excess
+        |FROM u LEFT JOIN ex USING (k) ORDER BY u.k""".stripMargin,
+
+    "q33_array_sort" ->
+      """SELECT vec_id,
+        | CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS top1,
+        | CAST(list_reverse_sort(embedding)[2] AS DOUBLE) AS top2,
+        | CAST(list_reverse_sort(embedding)[3] AS DOUBLE) AS top3,
+        | CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_pos
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+  )
+}
