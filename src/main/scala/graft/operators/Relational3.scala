@@ -55,6 +55,25 @@ object Relational3 {
             .cast("int").as("argmax_pos"))
         .orderBy("vec_id")
     }),
+    // Deterministic hash-based sampling: the scalable way to take a
+    // reproducible uniform sample at 100 TB (no global randomness, no
+    // coordination — order by a hash of the key, take k).
+    "q34_hash_sample" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .orderBy("h", "doc_id")
+        .limit(20)
+    }),
+
+    // Correlated-free scalar subquery through the SQL front door.
+    "q35_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+          |FROM orders_sq
+          |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_sq)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -82,5 +101,15 @@ object Relational3 {
         | CAST(list_reverse_sort(embedding)[3] AS DOUBLE) AS top3,
         | CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_pos
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+
+    "q34_hash_sample" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 20""".stripMargin,
+
+    "q35_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
