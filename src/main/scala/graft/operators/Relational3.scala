@@ -74,6 +74,37 @@ object Relational3 {
           |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_sq)
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // Sliding windows (1 h width, 15 min slide) — each event lands in 4
+    // overlapping windows; batch twin of the streaming windowed agg.
+    "q36_sliding_windows" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start")
+    }),
+
+    // Column profiling: count / distinct / nulls / min / max per column —
+    // the data-quality sweep a training pipeline runs before ingestion.
+    "q38_column_profile" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def profile(c: String, v: org.apache.spark.sql.Column) =
+        li.agg(
+          count(lit(1)).as("n"),
+          countDistinct(v).as("n_distinct"),
+          sum(v.isNull.cast("long")).as("n_null"),
+          min(v).as("vmin"), max(v).as("vmax"))
+          .select(lit(c).as("col_name"), col("n"), col("n_distinct"),
+            col("n_null"), col("vmin"), col("vmax"))
+      profile("l_returnflag", col("l_returnflag"))
+        .union(profile("l_linestatus", col("l_linestatus")))
+        .union(profile("l_linenumber", col("l_linenumber").cast("string")))
+        .orderBy("col_name")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -111,5 +142,27 @@ object Relational3 {
         |FROM orders
         |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q36_sliding_windows" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |   - k * (INTERVAL '15 minutes') AS ws, value
+        | FROM events CROSS JOIN range(0, 4) t(k))
+        |GROUP BY ws ORDER BY window_start""".stripMargin,
+
+    "q38_column_profile" -> {
+      def p(c: String, v: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           | CAST(COUNT(DISTINCT $v) AS BIGINT) AS n_distinct,
+           | CAST(SUM(CASE WHEN $v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | MIN($v) AS vmin, MAX($v) AS vmax FROM lineitem""".stripMargin
+      s"""${p("l_returnflag", "l_returnflag")}
+         |UNION ALL ${p("l_linestatus", "l_linestatus")}
+         |UNION ALL ${p("l_linenumber", "CAST(l_linenumber AS VARCHAR)")}
+         |ORDER BY col_name""".stripMargin
+    },
   )
 }

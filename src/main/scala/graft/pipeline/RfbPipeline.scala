@@ -234,10 +234,16 @@ class RfbPipeline(
               "encoding" -> "UTF-8", "mode" -> "PERMISSIVE"))
             .schema(RfbTables.rawSchema(nCols))
             .csv(paths: _*)
+          // Single-pass write-side metric (SURVEY §1.3: row-count audits →
+          // observe()) + sink-side read-back count: both must agree with
+          // the corrected-file line counts (reference main.py:207-216).
+          val obs = new org.apache.spark.sql.Observation()
           val dest = s"$outDir/$table/ref_month=$refMonth"
-          df.write.mode("overwrite").parquet(dest)
+          df.observe(obs, count(lit(1)).as("rows_written"))
+            .write.mode("overwrite").parquet(dest)
+          val written = obs.get("rows_written").asInstanceOf[Long]
           val loaded = spark.read.parquet(dest).count()
-          loaded == expected
+          written == expected && loaded == expected
         } catch { case _: Exception => false }
       table -> ok
     }
