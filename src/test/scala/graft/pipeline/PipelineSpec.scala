@@ -167,6 +167,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/rfb_paises").count() == 1)
   }
 
+  test("two zips routing to one table both land (reference clobbers, we don't)") {
+    val (src, work, out) = freshDirs()
+    // the real dump ships Empresas0..9.zip all routing to rfb_empresas; the
+    // reference's per-file TRUNCATE keeps only the last one (main.py:200)
+    mkZip(src, "Empresas0.zip", Seq(
+      "K1.E0.D509.EMPRECSV" ->
+        "11111111;ACME;2062;49;100,00;03;\n".getBytes(StandardCharsets.UTF_8)))
+    mkZip(src, "Empresas1.zip", Seq(
+      "K1.E1.D509.EMPRECSV" ->
+        "22222222;BETA;2046;05;200,00;05;\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Empresas0.zip", "Empresas1.zip"))
+        .getBytes(StandardCharsets.UTF_8))
+
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.forall(_.statusCarga == Status.Sucesso))
+    val empresas = spark.read.parquet(s"$out/rfb_empresas").collect()
+    assert(empresas.map(_.getString(0)).toSet == Set("11111111", "22222222"))
+  }
+
   test("manifest round-trips through JSON (main.py:29-37)") {
     val p = Files.createTempDirectory("mani").resolve("manifesto.json")
     val entries = Seq(
