@@ -8,6 +8,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+object RfbPipeline {
+  /** `.zip` anchors from a directory-listing page (reference
+    * `main.py:61-64`).
+    */
+  def parseListing(html: String): Seq[String] =
+    "href=\"([^\"]+?\\.zip)\"".r.findAllMatchIn(html).map(_.group(1))
+      .filterNot(_.contains("/")).distinct.toSeq
+}
+
 /** Final-report shape (reference `relatorio_final`, `main.py:222-237`). */
 case class PipelineReport(
     sucesso: Long,
@@ -86,9 +95,7 @@ class RfbPipeline(
   /** `.zip` anchors from a directory-listing page (reference `main.py:61-64`,
     * BeautifulSoup equivalent).
     */
-  def parseListing(html: String): Seq[String] =
-    "href=\"([^\"]+?\\.zip)\"".r.findAllMatchIn(html).map(_.group(1))
-      .filterNot(_.contains("/")).distinct.toSeq
+  def parseListing(html: String): Seq[String] = RfbPipeline.parseListing(html)
 
   /** Phase 2 — download with retry (reference `main.py:79-103`). */
   def download(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
