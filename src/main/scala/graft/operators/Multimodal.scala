@@ -78,6 +78,22 @@ object Multimodal {
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy("doc_id")
     }),
+    // Frame sampling: one row per (stub-)decoded frame — the shape of a
+    // video/audio frame-extraction stage (explode after a narrow decode).
+    "mm03_frame_sample" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(featureSchema)
+      src.mapPartitions { it =>
+        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+        .select(col("doc_id"),
+          posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
+        .filter(col("frame_idx") % 2 === 0) // sample every 2nd frame
+        .orderBy("doc_id", "frame_idx")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(

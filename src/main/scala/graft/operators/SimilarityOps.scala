@@ -112,6 +112,45 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
+    // IVF-style ANN: coarse quantization to deterministic centroids, probe
+    // the nearest 2 cells. Complements ss03's LSH path — IVF work scales
+    // with cell population, and nprobe trades recall for cost. Centroids
+    // here are hash-chosen corpus vectors (at lake scale: k-means over a
+    // sample, persisted as a broadcast table).
+    "ss04_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // deterministic "centroids": 16 corpus vectors by hash order
+      val cents = e
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        .orderBy(md5(col("cid").cast("string")), col("cid")).limit(16)
+      val centDot = GraftFunctions.dot_product(col("v"), col("cv")) /
+        (col("nrm") * col("cn"))
+      // assign every vector to its 2 nearest cells (multi-assignment on the
+      // corpus side doubles storage but lets queries probe a single list)
+      val wCell = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          centDot.as("csim"))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      val q = assigned.filter(col("vec_id") < 10 && col("cid").isNotNull)
+        .select(col("vec_id").as("qid"), col("v").as("v1"),
+          col("nrm").as("n1"), col("cid"))
+      val c = assigned.select(col("vec_id"), col("v").as("v2"),
+        col("nrm").as("n2"), col("cid"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      broadcast(q).join(c, Seq("cid")).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot12 / (col("n1") * col("n2"))).as("cos"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // Embedding near-dup: bounded candidate window, rounded-cosine flag.
     "dd05_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)

@@ -39,16 +39,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("ss03 ANN results are a subset of the vector space with valid cosines") {
-    val ann = SparkEntry.queries("ss03_ann_lsh")(spark, dir).collect()
-    assert(ann.nonEmpty)
-    val bruteBest = SparkEntry.queries("ss02_topk_bruteforce")(spark, dir)
-      .collect().groupBy(_.getLong(0)).map { case (q, g) =>
-        q -> g.map(_.getDouble(2)).max
+  Seq("ss03_ann_lsh", "ss04_ann_ivf").foreach { annName =>
+    test(s"$annName results are bounded by brute-force search") {
+      val ann = SparkEntry.queries(annName)(spark, dir).collect()
+      assert(ann.nonEmpty)
+      val bruteBest = SparkEntry.queries("ss02_topk_bruteforce")(spark, dir)
+        .collect().groupBy(_.getLong(0)).map { case (q, g) =>
+          q -> g.map(_.getDouble(2)).max
+        }
+      // ANN can't beat exhaustive search
+      ann.foreach { r =>
+        assert(r.getDouble(2) <= bruteBest(r.getLong(0)) + 1e-9)
       }
-    // ANN can't beat exhaustive search
-    ann.foreach { r =>
-      assert(r.getDouble(2) <= bruteBest(r.getLong(0)) + 1e-9)
     }
   }
 
