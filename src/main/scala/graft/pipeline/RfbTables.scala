@@ -50,6 +50,13 @@ object RfbTables {
   val typedColumns: Map[String, Seq[String]] = Map(
     "rfb_empresas" -> Seq("cnpj_basico", "razao_social", "natureza_juridica",
       "qualificacao_responsavel", "capital_social", "porte", "ente_federativo"),
+    "rfb_estabelecimentos" -> Seq("cnpj_basico", "cnpj_ordem", "cnpj_dv",
+      "matriz_filial", "nome_fantasia", "situacao_cadastral", "data_situacao",
+      "motivo_situacao", "cidade_exterior", "pais", "data_inicio",
+      "cnae_principal", "cnae_secundaria", "tipo_logradouro", "logradouro",
+      "numero", "complemento", "bairro", "cep", "uf", "municipio", "ddd1",
+      "telefone1", "ddd2", "telefone2", "ddd_fax", "fax", "email",
+      "situacao_especial", "data_situacao_especial"),
     "rfb_socios" -> Seq("cnpj_basico", "identificador_socio", "nome_socio",
       "cnpj_cpf_socio", "qualificacao_socio", "data_entrada", "pais",
       "representante_legal", "nome_representante", "qualificacao_representante",

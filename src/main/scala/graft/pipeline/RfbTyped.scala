@@ -43,6 +43,16 @@ object RfbTyped {
       case "rfb_empresas" =>
         named
           .withColumn("capital_social", rfbMoney(col("capital_social")))
+      case "rfb_estabelecimentos" =>
+        withCnpj(named)
+          .withColumn("data_situacao", rfbDate(col("data_situacao")))
+          .withColumn("data_inicio", rfbDate(col("data_inicio")))
+          .withColumn("data_situacao_especial",
+            rfbDate(col("data_situacao_especial")))
+          // comma-joined secondary CNAEs → array column
+          .withColumn("cnae_secundaria",
+            when(col("cnae_secundaria").isNull || col("cnae_secundaria") === "",
+              lit(null)).otherwise(split(col("cnae_secundaria"), ",")))
       case "rfb_socios" =>
         named
           .withColumn("data_entrada", rfbDate(col("data_entrada")))

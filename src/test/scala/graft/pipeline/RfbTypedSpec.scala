@@ -60,6 +60,29 @@ class RfbTypedSpec extends AnyFunSuite {
     assert(!got(1).getBoolean(1))
   }
 
+  test("estabelecimentos typed layer: cnpj assembly, dates, cnae array") {
+    import spark.implicits._
+    val prefix = "112223330001"
+    val dvs = Cnpj.checkDigits(prefix)
+    val row = Seq("11222333", "0001", dvs, "1", "LOJA", "02", "20200315",
+      "00", "", "", "19991231", "0111301", "0111302,0111303", "RUA", "X",
+      "1", "", "CENTRO", "01000000", "SP", "7107", "11", "999", "", "", "",
+      "", "a@b.c", "", "0")
+    val raw = Seq(row).map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6),
+      r(7), r(8), r(9), r(10), r(11), r(12), r(13), r(14), r(15), r(16),
+      r(17), r(18), r(19), r(20), r(21))).toDF((0 to 21).map(i => s"c$i"): _*)
+      // pad remaining columns c22..c29
+      .select((0 to 21).map(i => col(s"c$i")) ++
+        (22 to 29).map(i => lit(row(i)).as(s"c$i")): _*)
+    val t = RfbTyped.typed("rfb_estabelecimentos", raw).collect()(0)
+    assert(t.getAs[String]("cnpj") == prefix + dvs)
+    assert(t.getAs[Boolean]("cnpj_valido"))
+    assert(t.getAs[java.sql.Date]("data_inicio").toString == "1999-12-31")
+    assert(t.getAs[java.sql.Date]("data_situacao_especial") == null)
+    assert(t.getAs[scala.collection.Seq[String]]("cnae_secundaria").toSeq ==
+      Seq("0111302", "0111303"))
+  }
+
   test("unknown table passes through unchanged") {
     import spark.implicits._
     val raw = Seq(("a", "b")).toDF("c0", "c1")
