@@ -75,12 +75,16 @@ object Relational {
     "q03_top_revenue_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(li, o("o_orderkey") === li("l_orderkey"))
-        .groupBy(o("o_orderkey"), o("o_orderdate"))
+      // Pre-aggregate revenue per order BEFORE the join: sum-then-filter ==
+      // filter-then-sum on the join key, and the fact table enters the join
+      // at |orders| rows instead of |lineitem| — the manual form of a
+      // partial-agg pushdown Catalyst doesn't do below joins.
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
           .cast("double").as("revenue"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(rev, o("o_orderkey") === col("l_orderkey"))
         .select(o("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("revenue"))

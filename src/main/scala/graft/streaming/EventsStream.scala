@@ -34,36 +34,51 @@ object EventsStream {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
 
   val queries: Map[String, Q] = ListMap(
+    // Tumbling hourly agg; complete-mode output == batch q23 oracle.
     "st01_stream_hourly" -> ((s, dir) => {
-      // Source schema must match the on-disk layout (ts may be LONG nanos);
-      // normalization to a µs timestamp happens on the streaming frame.
-      val rawSchema = Tables.rawEvents(s, dir).schema
-      val sink = s"st01_mem_${nameCounter.incrementAndGet()}"
-      // The file stream source requires a directory; point it at the sf dir
-      // and glob-filter down to the events file(s).
-      val stream = Tables.normalizeEvents(
-        s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
-      // State-store cost scales with shuffle partitions (one checkpoint
-      // file per partition per batch); the windowed state here is tiny, so
-      // run the stateful stage narrow and restore the session conf after.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try hourlyAgg(stream)
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sink)
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      runCompleteStream(s, dir, "st01_mem")(hourlyAgg)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_bucket", "event_type")
     }),
+    "st02_stream_sliding" -> ((s, dir) => slidingQuery(s, dir)),
   )
+
+  /** Shared driver for complete-mode streaming aggs over the events file. */
+  private def runCompleteStream(s: SparkSession, dir: String, sinkPrefix: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val rawSchema = Tables.rawEvents(s, dir).schema
+    val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try agg(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
+  /** Sliding-window (1 h / 15 min) streaming agg; complete-mode output
+    * equals the batch `q36_sliding_windows` oracle.
+    */
+  val slidingQuery: Q = (s, dir) => {
+    runCompleteStream(s, dir, "st02_mem") { df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    }
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start")
+  }
 
   val oracle: Map[String, String] = ListMap(
     // Streaming complete-mode result == batch hourly aggregation.
@@ -72,5 +87,16 @@ object EventsStream {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Streaming sliding windows == the batch sliding-window oracle.
+    "st02_stream_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |   - k * (INTERVAL '15 minutes') AS ws, value
+        | FROM events CROSS JOIN range(0, 4) t(k))
+        |GROUP BY ws ORDER BY window_start""".stripMargin,
   )
 }
