@@ -1,0 +1,119 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Tables
+
+/** Fourth tranche: full outer join, edit distance, structured JSON parsing,
+  * and the rank family of window functions.
+  */
+object Relational4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = ListMap(
+    // Full outer join with per-side counts and null-key handling.
+    "q39_full_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.withColumnRenamed("k", "ck")
+        .join(su.withColumnRenamed("k", "sk"),
+          col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("k"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("k")
+    }),
+
+    // Edit distance (Levenshtein) between part names — the string-similarity
+    // scalar for fuzzy matching.
+    "q40_edit_distance" -> ((s, dir) => {
+      val p = Tables(s, dir, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("id1"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("id2"), col("p_name").as("n2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          levenshtein(col("n1"), col("n2")).as("edit_dist"),
+          (levenshtein(col("n1"), col("n2")) <=
+            greatest(length(col("n1")), length(col("n2"))) / 2)
+            .cast("int").as("fuzzy_similar"))
+        .orderBy("id1")
+    }),
+
+    // Structured JSON parsing: from_json into a typed struct, then field
+    // access (vs q22's per-path string extraction).
+    "q41_from_json" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          from_json(col("props"), schema).as("p"))
+        .select(col("event_id"), col("p.k").as("k"),
+          (col("p.k") > 50).cast("int").as("k_high"))
+        .orderBy("event_id")
+    }),
+
+    // Rank family: dense_rank / percent_rank / cume_dist / ntile.
+    "q42_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).as("drk"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "q39_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        | s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.k, s.k) AS k,
+        | COALESCE(c.n_cust, 0) AS n_cust,
+        | COALESCE(s.n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY k""".stripMargin,
+
+    "q40_edit_distance" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+        | CAST(levenshtein(a.p_name, b.p_name) <=
+        |   GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) / 2 AS INT)
+        |   AS fuzzy_similar
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |WHERE a.p_partkey <= 100 AND b.p_partkey <= 100
+        |ORDER BY id1""".stripMargin,
+
+    "q41_from_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | CAST(CAST(json_extract_string(props, '$.k') AS INT) > 50 AS INT)
+        |   AS k_high
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "q42_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(drk AS INT) AS drk, ROUND(prk, 6) AS prk, ROUND(cd, 6) AS cd,
+        | CAST(quartile AS INT) AS quartile
+        |FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  DENSE_RANK() OVER w AS drk,
+        |  PERCENT_RANK() OVER w AS prk,
+        |  CUME_DIST() OVER w AS cd,
+        |  NTILE(4) OVER w AS quartile
+        | FROM orders WHERE o_orderkey <= 2000
+        | WINDOW w AS (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey))
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+  )
+}
