@@ -37,9 +37,11 @@ object Relational3 {
       val b = Tables(s, dir, "supplier").select(col("s_nationkey").as("k"))
       val u = a.union(b).groupBy("k").agg(count(lit(1)).as("n_all"))
       val e = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_excess"))
-      u.join(e, Seq("k"), "left")
+      val i = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_common"))
+      u.join(e, Seq("k"), "left").join(i, Seq("k"), "left")
         .select(col("k"), col("n_all"),
-          coalesce(col("n_excess"), lit(0L)).as("n_excess"))
+          coalesce(col("n_excess"), lit(0L)).as("n_excess"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
         .orderBy("k")
     }),
 
@@ -121,9 +123,15 @@ object Relational3 {
         |ex AS (
         | SELECT k, COUNT(*) AS n_excess FROM (
         |   SELECT c_nationkey AS k FROM customer
-        |   EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k)
-        |SELECT u.k, u.n_all, COALESCE(ex.n_excess, 0) AS n_excess
-        |FROM u LEFT JOIN ex USING (k) ORDER BY u.k""".stripMargin,
+        |   EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k),
+        |ia AS (
+        | SELECT k, COUNT(*) AS n_common FROM (
+        |   SELECT c_nationkey AS k FROM customer
+        |   INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k)
+        |SELECT u.k, u.n_all, COALESCE(ex.n_excess, 0) AS n_excess,
+        | COALESCE(ia.n_common, 0) AS n_common
+        |FROM u LEFT JOIN ex USING (k) LEFT JOIN ia USING (k)
+        |ORDER BY u.k""".stripMargin,
 
     "q33_array_sort" ->
       """SELECT vec_id,
