@@ -65,7 +65,16 @@ class RfbPipeline(
     refMonth: String,
     fetcher: Fetcher,
     maxRetries: Int = 3,
-    backoffMs: Long = 5000L) {
+    backoffMs: Long = 5000L,
+    strictAudits: Boolean = false) {
+
+  /** Post-load integrity audits per table (README-claimed checks,
+    * `READme.md:27-29`), recorded for the last `load` call. Only gate the
+    * load when `strictAudits` is set — the reference's hard gate is the
+    * row-count equality, and a single malformed row shouldn't fail a
+    * 60M-row load by default.
+    */
+  @volatile var lastAudits: Map[String, Audits.AuditResult] = Map.empty
 
   val manifestPath: String = workDir.resolve("manifesto.json").toString
   private val downloadDir = workDir.resolve("downloads")
@@ -241,16 +250,18 @@ class RfbPipeline(
               "encoding" -> "UTF-8", "mode" -> "PERMISSIVE"))
             .schema(RfbTables.rawSchema(nCols))
             .csv(paths: _*)
-          // Single-pass write-side metric (SURVEY §1.3: row-count audits →
-          // observe()) + sink-side read-back count: both must agree with
-          // the corrected-file line counts (reference main.py:207-216).
-          val obs = new org.apache.spark.sql.Observation()
+          // Single-pass write-side metrics (SURVEY §1.3: row-count audits →
+          // observe()): the row count must agree with the corrected-file
+          // line counts AND the sink read-back (reference main.py:207-216);
+          // integrity audits (null keys, column shift) ride the same pass.
+          val (audited, auditObs) = Audits.observed(df, table)
           val dest = s"$outDir/$table/ref_month=$refMonth"
-          df.observe(obs, count(lit(1)).as("rows_written"))
-            .write.mode("overwrite").parquet(dest)
-          val written = obs.get("rows_written").asInstanceOf[Long]
+          audited.write.mode("overwrite").parquet(dest)
+          val audit = Audits.result(table, auditObs)
+          lastAudits += table -> audit
           val loaded = spark.read.parquet(dest).count()
-          written == expected && loaded == expected
+          audit.rows == expected && loaded == expected &&
+            (!strictAudits || audit.passed)
         } catch { case _: Exception => false }
       table -> ok
     }
