@@ -40,13 +40,17 @@ object MinHashDedup {
           | i -> concat_ws(' ', slice(words, i, 3)))""".stripMargin)
         .as("shingles"))
 
-  /** Adds mh0..mhK-1 minhash columns + the full signature array `mhs`. */
+  /** Adds the minhash signature array `mhs` + per-band mh columns. The
+    * signature comes from the one-pass [[graft.functions.MinHashArray]]
+    * codegen kernel — K separate `array_min(transform(...))` expressions
+    * re-traverse the shingle array K times through interpreted lambdas.
+    */
   private def minhashed(df: DataFrame): DataFrame = {
-    val withMh = (0 until K).foldLeft(df) { (d, k) =>
-      d.withColumn(s"mh$k",
-        expr(s"array_min(transform(shingles, s -> xxhash64(s, $k)))"))
+    val withSig = df.withColumn("mhs",
+      graft.functions.MinHashArray(col("shingles"), K))
+    (0 until K).foldLeft(withSig) { (d, k) =>
+      d.withColumn(s"mh$k", element_at(col("mhs"), k + 1))
     }
-    withMh.withColumn("mhs", array((0 until K).map(k => col(s"mh$k")): _*))
   }
 
   val queries: Map[String, Q] = ListMap(
