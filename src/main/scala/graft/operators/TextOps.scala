@@ -109,6 +109,24 @@ object TextOps {
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
         .orderBy("doc_id")
     }),
+
+    // Vocabulary building: corpus-wide token frequencies, top 50.
+    "tx05_vocabulary" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w"))
+        .limit(50)
+    }),
+
+    // Length distribution: 100-char histogram buckets over the corpus.
+    "tx06_length_hist" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(length(col("text"))), 4).as("avg_measured"))
+        .orderBy("bucket")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -169,5 +187,16 @@ object TextOps {
     "tx04_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx05_vocabulary" ->
+      """SELECT w, COUNT(*) AS n FROM (
+        | SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 50""".stripMargin,
+
+    "tx06_length_hist" ->
+      """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
+        | COUNT(*) AS n_docs,
+        | ROUND(AVG(LENGTH(text)), 4) AS avg_measured
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }
