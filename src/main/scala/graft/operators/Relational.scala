@@ -186,7 +186,9 @@ object Relational {
     "q12_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
@@ -405,7 +407,9 @@ object Relational {
 
     "q12_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         | ${oSum("l_quantity")} AS sum_qty
+         | ${oSum("l_quantity")} AS sum_qty,
+         | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         | CAST(GROUPING(l_linestatus) AS INT) AS g_status
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
