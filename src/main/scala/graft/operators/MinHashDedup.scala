@@ -8,26 +8,41 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Near-duplicate detection at scale: MinHash+LSH and SimHash over
-  * `documents` (builder brief / SURVEY §2.3). Both are approximate →
-  * rows-only harness check; invariants are asserted in the test suite
-  * (e.g., a doc is always a near-dup of itself if duplicated verbatim).
+  * `documents` (builder brief / SURVEY §2.3).
+  *
+  * Both queries are oracle-gated: the sketches prune candidates, but the
+  * emitted result is an exact quantity (exact shingle-Jaccard / exact
+  * Hamming distance) whose candidate set is recall-complete for the emitted
+  * threshold, so DuckDB reproduces the identical result with an exact
+  * all-pairs computation.
   *
   * Scale notes (100 TB): both pipelines avoid the O(n²) pair space.
-  *  - MinHash: shingle → k minhashes (row-local, codegen'd higher-order
-  *    exprs) → banded signatures → shuffle ON (band, band_hash) only —
-  *    candidate pairs come from an equi-join, so cost follows bucket
-  *    sizes, not n². Band/row counts (8×2 over k=16) tune the S-curve.
-  *  - SimHash: 64-bit signature via per-bit majority vote (one shuffle on
-  *    doc_id for the bit aggregation), then candidates via equality on any
-  *    16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *  - MinHash: shingle → K minhashes (row-local, one-pass codegen kernel) →
+  *    banded signatures → shuffle ON (band, band_hash) only — candidate
+  *    pairs come from an equi-join, so cost follows bucket sizes, not n².
+  *    16 bands × 2 rows put the S-curve midpoint at J≈0.26; a true pair at
+  *    the emitted J ≥ 0.5 threshold is missed w.p. (1−J²)¹⁶ ≤ 0.75¹⁶ ≈ 1%,
+  *    and the planted-dup regime (J ≥ 0.9) w.p. ≤ 3·10⁻¹².
+  *  - SimHash: 64-bit signature via the one-pass row-local
+  *    [[graft.functions.SimHashArray]] kernel (no shuffle — the round-1
+  *    explode+64-agg formulation shuffled the whole tokenized corpus),
+  *    then candidates via equality on any 16-bit chunk. Pigeonhole: the
+  *    emitted threshold hamming ≤ 3 < 4 chunks ⇒ some chunk equal ⇒
+  *    recall is exactly 100%, so the output equals the exact all-pairs
+  *    answer by construction (the recall contract the bound guarantees).
+  *
+  * Neither query caches: the signature stages are narrow one-pass codegen
+  * over the scan, so the self-join branches just recompute them — cheaper
+  * than leaking a session-lifetime `persist()`. At lake scale the signature
+  * table would be written to storage once and joined from there.
   */
 object MinHashDedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 16      // minhash functions
-  private val BANDS = 8   // bands of 2 rows each
+  private val K = 32       // minhash functions
+  private val BANDS = 16   // bands of 2 rows each
 
-  /** doc_id + 3-word shingles (whole text if shorter than 3 words).
+  /** doc_id + distinct 3-word shingles (whole text if shorter than 3 words).
     * `words` is materialized first so the per-shingle lambda slices a column
     * reference — inlining `split` into the lambda re-tokenizes the text once
     * per shingle, turning tokenization O(words) into O(words²) per doc.
@@ -35,84 +50,104 @@ object MinHashDedup {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(1, greatest(size(words) - 2, 1)),
-          | i -> concat_ws(' ', slice(words, i, 3)))""".stripMargin)
+          | i -> concat_ws(' ', slice(words, i, 3)))""".stripMargin))
         .as("shingles"))
 
-  /** Adds the minhash signature array `mhs` + per-band mh columns. The
-    * signature comes from the one-pass [[graft.functions.MinHashArray]]
-    * codegen kernel — K separate `array_min(transform(...))` expressions
-    * re-traverse the shingle array K times through interpreted lambdas.
-    */
-  private def minhashed(df: DataFrame): DataFrame = {
-    val withSig = df.withColumn("mhs",
-      graft.functions.MinHashArray(col("shingles"), K))
-    (0 until K).foldLeft(withSig) { (d, k) =>
-      d.withColumn(s"mh$k", element_at(col("mhs"), k + 1))
-    }
-  }
-
   val queries: Map[String, Q] = ListMap(
-    // MinHash + LSH banding: candidate pairs + estimated Jaccard.
+    // MinHash + LSH banding prunes candidates; output = exact shingle
+    // Jaccard of surviving pairs above threshold (oracle: all-pairs exact).
     "dd02_minhash_lsh" -> ((s, dir) => {
-      val mh = minhashed(shingled(s, dir))
-      // Materialize signatures before the self-join: both join branches
-      // would otherwise recompute the whole shingle→minhash pipeline. At
-      // lake scale this step is a signature table written to storage.
-      val bands = mh.select(col("doc_id"), col("mhs"), explode(array(
+      val sh = shingled(s, dir)
+      val mh = sh.select(col("doc_id"),
+        graft.functions.MinHashArray(col("shingles"), K).as("mhs"))
+      // (doc_id, band, band-hash): only ids travel through the band shuffle;
+      // shingle arrays are joined back per *candidate pair*, not per band.
+      val bands = mh.select(col("doc_id"), explode(array(
         (0 until BANDS).map(j => struct(lit(j).as("band"),
-          xxhash64(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("bh"))): _*))
-        .as("b"))
-        .select(col("doc_id"), col("mhs"), col("b.band"), col("b.bh"))
-        .persist()
-      val a = bands.select(col("doc_id").as("id1"), col("mhs").as("mh1"),
-        col("band"), col("bh"))
-      val b = bands.select(col("doc_id").as("id2"), col("mhs").as("mh2"),
-        col("band"), col("bh"))
-      a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(expr(
-            s"size(filter(zip_with(mh1, mh2, (x, y) -> x = y), v -> v)) / ${K}D"),
-            4).as("est_jaccard"))
-        .distinct()
-        .orderBy(desc("est_jaccard"), asc("id1"), asc("id2"))
+          xxhash64(element_at(col("mhs"), 2 * j + 1),
+            element_at(col("mhs"), 2 * j + 2)).as("bh"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh"))
+      val cands = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
+        .join(bands.select(col("doc_id").as("id2"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val s1 = sh.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
+      val s2 = sh.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
+      val inter = size(array_intersect(col("sh1"), col("sh2")))
+      val jac = inter.cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - inter)
+      cands.join(s1, "id1").join(s2, "id2")
+        .filter(jac >= 0.5)
+        .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("id1"), asc("id2"))
     }),
 
-    // SimHash: 64-bit signature, candidates by 16-bit chunk equality.
+    // SimHash: one-pass row-local signature, candidates by 16-bit chunk
+    // equality, output = exact pairs at hamming ≤ 3 (recall 100% by
+    // pigeonhole — oracle: all-pairs exact Hamming).
     "dd03_simhash" -> ((s, dir) => {
-      val tok = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      val bitAggs = (0 until 64).map(bit =>
-        sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"b$bit"))
-      val sums = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val sig = (0 until 64)
-        .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L))
-        .reduce((x, y) => x.bitwiseOR(y))
-      val sigs = sums.select(col("doc_id"), sig.as("sig"))
-      // materialized for the same reason as the minhash band table
+      val sigs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SimHashArray(split(col("text"), " ")).as("sig"))
       val chunks = sigs.select(col("doc_id"), col("sig"), explode(array(
         (0 until 4).map(i => struct(lit(i).as("chunk"),
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL).as("cv"))): _*))
         .as("c"))
         .select(col("doc_id"), col("sig"), col("c.chunk"), col("c.cv"))
-        .persist()
       val a = chunks.select(col("doc_id").as("id1"), col("sig").as("sig1"),
         col("chunk"), col("cv"))
       val b = chunks.select(col("doc_id").as("id2"), col("sig").as("sig2"),
         col("chunk"), col("cv"))
       a.join(b, Seq("chunk", "cv")).filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-          expr("bit_count(sig1 ^ sig2)").as("hamming"))
+          expr("cast(bit_count(sig1 ^ sig2) as int)").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 24)
+        .filter(col("hamming") <= 3)
         .orderBy(asc("hamming"), asc("id1"), asc("id2"))
-        .limit(200)
     }),
   )
 
-  /** Approximate candidate generation — no SQL oracle (rows-only check). */
-  val oracle: Map[String, String] = ListMap.empty
+  /** Exact all-pairs equivalents — tractable for the oracle at sf0.01
+    * because the corpus is small; the Spark queries produce the same result
+    * through the sketch-pruned (scalable) path.
+    */
+  val oracle: Map[String, String] = ListMap(
+    "dd02_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |    FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(words) - 2, 1) + 1),
+        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+        |   FROM w)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        |   AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY jaccard DESC, id1, id2""".stripMargin,
+
+    "dd03_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h
+        |  FROM tok),
+        | bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(0, 64) t(b) GROUP BY doc_id, b),
+        | sig AS (
+        |  SELECT doc_id,
+        |   SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY hamming, id1, id2""".stripMargin,
+  )
 }
