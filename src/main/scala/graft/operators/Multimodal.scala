@@ -64,7 +64,9 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // Decode + feature-extract via mapPartitions (rows-only: stubbed codec).
+    // Decode + feature-extract via mapPartitions. The codec stand-in is
+    // deterministic byte arithmetic, so the oracle replicates it in SQL and
+    // hash-gates the full mapPartitions → schema → batch plumbing.
     "mm02_decode_features" -> ((s, dir) => {
       val src = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("bin"))
@@ -96,6 +98,25 @@ object Multimodal {
     }),
   )
 
+  /** The fake-codec arithmetic ([[fakeDecode]]) re-expressed in DuckDB SQL.
+    * Java's `h * 31 + b` rolling hash wraps mod 2⁶⁴, emulated in HUGEINT
+    * with an explicit modulus and a signed reinterpretation at the end;
+    * document text is ASCII, so `unicode(substr(...))` equals the UTF-8
+    * byte the Spark kernel folds over. An empty trailing frame (byte_len
+    * divisible by 100) reduces to the bare seed on both engines.
+    */
+  private val hugeMod = "18446744073709551616::HUGEINT" // 2^64
+  private def frameHashSql(frame: String): String =
+    s"""list_reduce(
+       |   list_prepend(1125899906842597::HUGEINT,
+       |     list_transform(range(1, length($frame) + 1),
+       |       i -> CAST(unicode(substr($frame, i, 1)) AS HUGEINT))),
+       |   (h, x) -> (h * 31 + x) % $hugeMod)""".stripMargin
+  private def signedSql(x: String): String =
+    s"""CASE WHEN $x >= 9223372036854775808::HUGEINT
+       |  THEN CAST($x - $hugeMod AS BIGINT) ELSE CAST($x AS BIGINT) END"""
+      .stripMargin
+
   val oracle: Map[String, String] = ListMap(
     "mm01_binary_meta" ->
       """SELECT doc_id,
@@ -103,5 +124,39 @@ object Multimodal {
         | CAST(FLOOR(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames,
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm02_decode_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+         |         substr(text, 1, 100) AS frame0, text
+         |  FROM documents),
+         | h AS (
+         |  SELECT doc_id, byte_len,
+         |    CAST(FLOOR(byte_len / 100) + 1 AS INT) AS n_frames,
+         |    ${frameHashSql("frame0")} AS fh,
+         |    list_transform(
+         |      list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0),
+         |      i -> unicode(substr(text, i, 1))) AS b4
+         |  FROM b)
+         |SELECT doc_id, CAST(byte_len AS INT) AS byte_len, n_frames,
+         |  ${signedSql("fh")} AS first_frame_hash,
+         |  ROUND(CAST(CAST(list_sum(b4) AS FLOAT) / len(b4) AS DOUBLE), 4) AS f0
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "mm03_frame_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n, text
+         |  FROM documents WHERE doc_id < 50),
+         | fr AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(FLOOR(n / 100) + 1 AS INT))) AS frame_idx,
+         |    text FROM b),
+         | fh AS (
+         |  SELECT doc_id, frame_idx,
+         |    ${frameHashSql("substr(text, frame_idx * 100 + 1, 100)")} AS fh
+         |  FROM fr WHERE frame_idx % 2 = 0)
+         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         |  ${signedSql("fh")} AS frame_hash
+         |FROM fh ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -80,8 +80,10 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
-    // LSH-bucketed ANN: same-signature candidates only (approximate →
-    // rows-only check; recall vs ss02 is asserted in the test suite).
+    // LSH-bucketed ANN: same-signature candidates only. The hyperplanes are
+    // deterministic, so the oracle replicates the exact bucketing (plane
+    // constants inlined as double literals) and hash-gates the result;
+    // recall vs ss02 is additionally asserted in the test suite.
     "ss03_ann_lsh" -> ((s, dir) => {
       val nPlanes = 4
       val pl = planes(nPlanes, 64)
@@ -172,6 +174,19 @@ object SimilarityOps {
       | n AS (SELECT vec_id, label, v,
       |   sqrt(list_inner_product(v, v)) AS nrm FROM d)""".stripMargin
 
+  /** The ss03 hyperplanes as exact DuckDB double literals: `Double.toString`
+    * round-trips, so `list_inner_product(v, [literals])` in DuckDB runs the
+    * same sequential double accumulation as [[graft.functions.DotProduct]]
+    * over the same operands — bit-identical signs, identical buckets.
+    */
+  private def planeSql(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  private def ss03SigSql: String =
+    planes(4, 64).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeSql(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = ListMap(
     "ss01_cosine_pairs" ->
       s"""$oWith
@@ -186,6 +201,38 @@ object SimilarityOps {
          |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
          | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
          |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "ss03_ann_lsh" ->
+      s"""$oWith,
+         | s AS (SELECT vec_id, v, nrm, $ss03SigSql AS sig FROM n),
+         | j AS (SELECT q.vec_id AS qid, c.vec_id,
+         |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM s q JOIN s c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
+         |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "ss04_ann_ivf" ->
+      s"""$oWith,
+         | cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         | asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+         |     list_inner_product(e.v, c.cv) / (e.nrm * c.cn) AS csim,
+         |     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |       ORDER BY list_inner_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+         |         c.cid) AS crk
+         |   FROM n e CROSS JOIN cents c),
+         | asg AS (SELECT vec_id, v, nrm, cid FROM asg0 WHERE crk <= 2),
+         | j AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id,
+         |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM asg q JOIN asg c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
          |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
