@@ -92,19 +92,26 @@ object Relational3 {
 
     // Column profiling: count / distinct / nulls / min / max per column —
     // the data-quality sweep a training pipeline runs before ingestion.
+    // ONE scan computes every column's aggregates side by side (the
+    // per-column-union formulation scans the table N times — the difference
+    // between 1 and N full-table passes at 100 TB); stack() pivots the
+    // single wide row into the per-column report.
     "q38_column_profile" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
-      def profile(c: String, v: org.apache.spark.sql.Column) =
-        li.agg(
-          count(lit(1)).as("n"),
-          countDistinct(v).as("n_distinct"),
-          sum(v.isNull.cast("long")).as("n_null"),
-          min(v).as("vmin"), max(v).as("vmax"))
-          .select(lit(c).as("col_name"), col("n"), col("n_distinct"),
-            col("n_null"), col("vmin"), col("vmax"))
-      profile("l_returnflag", col("l_returnflag"))
-        .union(profile("l_linestatus", col("l_linestatus")))
-        .union(profile("l_linenumber", col("l_linenumber").cast("string")))
+      val cols = Seq(
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "l_linenumber" -> col("l_linenumber").cast("string"))
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { case (name, v) => Seq(
+        countDistinct(v).as(s"nd_$name"),
+        sum(v.isNull.cast("long")).as(s"nn_$name"),
+        min(v).as(s"min_$name"), max(v).as(s"max_$name")) }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map { case (name, _) =>
+        s"'$name', n, nd_$name, nn_$name, min_$name, max_$name"
+      }.mkString(", ")
+      wide.selectExpr(s"stack(${cols.size}, $stackArgs)" +
+          " as (col_name, n, n_distinct, n_null, vmin, vmax)")
         .orderBy("col_name")
     }),
   )

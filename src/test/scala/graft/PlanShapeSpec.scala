@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards for queries whose 100 TB viability depends on the
+  * physical plan, not just the result (SURVEY §1.3).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q38 column profile reads lineitem exactly once") {
+    val df = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"expected a single table scan, got ${scans.length}")
+  }
+
+  test("q38 result is unchanged by the single-pass rewrite") {
+    val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(rows.length == 3)
+    assert(rows.head.contains("l_linenumber"))
+  }
+}
