@@ -172,41 +172,71 @@ class RfbPipeline(
 
   /** Phase 4 — charset fix + line-count validation (reference
     * `main.py:122-162`); processes ALL extracted files of the entry.
+    *
+    * Scale split (SURVEY §1.3): charset DETECTION stays on the driver — it
+    * reads only a 100 KB sample per file (metadata-scale, like the manifest
+    * itself) — but the byte-level TRANSCODE of every file runs as one Spark
+    * job with a task per file, so full file bytes never funnel through the
+    * driver JVM (the round-1 formulation transcoded file-by-file on the
+    * driver — the ingestion scale-killer at 100 TB). Executors write the
+    * corrected files to shared storage and return only (path, linesRead,
+    * linesWritten) metric tuples. JDK decoder semantics (U+FFFD replace,
+    * BOM strip, universal newlines) are preserved exactly because the same
+    * [[Charsets.transcode]] kernel runs in the task; a `spark.read` text
+    * scan would split lines on '\n' bytes only and change the line-count
+    * audit for CR-terminated files. Granularity is per file — the right
+    * unit here because the RFB dump ships many mid-sized members; a single
+    * monster file would call for a splittable binary-chunk variant.
     */
   def fix(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
     var entries = entries0
-    entries0.zipWithIndex.foreach { case (e, i) =>
-      if (e.statusExtracao == Status.Sucesso && e.statusCorrecao == Status.Pendente) {
-        val updated =
-          if (e.arquivosExtraidos.isEmpty) e.copy(statusCorrecao = Status.Ignorada)
-          else {
-            try {
-              val results = e.arquivosExtraidos.map { f =>
-                val src = Paths.get(f)
-                val cs = Charsets.detect(src)
-                val orig = Charsets.countLines(src, cs)
-                val name = src.getFileName.toString
-                val (base, ext) = name.lastIndexOf('.') match {
-                  case -1 => (name, "")
-                  case k => (name.substring(0, k), name.substring(k))
-                }
-                val dest = fixedDir.resolve(s"${base}__corrigido$ext")
-                val (_, fixedCount) = Charsets.transcode(src, cs, dest)
-                (dest.toString, orig, fixedCount)
-              }
-              val allOk = results.forall { case (_, o, c) => o == c && o != -1L }
-              e.copy(
-                statusCorrecao = if (allOk) Status.Sucesso else Status.Falhou,
-                arquivosCorrigidos = results.map(_._1),
-                linhasOriginais = results.map(_._2).sum,
-                linhasCorrigidas = results.map(_._3).sum)
-            } catch {
-              case _: Exception => e.copy(statusCorrecao = Status.Falhou)
-            }
-          }
-        entries = entries.updated(i, updated)
+    val pending = entries0.zipWithIndex.filter { case (e, _) =>
+      e.statusExtracao == Status.Sucesso && e.statusCorrecao == Status.Pendente
+    }
+    pending.foreach { case (e, i) =>
+      if (e.arquivosExtraidos.isEmpty) {
+        entries = entries.updated(i, e.copy(statusCorrecao = Status.Ignorada))
         save(entries)
       }
+    }
+    val work = pending.filter(_._1.arquivosExtraidos.nonEmpty)
+    // driver: detect from 100 KB samples; plan (src, charset, dest) per file
+    val specs = work.flatMap { case (e, i) =>
+      e.arquivosExtraidos.map { f =>
+        val src = Paths.get(f)
+        val csName =
+          try Charsets.detect(src).name
+          catch { case _: Exception => "UTF-8" }
+        val name = src.getFileName.toString
+        val (base, ext) = name.lastIndexOf('.') match {
+          case -1 => (name, "")
+          case k => (name.substring(0, k), name.substring(k))
+        }
+        (i, f, csName, fixedDir.resolve(s"${base}__corrigido$ext").toString)
+      }
+    }
+    // executors: transcode + count in one distributed pass, metrics only back
+    val metrics: Map[(Int, String), (String, Long, Long)] =
+      if (specs.isEmpty) Map.empty
+      else spark.sparkContext.parallelize(specs, specs.size).map {
+        case (i, srcF, csName, destF) =>
+          try {
+            val (read, written) = Charsets.transcode(Paths.get(srcF),
+              java.nio.charset.Charset.forName(csName), Paths.get(destF))
+            ((i, srcF), (destF, read, written))
+          } catch { // unreadable file → count mismatch → entry falhou
+            case _: Exception => ((i, srcF), (destF, -1L, -2L))
+          }
+      }.collect().toMap
+    work.foreach { case (e, i) =>
+      val results = e.arquivosExtraidos.map(f => metrics((i, f)))
+      val allOk = results.forall { case (_, o, c) => o == c && o != -1L }
+      entries = entries.updated(i, e.copy(
+        statusCorrecao = if (allOk) Status.Sucesso else Status.Falhou,
+        arquivosCorrigidos = results.map(_._1),
+        linhasOriginais = results.map(_._2).sum,
+        linhasCorrigidas = results.map(_._3).sum))
+      save(entries)
     }
     entries
   }
@@ -219,11 +249,20 @@ class RfbPipeline(
     val candidates = entries0.zipWithIndex.filter { case (e, _) =>
       e.statusCorrecao == Status.Sucesso && e.statusCarga == Status.Pendente
     }
+    // Per-file expected line counts, computed on executors (one task per
+    // file — same no-full-bytes-on-the-driver rule as the fix phase).
+    val allCorrected = candidates.flatMap(_._1.arquivosCorrigidos).distinct
+    val lineCounts: Map[String, Long] =
+      if (allCorrected.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(allCorrected, allCorrected.size)
+        .map(f => f -> Charsets.countLines(
+          Paths.get(f), java.nio.charset.StandardCharsets.UTF_8))
+        .collect().toMap
     // (entryIdx, correctedFile, table?, lineCount) — per-file routing
     val files = candidates.flatMap { case (e, i) =>
       e.arquivosCorrigidos.map { f =>
-        (i, f, RfbTables.route(f), Charsets.countLines(
-          Paths.get(f), java.nio.charset.StandardCharsets.UTF_8))
+        (i, f, RfbTables.route(f), lineCounts(f))
       }
     }
     // unroutable-only entries → ignorada (reference main.py:192-194)
