@@ -47,11 +47,12 @@ case class PipelineReport(
   *    overwrite — the reference TRUNCATEs per file, so with the real dump
   *    (10 zips → one table) it silently keeps only the last zip's rows, and
   *    a failed load leaves a truncated table behind.
-  *  - Sink is parquet partitioned by snapshot (`ref_month=YYYYMM` directory
-  *    per table) instead of a Postgres schema per month — same side-by-side
-  *    time-travel layout (`main.py:177,258`), lake-native. A JDBC sink would
-  *    be `df.write.format("jdbc").option("truncate", true)` with identical
-  *    audit semantics.
+  *  - Default sink is parquet partitioned by snapshot (`ref_month=YYYYMM`
+  *    directory per table) instead of a Postgres schema per month — same
+  *    side-by-side time-travel layout (`main.py:177,258`), lake-native. The
+  *    reference-parity relational path is [[JdbcSink]] (truncate-then-append
+  *    into schema `rfb_YYYYMM`), injectable via the `sink0` parameter with
+  *    identical audit semantics.
   *
   * Scale notes (100 TB): the manifest loop is driver-side over ~37 rows —
   * correct, it is metadata; all row-level work (CSV scan, parquet write,
@@ -66,7 +67,13 @@ class RfbPipeline(
     fetcher: Fetcher,
     maxRetries: Int = 3,
     backoffMs: Long = 5000L,
-    strictAudits: Boolean = false) {
+    strictAudits: Boolean = false,
+    sink0: TableSink = null) {
+
+  /** Destination sink; parquet lake unless a [[TableSink]] (e.g. the
+    * reference-parity [[JdbcSink]]) is injected.
+    */
+  val sink: TableSink = Option(sink0).getOrElse(new ParquetSink(outDir))
 
   /** Post-load integrity audits per table (README-claimed checks,
     * `READme.md:27-29`), recorded for the last `load` call. Only gate the
@@ -293,12 +300,20 @@ class RfbPipeline(
           // observe()): the row count must agree with the corrected-file
           // line counts AND the sink read-back (reference main.py:207-216);
           // integrity audits (null keys, column shift) ride the same pass.
-          val (audited, auditObs) = Audits.observed(df, table)
-          val dest = s"$outDir/$table/ref_month=$refMonth"
-          audited.write.mode("overwrite").parquet(dest)
-          val audit = Audits.result(table, auditObs)
+          // Sinks whose write path can't surface observe() metrics (JDBC)
+          // get audited on the read-back — still one scan.
+          val (audit, loaded) =
+            if (sink.observesWrites) {
+              val (audited, auditObs) = Audits.observed(df, table)
+              sink.overwrite(audited, table, refMonth)
+              (Audits.result(table, auditObs),
+                sink.readBack(spark, table, refMonth).count())
+            } else {
+              sink.overwrite(df, table, refMonth)
+              val a = Audits.run(sink.readBack(spark, table, refMonth), table)
+              (a, a.rows)
+            }
           lastAudits += table -> audit
-          val loaded = spark.read.parquet(dest).count()
           audit.rows == expected && loaded == expected &&
             (!strictAudits || audit.passed)
         } catch { case _: Exception => false }

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Where a routed table lands. The reference's sink is a Postgres schema per
+  * month written with truncate-then-append (`main.py:177,198-216`); the lake
+  * deployment uses snapshot-partitioned parquet instead. Both honor the same
+  * contract: [[overwrite]] is a FULL REFRESH of one table for one snapshot,
+  * and [[readBack]] re-reads what actually landed so the pipeline's
+  * count-audit gate (`main.py:207-216`) always checks the sink, never a
+  * cached plan.
+  */
+trait TableSink {
+  def overwrite(df: DataFrame, table: String, refMonth: String): Unit
+  def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame
+
+  /** Whether [[overwrite]] runs as a Dataset action that materializes
+    * `observe()` metrics attached to `df`. True for file-format writers;
+    * sinks that execute through a bare RDD job (Spark's V1 JDBC writer does
+    * `rdd.foreachPartition`) must return false so the pipeline audits the
+    * read-back instead of trusting never-populated write-side metrics.
+    */
+  def observesWrites: Boolean = true
+}
+
+/** Lake sink: one parquet directory per (table, snapshot) — the side-by-side
+  * time-travel layout of the reference's per-month DB schemas
+  * (`main.py:177`), with the atomic-overwrite upgrade documented in
+  * [[RfbPipeline]].
+  */
+class ParquetSink(outDir: String) extends TableSink {
+  private def dest(table: String, refMonth: String): String =
+    s"$outDir/$table/ref_month=$refMonth"
+
+  override def overwrite(df: DataFrame, table: String, refMonth: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(dest(table, refMonth))
+
+  override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame =
+    spark.read.parquet(dest(table, refMonth))
+}
+
+/** Relational sink, parity with the reference's actual deployment
+  * (`main.py:198-216`: `TRUNCATE TABLE` then `to_sql(..., if_exists=
+  * 'append')` into schema `rfb_YYYYMM`). Spark-side this is the `jdbc`
+  * writer in Overwrite mode with `truncate=true` — when the table already
+  * exists the dialect issues `TRUNCATE TABLE` and re-appends, preserving the
+  * table's DDL (types, grants, dependent views) exactly as the reference's
+  * explicit TRUNCATE does; a plain Overwrite would drop and recreate with
+  * Spark's default type mapping.
+  *
+  * Scale notes (100 TB): the INSERT fan-in is bounded by the database, not
+  * Spark — `numPartitions` caps concurrent connections and `batchsize`
+  * amortizes round-trips (the reference's `method='multi', chunksize=10000`,
+  * `main.py:205`). [[readBack]] is used by the pipeline only for the
+  * `COUNT(*)` audit, which the JDBC source pushes down to the database; a
+  * parallel analytical re-read would add `partitionColumn/lowerBound/
+  * upperBound` instead.
+  */
+class JdbcSink(
+    url: String,
+    props: Properties = new Properties(),
+    numPartitions: Int = 8,
+    batchSize: Int = 10000) extends TableSink {
+
+  private def qualified(table: String, refMonth: String): String =
+    s"${Period.schemaName(refMonth)}.$table"
+
+  /** Create the per-month schema if absent (the reference does this via
+    * `CREATE SCHEMA IF NOT EXISTS`, `main.py:177`; Derby has no IF NOT
+    * EXISTS, so probe the metadata first).
+    */
+  private def ensureSchema(schema: String): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getSchemas
+      var found = false
+      while (!found && rs.next())
+        found = schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM"))
+      rs.close()
+      if (!found) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE SCHEMA $schema") finally st.close()
+      }
+    } finally conn.close()
+  }
+
+  override def overwrite(df: DataFrame, table: String, refMonth: String): Unit = {
+    ensureSchema(Period.schemaName(refMonth))
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, qualified(table, refMonth), props)
+  }
+
+  override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame =
+    spark.read.jdbc(url, qualified(table, refMonth), props)
+
+  /** The V1 JDBC writer inserts via `rdd.foreachPartition` — no Dataset
+    * action, so `observe()` metrics on the written frame never materialize.
+    * The pipeline audits [[readBack]] instead (no extra cost: the V1 JDBC
+    * source doesn't push down COUNT, so the audit scan and a bare count
+    * read the same rows once).
+    */
+  override def observesWrites: Boolean = false
+}

@@ -16,6 +16,9 @@ object Period {
 
   def schemaName(year: Int, month: Int): String = s"rfb_${refMonth(year, month)}"
 
+  /** Same snapshot namespace from an already-formatted `YYYYMM`. */
+  def schemaName(refMonth: String): String = s"rfb_$refMonth"
+
   /** `"9. Setembro"` — the reference's locale-named month folder. */
   def folderName(year: Int, month: Int): String = {
     val name = Month.of(month).getDisplayName(TextStyle.FULL, ptBr)
