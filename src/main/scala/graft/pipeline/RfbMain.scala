@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable pipeline entry point (reference `main.py:240-282`): resolve the
+  * period, wait for the monthly publication, wipe the workspace when no
+  * prior manifest exists, run all phases, print the final report.
+  *
+  * Differences from the reference, all deliberate:
+  *  - year/month come from args or env (`RFB_YEAR`/`RFB_MONTH`), not an
+  *    interactive `input()` — a cluster job has no stdin.
+  *  - the pt-BR month folder comes from [[Period.folderName]] (JDK locale
+  *    data), so no `locale.setlocale` system dependency (`main.py:248-252`).
+  *  - the listing wait is [[Vigilante.awaitPublication]] — the reference's
+  *    README-claimed monitor — with a single poll by default so a scheduled
+  *    run behaves like the reference's one-shot fetch.
+  */
+object RfbMain {
+
+  /** Wipe-if-no-manifest (reference `limpar_pastas_temporarias`,
+    * `main.py:18-27`, called at `main.py:261-268`): a brand-new run for the
+    * period starts from a clean workspace; an existing manifest means a
+    * resumable run, whose partial downloads/extractions must survive.
+    * Returns whether a wipe happened.
+    */
+  def cleanWorkspace(workDir: Path, manifestPath: String): Boolean = {
+    if (Manifest.exists(manifestPath)) false
+    else {
+      Seq("downloads", "extracted", "fixed")
+        .map(workDir.resolve)
+        .filter(Files.exists(_))
+        .foreach { dir =>
+          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.delete(p))
+        }
+      true
+    }
+  }
+
+  /** Destination lake root for a period — the reference's
+    * `PASTA_RAIZ_DESTINO/{ano}/{M}. {MonthName}` layout (`main.py:257`).
+    */
+  def destDir(rootDir: Path, year: Int, month: Int): Path =
+    rootDir.resolve(f"$year%04d").resolve(Period.folderName(year, month))
+
+  /** Full orchestration, injectable for tests. Returns the final report,
+    * or None when the publication never appeared within `maxPolls`
+    * (the reference's "PROCESSO INTERROMPIDO" branch, `main.py:281-282`).
+    */
+  def run(
+      spark: SparkSession,
+      year: Int,
+      month: Int,
+      baseUrl: String,
+      rootDir: Path,
+      workDir: Path,
+      fetcher: Fetcher,
+      sink0: TableSink = null,
+      maxPolls: Int = 1,
+      pollIntervalMs: Long = 0L,
+      strictAudits: Boolean = false): Option[PipelineReport] = {
+    val listingUrl = Period.listingUrl(baseUrl, year, month)
+    val vigilante = new Vigilante(fetcher, pollIntervalMs)
+    if (vigilante.awaitPublication(listingUrl, maxPolls).isEmpty) return None
+
+    val outDir = destDir(rootDir, year, month)
+    Files.createDirectories(outDir)
+    Files.createDirectories(workDir)
+    val pipe = new RfbPipeline(spark, workDir, outDir.toString,
+      Period.refMonth(year, month), fetcher, backoffMs = 5000L,
+      strictAudits = strictAudits, sink0 = sink0)
+    cleanWorkspace(workDir, pipe.manifestPath)
+    val entries = pipe.run(listingUrl)
+    Some(pipe.report(entries))
+  }
+
+  /** Mirror of `relatorio_final` (`main.py:222-237`). */
+  def printReport(report: PipelineReport): Unit = {
+    println("\n--- RELATÓRIO FINAL DA EXECUÇÃO ---")
+    println(s"Total de arquivos processados com sucesso: ${report.sucesso}")
+    println(s"Total de arquivos com falha ou pendentes: ${report.falhasOuPendentes}")
+    if (report.failed.nonEmpty) {
+      println("\nArquivos que falharam ou não foram concluídos:")
+      report.failed.foreach { e =>
+        println(s"- ${e.arquivo}: Status [Download: ${e.statusDownload}, " +
+          s"Extração: ${e.statusExtracao}, Correção: ${e.statusCorrecao}, " +
+          s"Carga: ${e.statusCarga}]")
+      }
+    }
+  }
+
+  private def arg(args: Array[String], i: Int, env: String): Option[String] =
+    args.lift(i).orElse(sys.env.get(env))
+
+  /** `runMain graft.pipeline.RfbMain <year> <month> [rootDir] [workDir]`
+    * (or env `RFB_YEAR`/`RFB_MONTH`/`RFB_ROOT`/`RFB_WORK`/`RFB_BASE_URL`).
+    */
+  def main(args: Array[String]): Unit = {
+    val year = arg(args, 0, "RFB_YEAR").map(_.toInt)
+      .getOrElse(sys.error("usage: RfbMain <year> <month> [rootDir] [workDir]"))
+    val month = arg(args, 1, "RFB_MONTH").map(_.toInt)
+      .getOrElse(sys.error("usage: RfbMain <year> <month> [rootDir] [workDir]"))
+    require(month >= 1 && month <= 12, s"month out of range: $month")
+    val rootDir = Paths.get(arg(args, 2, "RFB_ROOT").getOrElse("rfb_lake"))
+    val workDir = Paths.get(arg(args, 3, "RFB_WORK").getOrElse("rfb_work"))
+    // public RFB open-data listing root (reference main.py:55)
+    val baseUrl = sys.env.getOrElse("RFB_BASE_URL",
+      "https://arquivos.receitafederal.gov.br/dados/cnpj/dados_abertos_cnpj/")
+
+    val spark = SparkSession.builder()
+      .appName("rfb-pipeline")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      println("--- INICIANDO PIPELINE DE ETL DA RECEITA FEDERAL ---")
+      run(spark, year, month, baseUrl, rootDir, workDir,
+        new HttpFetcher()) match {
+        case Some(report) =>
+          printReport(report)
+          println("\n--- PROCESSO CONCLUÍDO! ---")
+          if (report.falhasOuPendentes > 0) sys.exit(1)
+        case None =>
+          println("\n--- PROCESSO INTERROMPIDO! ---")
+          sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end entry point (reference `main.py:240-282`): period resolution,
+  * publication wait, wipe-if-no-manifest, all phases, report.
+  */
+class RfbMainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkZip(dir: Path, zipName: String,
+      files: Seq[(String, Array[Byte])]): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(dir.resolve(zipName).toFile))
+    try files.foreach { case (name, bytes) =>
+      z.putNextEntry(new ZipEntry(name)); z.write(bytes); z.closeEntry()
+    } finally z.close()
+  }
+
+  private def writeListing(src: Path, zips: Seq[String]): Unit =
+    Files.write(src.resolve("listing.html"),
+      ("<html><body>" +
+        zips.map(z => s"""<a href="$z">$z</a>""").mkString +
+        "</body></html>").getBytes(StandardCharsets.UTF_8))
+
+  test("end-to-end run: destination layout, report, loaded table") {
+    val src = Files.createTempDirectory("rfb-src")
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n160;Espanha\n".getBytes(StandardCharsets.UTF_8)))
+    writeListing(src, Seq("Paises.zip"))
+
+    val report = RfbMain.run(spark, 2026, 1, "http://rfb/", root, work,
+      new LocalFetcher(src)).get
+    assert(report.sucesso === 1)
+    assert(report.falhasOuPendentes === 0)
+
+    // reference destination layout: root/{year}/{M}. {MonthName-pt}
+    val dest = RfbMain.destDir(root, 2026, 1)
+    assert(dest.endsWith("2026/1. Janeiro"))
+    val loaded = spark.read.parquet(s"$dest/rfb_paises").collect()
+    assert(loaded.length === 2)
+  }
+
+  test("publication absent: report is None (PROCESSO INTERROMPIDO)") {
+    val src = Files.createTempDirectory("rfb-src") // no listing.html
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    assert(RfbMain.run(spark, 2026, 2, "http://rfb/", root, work,
+      new LocalFetcher(src), maxPolls = 3).isEmpty)
+  }
+
+  test("fresh period wipes stale workspace dirs (main.py:261-268)") {
+    val work = Files.createTempDirectory("rfb-work")
+    val stale = work.resolve("downloads").resolve("old.zip")
+    Files.createDirectories(stale.getParent)
+    Files.write(stale, Array[Byte](1, 2, 3))
+    val wiped = RfbMain.cleanWorkspace(work,
+      work.resolve("manifesto.json").toString)
+    assert(wiped)
+    assert(!Files.exists(stale))
+  }
+
+  test("resumable period (manifest exists) keeps partial downloads") {
+    val work = Files.createTempDirectory("rfb-work")
+    val partial = work.resolve("downloads").resolve("partial.zip")
+    Files.createDirectories(partial.getParent)
+    Files.write(partial, Array[Byte](1, 2, 3))
+    val manifestPath = work.resolve("manifesto.json").toString
+    Manifest.save(manifestPath, Seq(ManifestEntry(
+      arquivo = "partial.zip", url = "http://x/partial.zip",
+      caminhoZip = partial.toString)))
+    val wiped = RfbMain.cleanWorkspace(work, manifestPath)
+    assert(!wiped)
+    assert(Files.exists(partial))
+  }
+}
