@@ -1,0 +1,148 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators Spark lacks as built-ins: AS-OF join and
+  * range/interval join (builder brief: custom operators, preference (a) —
+  * composed from existing ops, no custom plan needed).
+  *
+  * Both are oracle-gated: DuckDB has a native `ASOF LEFT JOIN`, and the
+  * range join is a plain inequality join there.
+  */
+object TemporalJoins {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** AS-OF join: attach to each left row the LATEST right row with
+    * `right.ts <= left.ts` within the same key.
+    *
+    * Spark-first shape: NOT a join at all — union both sides and take a
+    * running `last(..., ignoreNulls)` over a (key, ts)-ordered window. ONE
+    * shuffle on the key, no O(|left|×|right per key|) pair blowup, stays
+    * in whole-stage codegen (WindowExec). The right side sorts BEFORE the
+    * left at equal ts (`_side` tiebreak), giving `<=` (ASOF) semantics.
+    *
+    * `rightPayload` columns must be unambiguous (absent from `left`);
+    * callers dedupe the right side to one row per (key, ts) to make the
+    * equal-ts answer well-defined.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      tsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lSel: Seq[Column] = leftCols.map(col) ++ Seq(lit(1).as("_side")) ++
+      rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val l = left.select(lSel: _*)
+    val rSel: Seq[Column] = leftCols.map(c =>
+      if (key.contains(c) || c == tsCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)) ++
+      Seq(lit(0).as("_side")) ++ rightPayload.map(col)
+    val r = right.select(rSel: _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed: Seq[Column] = leftCols.map(col) ++ Seq(col("_side"),
+      struct(col(tsCol).as("_ts"), struct(rightPayload.map(col): _*).as("_p"))
+        .as("_packed"))
+    val outSel: Seq[Column] = leftCols.map(col) ++
+      Seq(col("_match._ts").as(s"asof_$tsCol")) ++
+      rightPayload.map(c => col(s"_match._p.$c").as(c))
+    l.unionByName(r)
+      .select(packed: _*)
+      .withColumn("_match",
+        last(when(col("_side") === 0, col("_packed")), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(outSel: _*)
+  }
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, Q] = ListMap(
+    // For each purchase, the user's latest signup at-or-before it.
+    "aj01_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // one row per (user, ts): equal-ts answer well-defined on both engines
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("signup_id"))
+      asOf(purchases, signups, Seq("user_id"), "ts", Seq("signup_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          date_format(col("asof_ts"), TsFmt).as("signup_ts"),
+          col("signup_id"))
+        .orderBy(asc("event_id"))
+    }),
+
+    // Range join: purchases of the same user within ±1 h of each error.
+    // Candidates come from an equi-join on (user, hour-bucket) — the right
+    // side lands in ONE bucket, the left probes its ≤3 covering buckets, so
+    // cost tracks bucket occupancy, never |errors|×|purchases-per-user|.
+    // Bucketing is recall-complete: floor-of-seconds is monotone in ts.
+    "rj01_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+        .withColumn("bucket", floor(unix_timestamp(col("pts")) / 3600L))
+      val probed = errors
+        .withColumn("bucket", explode(sequence(
+          floor(unix_timestamp(col("ts") - expr("INTERVAL 1 HOUR")) / 3600L),
+          floor(unix_timestamp(col("ts") + expr("INTERVAL 1 HOUR")) / 3600L))))
+      val agg = probed.join(purchases, Seq("user_id", "bucket"))
+        .filter(col("pts").between(
+          col("ts") - expr("INTERVAL 1 HOUR"),
+          col("ts") + expr("INTERVAL 1 HOUR")))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(12,2)")).as("pv"))
+      errors.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("pv"), lit(0).cast("decimal(12,2)"))
+            .cast("double").as("purchase_value"))
+        .orderBy(asc("event_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "aj01_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+        |       WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |  s.signup_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "rj01_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'error'),
+        | p AS (SELECT user_id, ts AS pts, value FROM events
+        |       WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  COUNT(p.pts) AS n_purchases,
+        |  CAST(COALESCE(SUM(CAST(p.value AS DECIMAL(12,2))), 0) AS DOUBLE)
+        |    AS purchase_value
+        |FROM e LEFT JOIN p ON e.user_id = p.user_id
+        |  AND p.pts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
+        |GROUP BY e.event_id, e.user_id, e.ts
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

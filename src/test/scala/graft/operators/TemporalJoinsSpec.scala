@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOf picks latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")), // before any right row for key 20
+      (4L, 30L, ts("2024-01-01 09:00:00"))  // key with no right rows at all
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 10:00:00"), 101L), // equal ts → counts (<=)
+      (10L, ts("2024-01-01 11:00:00"), 102L),
+      (20L, ts("2024-01-01 09:30:00"), 200L)
+    ).toDF("k", "ts", "payload")
+
+    val out = TemporalJoins.asOf(left, right, Seq("k"), "ts", Seq("payload"))
+      .orderBy("id")
+      .select("id", "payload")
+      .as[(Long, Option[Long])].collect().toSeq
+
+    assert(out === Seq(
+      (1L, Some(101L)), // equal-ts right row wins over the 09:30 one
+      (2L, Some(102L)),
+      (3L, None),
+      (4L, None)))
+  }
+
+  test("asOf plan is one shuffle + window — no join operator") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq((10L, ts("2024-01-01 09:30:00"), 5L)).toDF("k", "ts", "p")
+    val plan = TemporalJoins.asOf(left, right, Seq("k"), "ts", Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("range join counts only in-window purchases; zero-match rows kept") {
+    val q = TemporalJoins.queries("rj01_range_join")
+    val out = q(spark, graft.TestSpark.sf0001)
+    // every error event appears exactly once (left-join semantics)
+    val errs = graft.Tables(spark, graft.TestSpark.sf0001, "events")
+      .filter($"event_type" === "error").count()
+    assert(out.count() === errs)
+  }
+}
