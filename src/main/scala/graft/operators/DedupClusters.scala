@@ -1,0 +1,104 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Duplicate-cluster assignment: near-dup PAIRS (from the LSH path) →
+  * connected components → one canonical representative per component (the
+  * minimum doc_id). This is the step an LLM training pipeline actually
+  * needs — "keep one copy per duplicate group", not just a pair listing.
+  *
+  * Algorithm: min-label propagation. `label(x)` starts as `x`; each round
+  * every node takes the min label among itself and its neighbors; converges
+  * in O(component diameter) rounds. Near-dup components are band-connected
+  * near-cliques (diameter rarely above 2-3), so a handful of rounds closes
+  * them. Each round is two shuffles (edge join + min-agg) over frames whose
+  * size never exceeds |nodes| + |edges| — no transitive-closure pair blowup
+  * (the oracle's recursive CTE enumerates reachability, which is only
+  * tractable because the corpus is small; the Spark path scales).
+  * `localCheckpoint` truncates lineage each round so plans stay O(1); a
+  * 1000-executor deployment would use reliable `checkpoint` to shared
+  * storage instead.
+  */
+object DedupClusters {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Min-label connected components over undirected `edges` (a, b) for all
+    * `nodes` (id). Returns (id, cluster_id = component min id).
+    */
+  def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      val prop = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("lab"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lab") < col("o.lab")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id"), col("lab").as("cluster_id"))
+  }
+
+  val queries: Map[String, Q] = ListMap(
+    // Every document with its duplicate-cluster id (min doc_id of the
+    // component over J >= 0.5 LSH pairs) and the cluster's size. Singletons
+    // keep their own id — downstream "keep one per cluster" is then a
+    // filter on doc_id = cluster_id.
+    "dd06_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val pairs = MinHashDedup.lshPairs(s, dir)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      connectedComponents(docs, pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(asc("doc_id"))
+    }),
+  )
+
+  /** Oracle: exact all-pairs Jaccard pairs (the proven dd02 equivalent) +
+    * recursive-CTE reachability, MIN(reachable) per node. Tractable only at
+    * oracle scale; the Spark path propagates labels instead.
+    */
+  val oracle: Map[String, String] = ListMap(
+    "dd06_dedup_clusters" ->
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |       FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(words) - 2, 1) + 1),
+        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+        |   FROM w),
+        | pairs AS (
+        |   SELECT a.doc_id AS id1, b.doc_id AS id2
+        |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |     >= 0.5),
+        | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |           UNION ALL SELECT id2, id1 FROM pairs),
+        | walk(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.a, walk.r FROM edges e JOIN walk ON walk.id = e.b)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id,
+        |  COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size
+        |FROM walk GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

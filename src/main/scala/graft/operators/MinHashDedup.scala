@@ -55,35 +55,43 @@ object MinHashDedup {
           | i -> concat_ws(' ', slice(words, i, 3)))""".stripMargin))
         .as("shingles"))
 
+  /** Near-dup pairs (id1 < id2, exact shingle-Jaccard ≥ `threshold`) with
+    * LSH-banded candidate generation — the shared kernel behind dd02
+    * (pair listing) and dd06 (cluster assignment).
+    */
+  private[operators] def lshPairs(
+      s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(s, dir)
+    val mh = sh.select(col("doc_id"),
+      graft.functions.MinHashArray(col("shingles"), K).as("mhs"))
+    // (doc_id, band, band-hash): only ids travel through the band shuffle;
+    // shingle arrays are joined back per *candidate pair*, not per band.
+    val bands = mh.select(col("doc_id"), explode(array(
+      (0 until BANDS).map(j => struct(lit(j).as("band"),
+        xxhash64(element_at(col("mhs"), 2 * j + 1),
+          element_at(col("mhs"), 2 * j + 2)).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cands = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("id2"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sh.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val jac = inter.cast("double") /
+      (size(col("sh1")) + size(col("sh2")) - inter)
+    cands.join(s1, "id1").join(s2, "id2")
+      .filter(jac >= threshold)
+      .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+  }
+
   val queries: Map[String, Q] = ListMap(
     // MinHash + LSH banding prunes candidates; output = exact shingle
     // Jaccard of surviving pairs above threshold (oracle: all-pairs exact).
-    "dd02_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val mh = sh.select(col("doc_id"),
-        graft.functions.MinHashArray(col("shingles"), K).as("mhs"))
-      // (doc_id, band, band-hash): only ids travel through the band shuffle;
-      // shingle arrays are joined back per *candidate pair*, not per band.
-      val bands = mh.select(col("doc_id"), explode(array(
-        (0 until BANDS).map(j => struct(lit(j).as("band"),
-          xxhash64(element_at(col("mhs"), 2 * j + 1),
-            element_at(col("mhs"), 2 * j + 2)).as("bh"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bh"))
-      val cands = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
-        .join(bands.select(col("doc_id").as("id2"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      val s1 = sh.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
-      val s2 = sh.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
-      val inter = size(array_intersect(col("sh1"), col("sh2")))
-      val jac = inter.cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - inter)
-      cands.join(s1, "id1").join(s2, "id2")
-        .filter(jac >= 0.5)
-        .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
-        .orderBy(desc("jaccard"), asc("id1"), asc("id2"))
-    }),
+    "dd02_minhash_lsh" -> ((s, dir) =>
+      lshPairs(s, dir)
+        .orderBy(desc("jaccard"), asc("id1"), asc("id2"))),
 
     // SimHash: one-pass row-local signature, candidates by 16-bit chunk
     // equality, output = exact pairs at hamming ≤ 3 (recall 100% by
