@@ -43,6 +43,39 @@ object EventsStream {
         .orderBy("hour_bucket", "event_type")
     }),
     "st02_stream_sliding" -> ((s, dir) => slidingQuery(s, dir)),
+
+    // Streaming dedup: state-store keyed dedup over an unbounded stream.
+    // Output = the deterministic key set (arrival order decides WHICH
+    // physical row survives, so only the keys are emitted — equal to the
+    // batch DISTINCT the oracle runs).
+    "st03_stream_dedup" -> ((s, dir) => {
+      runAppendStream(s, dir, "st03_mem") { df =>
+        df.dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+      }.orderBy("user_id", "event_type")
+    }),
+
+    // Stream-stream inner join: purchases joined to the same user's signups
+    // within the preceding hour. Both sides watermarked; the time-range
+    // predicate lets Spark expire join state, so state is bounded by the
+    // interval + watermark, not the stream length.
+    "st04_stream_stream_join" -> ((s, dir) => {
+      runAppendStream(s, dir, "st04_mem") { df =>
+        val p = df.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"), col("ts").as("pts"))
+          .withWatermark("pts", "10 minutes")
+        val sg = df
+          .filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            col("user_id").as("s_user"), col("ts").as("sts"))
+          .withWatermark("sts", "10 minutes")
+        p.join(sg, expr(
+          """user_id = s_user AND
+            |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin))
+          .select(col("purchase_id"), col("signup_id"), col("user_id"))
+      }.orderBy("purchase_id", "signup_id")
+    }),
   )
 
   /** Shared driver for complete-mode streaming aggs over the events file. */
@@ -58,6 +91,29 @@ object EventsStream {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try agg(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
+  /** Append-mode variant of [[runCompleteStream]] for stateful operators
+    * that only support append output (dedup, stream-stream join). The whole
+    * file arrives in one batch and `processAllAvailable` drives every
+    * trigger, so append output is complete for the test corpus.
+    */
+  private def runAppendStream(s: SparkSession, dir: String, sinkPrefix: String)(
+      xform: DataFrame => DataFrame): DataFrame = {
+    val rawSchema = Tables.rawEvents(s, dir).schema
+    val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try xform(stream).writeStream.outputMode("append")
         .format("memory").queryName(sink).start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
@@ -98,5 +154,19 @@ object EventsStream {
         |   - k * (INTERVAL '15 minutes') AS ws, value
         | FROM events CROSS JOIN range(0, 4) t(k))
         |GROUP BY ws ORDER BY window_start""".stripMargin,
+
+    // Streaming keyed dedup == batch DISTINCT over the keys.
+    "st03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // Stream-stream interval join == the batch inequality join.
+    "st04_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+        |FROM events p JOIN events s
+        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND p.user_id = s.user_id
+        |  AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY purchase_id, signup_id""".stripMargin,
   )
 }
