@@ -31,16 +31,29 @@ import graft.Tables
   *    recall is exactly 100%, so the output equals the exact all-pairs
   *    answer by construction (the recall contract the bound guarantees).
   *
-  * Neither query caches: the signature stages are narrow one-pass codegen
-  * over the scan, so the self-join branches just recompute them — cheaper
-  * than leaking a session-lifetime `persist()`. At lake scale the signature
-  * table would be written to storage once and joined from there.
+  * Neither query `persist()`s (a session-lifetime cache leak); instead the
+  * signature/shingle table is MATERIALIZED TO STORAGE once and every
+  * self-join branch reads it back — exactly what a lake deployment does
+  * with its signature table. Without this the plan recomputes shingling
+  * once per branch (4× for dd02: two band sides + two shingle join-backs).
   */
 object MinHashDedup {
   type Q = (SparkSession, String) => DataFrame
 
   private val K = 32       // minhash functions
   private val BANDS = 16   // bands of 2 rows each
+
+  /** Write `df` to a run-scoped parquet table and read it back: the
+    * multi-branch consumers downstream share one computation without any
+    * session-lifetime cache. Temp files are reclaimed at JVM exit.
+    */
+  private[operators] def materialized(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("t").toString
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 
   /** doc_id + distinct 3-word shingles (whole text if shorter than 3 words).
     * `words` is materialized first so the per-shingle lambda slices a column
@@ -61,16 +74,19 @@ object MinHashDedup {
     */
   private[operators] def lshPairs(
       s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(s, dir)
+    val sh = materialized(shingled(s, dir), "dd02_shingles")
     val mh = sh.select(col("doc_id"),
       graft.functions.MinHashArray(col("shingles"), K).as("mhs"))
     // (doc_id, band, band-hash): only ids travel through the band shuffle;
     // shingle arrays are joined back per *candidate pair*, not per band.
-    val bands = mh.select(col("doc_id"), explode(array(
-      (0 until BANDS).map(j => struct(lit(j).as("band"),
-        xxhash64(element_at(col("mhs"), 2 * j + 1),
-          element_at(col("mhs"), 2 * j + 2)).as("bh"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    // Materialized so the self-join's two sides don't re-minhash the corpus.
+    val bands = materialized(
+      mh.select(col("doc_id"), explode(array(
+        (0 until BANDS).map(j => struct(lit(j).as("band"),
+          xxhash64(element_at(col("mhs"), 2 * j + 1),
+            element_at(col("mhs"), 2 * j + 2)).as("bh"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh")),
+      "dd02_bands")
     val cands = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("id2"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -97,9 +113,13 @@ object MinHashDedup {
     // equality, output = exact pairs at hamming ≤ 3 (recall 100% by
     // pigeonhole — oracle: all-pairs exact Hamming).
     "dd03_simhash" -> ((s, dir) => {
-      val sigs = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.SimHashArray(split(col("text"), " ")).as("sig"))
+      // materialized: both sides of the chunk self-join share one signature
+      // computation (the lake's persisted signature table)
+      val sigs = materialized(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.SimHashArray(split(col("text"), " ")).as("sig")),
+        "dd03_sigs")
       val chunks = sigs.select(col("doc_id"), col("sig"), explode(array(
         (0 until 4).map(i => struct(lit(i).as("chunk"),
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL).as("cv"))): _*))
