@@ -116,5 +116,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
   }
 }

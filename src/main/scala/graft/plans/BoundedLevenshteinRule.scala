@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: bound edit-distance computations by the comparison they
+  * feed (builder brief: custom Catalyst `Rule` where built-ins fall short).
+  *
+  * `levenshtein(a, b) <= k` computes the FULL O(|a|·|b|) dynamic program and
+  * then throws most of it away. Spark's three-argument
+  * `levenshtein(a, b, k)` runs the banded O(k·min(|a|,|b|)) algorithm and
+  * returns -1 when the distance exceeds k — so the predicate is equivalent
+  * to `levenshtein(a, b, k) >= 0`. For fuzzy-match filters with small k
+  * (the common case: k ≤ 3 typo tolerance over long strings) this turns a
+  * quadratic per-row kernel into a linear one. The rewrite is expression-
+  * level (valid in any context), fires only on an unbounded Levenshtein
+  * against a non-negative integer literal, and is idempotent because the
+  * rewritten form carries a threshold.
+  */
+object BoundedLevenshteinRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(Levenshtein(a, b, None), k @ IntegerLiteral(kv))
+          if kv >= 0 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
+      case GreaterThanOrEqual(k @ IntegerLiteral(kv), Levenshtein(a, b, None))
+          if kv >= 0 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
+      case LessThan(Levenshtein(a, b, None), IntegerLiteral(kv)) if kv >= 1 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+      case GreaterThan(IntegerLiteral(kv), Levenshtein(a, b, None)) if kv >= 1 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+    }
+}

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Levenshtein}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BoundedLevenshteinRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    ("kitten", "sitting"),  // distance 3
+    ("flaw", "lawn"),       // distance 2
+    ("abc", "abc"),         // distance 0
+    ("short", "a much longer string entirely")).toDF("a", "b")
+
+  private def thresholds(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    var bounded = 0
+    var unbounded = 0
+    plan.transformAllExpressions {
+      case l @ Levenshtein(_, _, Some(_)) => bounded += 1; l
+      case l @ Levenshtein(_, _, None) => unbounded += 1; l
+    }
+    (bounded, unbounded)
+  }
+
+  test("rewrites lev <= k to banded lev(k) >= 0; result unchanged") {
+    val q = df.filter(levenshtein($"a", $"b") <= 2)
+    val rewritten = BoundedLevenshteinRule(q.queryExecution.analyzed)
+    assert(thresholds(rewritten) === ((1, 0)))
+    rewritten.expressions.foreach(_.foreach {
+      case GreaterThanOrEqual(Levenshtein(_, _, Some(_)), _) => ()
+      case _ => ()
+    })
+    // semantics preserved: bounded >= 0 keeps exactly the distance<=2 rows
+    val viaBounded = df.filter(levenshtein($"a", $"b", 2) >= 0)
+      .collect().map(_.getString(0)).toSet
+    val original = q.collect().map(_.getString(0)).toSet
+    assert(viaBounded === original)
+    assert(original === Set("flaw", "abc"))
+  }
+
+  test("strict < and flipped comparisons rewrite too; > k does not") {
+    val lt = df.filter(levenshtein($"a", $"b") < 3)
+    assert(thresholds(BoundedLevenshteinRule(lt.queryExecution.analyzed))
+      === ((1, 0)))
+    val flipped = df.filter(lit(2) >= levenshtein($"a", $"b"))
+    assert(thresholds(BoundedLevenshteinRule(flipped.queryExecution.analyzed))
+      === ((1, 0)))
+    // lower bounds can't use the banded kernel — left untouched
+    val gt = df.filter(levenshtein($"a", $"b") > 2)
+    assert(thresholds(BoundedLevenshteinRule(gt.queryExecution.analyzed))
+      === ((0, 1)))
+  }
+
+  test("idempotent: a second application is a no-op") {
+    val q = df.filter(levenshtein($"a", $"b") <= 2)
+    val once = BoundedLevenshteinRule(q.queryExecution.analyzed)
+    val twice = BoundedLevenshteinRule(once)
+    assert(once === twice)
+  }
+}
