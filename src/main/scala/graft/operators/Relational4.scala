@@ -71,6 +71,25 @@ object Relational4 {
           ntile(4).over(w).as("quartile"))
         .orderBy("o_orderpriority", "o_orderkey")
     }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): two one-dimension margins
+    // plus the full cross — the Dataset.groupingSets API, grouping()
+    // indicators disambiguating margin rows from real NULL keys.
+    "q43_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .orderBy(asc("g_status"), asc("g_priority"),
+          asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -115,5 +134,15 @@ object Relational4 {
         | WINDOW w AS (PARTITION BY o_orderpriority
         |   ORDER BY o_totalprice DESC, o_orderkey))
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q43_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders GROUP BY GROUPING SETS (
+        | (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_priority,
+        | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
   )
 }
