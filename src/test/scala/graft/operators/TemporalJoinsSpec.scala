@@ -47,6 +47,38 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("asOf property: equals brute-force latest-at-or-before on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = for {
+      k <- Gen.choose(0L, 5L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    val prop = Prop.forAll(
+      Gen.listOfN(30, rowGen), Gen.listOfN(30, rowGen)) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t * 1000)) }
+      val right = rs.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+      val leftDf = left.toDF("id", "k", "ts")
+      // one payload per (k, ts) so the expected answer is unique
+      val rightDf = right.toDF("k", "ts", "p")
+        .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("p").as("p"))
+      val got = TemporalJoins.asOf(leftDf, rightDf, Seq("k"), "ts", Seq("p"))
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      val dedupedRight = right.groupBy(r => (r._1, r._2))
+        .map { case (kt, vs) => (kt._1, kt._2, vs.map(_._3).max) }
+      val expected = left.map { case (id, k, t) =>
+        val cands = dedupedRight.filter(r => r._1 == k && !r._2.after(t))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(_._2.getTime)._3))
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("range join counts only in-window purchases; zero-match rows kept") {
     val q = TemporalJoins.queries("rj01_range_join")
     val out = q(spark, graft.TestSpark.sf0001)
