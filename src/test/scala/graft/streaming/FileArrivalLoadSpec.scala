@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FileArrivalLoadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def drop(dir: Path, name: String, content: String): Unit =
+    Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+
+  test("arriving corrected files route and append incrementally; " +
+    "unroutable files are ignored") {
+    val watch = Files.createTempDirectory("fa-watch")
+    val out = Files.createTempDirectory("fa-out").toString
+    val ckpt = Files.createTempDirectory("fa-ckpt").toString
+
+    drop(watch, "K1.D509__corrigido.CNAECSV",
+      "0111301;Cultivo de café\n0111302;Ação agrícola\n")
+    val q = FileArrivalLoad.start(spark, watch.toString, out, ckpt, nCols = 2)
+    try {
+      q.processAllAvailable()
+      val cnaes = spark.read.parquet(out)
+      assert(cnaes.filter(cnaes("table") === "rfb_cnaes").count() === 2)
+
+      // second arrival: a different table + an unroutable file
+      drop(watch, "K1.D509__corrigido.PAIS", "105;Brasil\n")
+      drop(watch, "K1.D509__corrigido.LEIAME", "readme;x\n")
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+      assert(all.filter(all("table") === "rfb_paises").count() === 1)
+      assert(all.filter(all("table") === "rfb_cnaes").count() === 2)
+      assert(all.count() === 3) // LEIAME dropped (ignorada)
+    } finally q.stop()
+
+    // restart against the same checkpoint: nothing reprocessed (the
+    // checkpointed file index is the manifest)
+    val q2 = FileArrivalLoad.start(spark, watch.toString, out, ckpt, nCols = 2)
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3)
+    } finally q2.stop()
+  }
+
+  test("in-query routing matches the batch router on the suffix grammar") {
+    import spark.implicits._
+    val names = Seq(
+      "/x/K1.D509__corrigido.CNAECSV", "/x/K2.EMPRECSV",
+      "/x/K3.D509__corrigido.ESTABELE", "/x/SIMPLES", "/x/weird.UNKNOWN")
+    val got = names.toDF("f")
+      .select(FileArrivalLoad.tableFor($"f").as("t"))
+      .as[Option[String]].collect().toSeq
+    val expected = names.map(n =>
+      graft.pipeline.RfbTables.route(n.split('/').last))
+    assert(got === expected)
+  }
+}
