@@ -103,6 +103,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus cleaning END TO END: the tx02 quality gate, the tx03 language
+    // gate, and dd01's exact dedup COMPOSED into one declarative plan — the
+    // shape of a real training-data filter chain. One scan feeds all three
+    // row-local stages; the only shuffle is the final dedup groupBy.
+    "tx07_clean_corpus" -> ((s, dir) => {
+      val rawWords = split(col("text"), " ")
+      val lowWords = split(lower(col("text")), " ")
+      val nWords = size(rawWords)
+      val nStop = hitCount(rawWords, enWords)
+      val score = round(
+        least(lit(1.0), nWords.cast("double") / 200) * 0.5
+          + (nStop.cast("double") / nWords) * 0.5, 6)
+      val en = hitCount(lowWords, enWords)
+      val es = hitCount(lowWords, esWords)
+      val de = hitCount(lowWords, deWords)
+      val predLang = when(en >= es && en >= de, "en")
+        .when(es >= de, "es").otherwise("de")
+      docs(s, dir)
+        .withColumn("quality_score", score)
+        .withColumn("pred_lang", predLang)
+        .filter(col("pred_lang") === "en" && col("quality_score") >= 0.12)
+        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          max("quality_score").as("quality_score"))
+        .select(col("keep_id"), col("n_copies"), col("quality_score"), col("fp"))
+        .orderBy("keep_id")
+    }),
+
     // Document fingerprint: canonicalize whitespace+case, then hash.
     "tx04_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -187,6 +216,29 @@ object TextOps {
     "tx04_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx07_clean_corpus" -> {
+      val stop = sqlList(enWords)
+      def h(l: Seq[String]) =
+        s"len(list_filter(string_split(lower(text), ' '), w -> list_contains(${sqlList(l)}, w)))"
+      s"""WITH scored AS (
+         | SELECT doc_id, text,
+         |  ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200) * 0.5
+         |   + (CAST(len(list_filter(string_split(text, ' '),
+         |        w -> list_contains($stop, w))) AS DOUBLE)
+         |      / len(string_split(text, ' '))) * 0.5, 6) AS quality_score,
+         |  CASE WHEN ${h(enWords)} >= ${h(esWords)} AND ${h(enWords)} >= ${h(deWords)}
+         |    THEN 'en' WHEN ${h(esWords)} >= ${h(deWords)} THEN 'es' ELSE 'de' END
+         |    AS pred_lang
+         | FROM documents)
+         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+         | MAX(quality_score) AS quality_score,
+         | md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |FROM scored
+         |WHERE pred_lang = 'en' AND quality_score >= 0.12
+         |GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |ORDER BY keep_id""".stripMargin
+    },
 
     "tx05_vocabulary" ->
       """SELECT w, COUNT(*) AS n FROM (
