@@ -52,6 +52,26 @@ object Multimodal {
     Row(docId, n, nFrames, frameHashes, feature)
   }
 
+  /** STUB resize: block-mean downsample of the byte stream by `factor` —
+    * the shape of an image/audio resample (same mapPartitions contract as
+    * [[fakeDecode]]; swap for a real resampler at deployment).
+    */
+  def fakeResize(docId: Long, bytes: Array[Byte], factor: Int): Row = {
+    val n = bytes.length
+    val out = Array.tabulate((n + factor - 1) / factor) { b =>
+      val sl = bytes.slice(b * factor, math.min((b + 1) * factor, n))
+      sl.map(_.toInt).sum.toFloat / sl.length
+    }
+    Row(docId, n, out.length, out)
+  }
+
+  /** Schema produced by the resize step. */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("resized_len", IntegerType),
+    StructField("resized", ArrayType(FloatType))))
+
   val queries: Map[String, Q] = ListMap(
     // Binary metadata via pure expressions (oracle-checked).
     "mm01_binary_meta" -> ((s, dir) => {
@@ -95,6 +115,25 @@ object Multimodal {
           posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
         .filter(col("frame_idx") % 2 === 0) // sample every 2nd frame
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Resize/resample: block-mean downsample ×4 in the same narrow
+    // mapPartitions contract as the decode step (no shuffle, blobs stay in
+    // executors). Output pins the boundary cells — first block, last
+    // (possibly short) block — so the oracle checks edge handling.
+    "mm04_resize" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(resizeSchema)
+      src.mapPartitions { it =>
+        it.map(r => fakeResize(r.getLong(0), r.getAs[Array[Byte]](1), 4))
+      }(enc)
+        .select(col("doc_id"), col("byte_len"), col("resized_len"),
+          round(element_at(col("resized"), 1).cast("double"), 4).as("r_first"),
+          round(element_at(col("resized"), -1).cast("double"), 4).as("r_last"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -158,5 +197,25 @@ object Multimodal {
          |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
          |  ${signedSql("fh")} AS frame_hash
          |FROM fh ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm04_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, text
+        |  FROM documents WHERE doc_id < 200),
+        | r AS (
+        |  SELECT doc_id, n,
+        |    CAST(FLOOR((n + 3) / 4) AS INT) AS rl,
+        |    list_transform(range(1, least(4, n) + 1),
+        |      i -> unicode(substr(text, i, 1))) AS fb,
+        |    list_transform(
+        |      range((CAST(FLOOR((n + 3) / 4) AS INT) - 1) * 4 + 1, n + 1),
+        |      i -> unicode(substr(text, i, 1))) AS lb
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS INT) AS byte_len, rl AS resized_len,
+        | ROUND(CAST(CAST(list_sum(fb) AS FLOAT) / len(fb) AS DOUBLE), 4)
+        |   AS r_first,
+        | ROUND(CAST(CAST(list_sum(lb) AS FLOAT) / len(lb) AS DOUBLE), 4)
+        |   AS r_last
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }
