@@ -72,6 +72,25 @@ object Relational4 {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Correlated EXISTS / NOT EXISTS subqueries through the SQL entry
+    // point — Catalyst plans them as left-semi / left-anti joins (the plan
+    // the DataFrame q04/q07 variants declare directly).
+    "q37_exists_subquery" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q37_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("q37_orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM q37_customer c
+          |WHERE EXISTS (SELECT 1 FROM q37_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000)
+          |  AND NOT EXISTS (SELECT 1 FROM q37_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F'
+          |                    AND o.o_totalprice < 50000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Explicit GROUPING SETS (beyond rollup/cube): two one-dimension margins
     // plus the full cross — the Dataset.groupingSets API, grouping()
     // indicators disambiguating margin rows from real NULL keys.
@@ -134,6 +153,18 @@ object Relational4 {
         | WINDOW w AS (PARTITION BY o_orderpriority
         |   ORDER BY o_totalprice DESC, o_orderkey))
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q37_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q43_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
