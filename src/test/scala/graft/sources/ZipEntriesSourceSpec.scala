@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ZipEntriesSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkZip(dir: Path, zipName: String,
+      files: Seq[(String, Array[Byte])]): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(dir.resolve(zipName).toFile))
+    try files.foreach { case (name, bytes) =>
+      z.putNextEntry(new ZipEntry(name)); z.write(bytes); z.closeEntry()
+    } finally z.close()
+  }
+
+  test("reads every member of every archive; one partition per archive") {
+    val dir = Files.createTempDirectory("zipsrc")
+    mkZip(dir, "a.zip", Seq(
+      "K1.CNAECSV" -> "0111301;x\n".getBytes("UTF-8"),
+      "K2.MUNIC" -> ("y" * 500).getBytes("UTF-8")))
+    mkZip(dir, "b.zip", Seq("K3.PAIS" -> "105;Brasil\n".getBytes("UTF-8")))
+    Files.write(dir.resolve("not-a-zip.txt"), "ignored".getBytes("UTF-8"))
+
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("a.zip", "K1.CNAECSV", 10L),
+      ("a.zip", "K2.MUNIC", 500L),
+      ("b.zip", "K3.PAIS", 11L)))
+    assert(df.rdd.getNumPartitions === 2) // one per archive
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = Files.createTempDirectory("zipsrc2")
+    mkZip(dir, "a.zip", Seq("K1.CNAECSV" -> "x\n".getBytes("UTF-8")))
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString).select("entry_name")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("K1.CNAECSV"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("entry_name") && !scan.contains("compressed_size"))
+  }
+
+  test("joins with the routing map like any other table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zipsrc3")
+    mkZip(dir, "a.zip", Seq(
+      "K1.D509.CNAECSV" -> "c\n".getBytes("UTF-8"),
+      "K1.D509.LEIAME" -> "r\n".getBytes("UTF-8")))
+    val entries = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    val routed = entries
+      .withColumn("table",
+        graft.streaming.FileArrivalLoad.tableFor($"entry_name"))
+    assert(routed.filter($"table".isNotNull).count() === 1)
+  }
+}
