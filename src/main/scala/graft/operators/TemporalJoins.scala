@@ -41,11 +41,13 @@ object TemporalJoins {
     val lSel: Seq[Column] = leftCols.map(col) ++ Seq(lit(1).as("_side")) ++
       rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c))
     val l = left.select(lSel: _*)
+    // a null right ts satisfies no `<=` comparison (ASOF semantics), but
+    // would sort FIRST under asc ordering and pollute every match — drop it
     val rSel: Seq[Column] = leftCols.map(c =>
       if (key.contains(c) || c == tsCol) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)) ++
       Seq(lit(0).as("_side")) ++ rightPayload.map(col)
-    val r = right.select(rSel: _*)
+    val r = right.filter(col(tsCol).isNotNull).select(rSel: _*)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -22,6 +22,39 @@ class DedupClustersSpec extends AnyFunSuite {
       99L -> 99L))
   }
 
+  test("property: components equal driver-side union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(
+      Gen.choose(1, 20),
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))) {
+      (nNodes, rawEdges) =>
+        val ids = (0L until nNodes.toLong).toList
+        val es = rawEdges.filter { case (a, b) =>
+          a != b && a < nNodes && b < nNodes }
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = ids.map(i => i -> {
+          // min id of the component
+          ids.filter(j => find(j) == find(i)).min
+        }).toMap
+        val got = DedupClusters.connectedComponents(
+          ids.toDF("id"),
+          if (es.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+          else es.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dd06 invariants: every doc labeled, labels are component minima") {
     val out = DedupClusters.queries("dd06_dedup_clusters")(
       spark, TestSpark.sf0001)

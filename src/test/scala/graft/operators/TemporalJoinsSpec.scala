@@ -38,6 +38,17 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (4L, None)))
   }
 
+  test("asOf ignores null-ts right rows (they satisfy no <= comparison)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, Option.empty[Timestamp], 666L), // must never match
+      (10L, Some(ts("2024-01-01 09:00:00")), 1L)
+    ).toDF("k", "ts", "p")
+    val out = TemporalJoins.asOf(left, right, Seq("k"), "ts", Seq("p"))
+      .select("id", "p").as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq((1L, Some(1L))))
+  }
+
   test("asOf plan is one shuffle + window — no join operator") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((10L, ts("2024-01-01 09:30:00"), 5L)).toDF("k", "ts", "p")
