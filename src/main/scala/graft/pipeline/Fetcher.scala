@@ -56,10 +56,13 @@ final class LocalFetcher(root: Path, failFirst: Map[String, Int] = Map.empty)
     extends Fetcher {
   private val remaining = scala.collection.mutable.Map(failFirst.toSeq: _*)
 
-  private def maybeFail(name: String): Unit = remaining.get(name).foreach { n =>
-    if (n > 0) {
-      remaining(name) = n - 1
-      throw new java.io.IOException(s"injected failure for $name ($n left)")
+  // synchronized: the pipeline downloads files concurrently
+  private def maybeFail(name: String): Unit = synchronized {
+    remaining.get(name).foreach { n =>
+      if (n > 0) {
+        remaining(name) = n - 1
+        throw new java.io.IOException(s"injected failure for $name ($n left)")
+      }
     }
   }
 

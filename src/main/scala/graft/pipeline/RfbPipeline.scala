@@ -68,7 +68,8 @@ class RfbPipeline(
     maxRetries: Int = 3,
     backoffMs: Long = 5000L,
     strictAudits: Boolean = false,
-    sink0: TableSink = null) {
+    sink0: TableSink = null,
+    ioParallelism: Int = 4) {
 
   /** Destination sink; parquet lake unless a [[TableSink]] (e.g. the
     * reference-parity [[JdbcSink]]) is injected.
@@ -90,6 +91,40 @@ class RfbPipeline(
 
   private def save(entries: Seq[ManifestEntry]): Unit =
     Manifest.save(manifestPath, entries)
+
+  /** Run `fn` over the pending indices on a bounded pool, folding each
+    * result into the manifest (and persisting it) AS EACH FILE COMPLETES —
+    * the reference's crash-resume granularity (`main.py:103,120`), kept
+    * under concurrency by serializing the update+save step. Download and
+    * extract are per-file-independent driver IO (network / local disk), so
+    * a bounded pool is the right parallelism — Spark tasks would gain
+    * nothing (the bytes must land on the driver's shared dirs anyway) and
+    * would lose the per-file manifest transitions.
+    */
+  private def perFileParallel(
+      entries0: Seq[ManifestEntry],
+      pending: Seq[Int])(
+      fn: ManifestEntry => ManifestEntry): Seq[ManifestEntry] = {
+    @volatile var entries = entries0
+    if (pending.isEmpty) return entries
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(ioParallelism, pending.size)))
+    try {
+      val lock = new Object
+      pending.map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val updated = fn(entries0(i))
+            lock.synchronized {
+              entries = entries.updated(i, updated)
+              save(entries)
+            }
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    entries
+  }
 
   /** Phase 1 — discovery (reference `fase_planejamento`, `main.py:49-77`):
     * reuse an existing manifest (resume), else parse the listing for `.zip`
@@ -113,68 +148,63 @@ class RfbPipeline(
     */
   def parseListing(html: String): Seq[String] = RfbPipeline.parseListing(html)
 
-  /** Phase 2 — download with retry (reference `main.py:79-103`). */
+  /** Phase 2 — download with retry (reference `main.py:79-103`), `ioParallelism`
+    * files in flight at once (the reference fetches one-by-one; the retry
+    * and backoff semantics per file are unchanged).
+    */
   def download(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
-    var entries = entries0
-    entries0.zipWithIndex.foreach { case (e, i) =>
-      if (e.statusDownload == Status.Pendente) {
-        var ok = false
-        var attempt = 0
-        while (!ok && attempt < maxRetries) {
-          attempt += 1
-          try { fetcher.fetchFile(e.url, Paths.get(e.caminhoZip)); ok = true }
-          catch { case _: Exception => if (backoffMs > 0) Thread.sleep(backoffMs) }
-        }
-        val updated =
-          if (ok) e.copy(statusDownload = Status.Sucesso)
-          else e.copy(statusDownload = Status.Falhou,
-            tentativasDownload = e.tentativasDownload + 1)
-        entries = entries.updated(i, updated)
-        save(entries)
+    val pending = entries0.zipWithIndex
+      .filter(_._1.statusDownload == Status.Pendente).map(_._2)
+    perFileParallel(entries0, pending) { e =>
+      var ok = false
+      var attempt = 0
+      while (!ok && attempt < maxRetries) {
+        attempt += 1
+        try { fetcher.fetchFile(e.url, Paths.get(e.caminhoZip)); ok = true }
+        catch { case _: Exception => if (backoffMs > 0) Thread.sleep(backoffMs) }
       }
+      if (ok) e.copy(statusDownload = Status.Sucesso)
+      else e.copy(statusDownload = Status.Falhou,
+        tentativasDownload = e.tentativasDownload + 1)
     }
-    entries
   }
 
   /** Phase 3 — extraction with corrupt-zip self-heal (reference
-    * `main.py:105-120`).
+    * `main.py:105-120`), `ioParallelism` archives at once (each archive's
+    * members extract to distinct file names, so archives are independent).
     */
   def extract(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
-    var entries = entries0
-    entries0.zipWithIndex.foreach { case (e, i) =>
-      if (e.statusDownload == Status.Sucesso && e.statusExtracao == Status.Pendente) {
-        val updated =
-          try {
-            val zf = new ZipFile(e.caminhoZip)
-            try {
-              Files.createDirectories(extractDir)
-              val names = zf.entries().asScala.filterNot(_.isDirectory).toSeq
-              val outPaths = names.map { ze =>
-                val dest = extractDir.resolve(
-                  Paths.get(ze.getName).getFileName.toString)
-                val in = zf.getInputStream(ze)
-                try Files.copy(in, dest,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-                finally in.close()
-                dest.toString
-              }
-              e.copy(statusExtracao = Status.Sucesso, arquivosExtraidos = outPaths)
-            } finally zf.close()
-          } catch {
-            case _: ZipException | _: java.io.IOException =>
-              // Self-heal: corrupt archive ⇒ force re-download next run.
-              // The reference marks extraction `falhou` here (main.py:117),
-              // but its own extract phase only picks up `pendente` entries —
-              // so its self-heal can never complete. We reset BOTH stages to
-              // `pendente` so the resumed run actually recovers.
-              e.copy(statusExtracao = Status.Pendente,
-                statusDownload = Status.Pendente)
+    Files.createDirectories(extractDir)
+    val pending = entries0.zipWithIndex.filter { case (e, _) =>
+      e.statusDownload == Status.Sucesso && e.statusExtracao == Status.Pendente
+    }.map(_._2)
+    perFileParallel(entries0, pending) { e =>
+      try {
+        val zf = new ZipFile(e.caminhoZip)
+        try {
+          val names = zf.entries().asScala.filterNot(_.isDirectory).toSeq
+          val outPaths = names.map { ze =>
+            val dest = extractDir.resolve(
+              Paths.get(ze.getName).getFileName.toString)
+            val in = zf.getInputStream(ze)
+            try Files.copy(in, dest,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            finally in.close()
+            dest.toString
           }
-        entries = entries.updated(i, updated)
-        save(entries)
+          e.copy(statusExtracao = Status.Sucesso, arquivosExtraidos = outPaths)
+        } finally zf.close()
+      } catch {
+        case _: ZipException | _: java.io.IOException =>
+          // Self-heal: corrupt archive ⇒ force re-download next run.
+          // The reference marks extraction `falhou` here (main.py:117),
+          // but its own extract phase only picks up `pendente` entries —
+          // so its self-heal can never complete. We reset BOTH stages to
+          // `pendente` so the resumed run actually recovers.
+          e.copy(statusExtracao = Status.Pendente,
+            statusDownload = Status.Pendente)
       }
     }
-    entries
   }
 
   /** Phase 4 — charset fix + line-count validation (reference

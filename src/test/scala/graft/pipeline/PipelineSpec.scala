@@ -131,6 +131,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(done.head.statusCarga == Status.Sucesso)
   }
 
+  test("concurrent download+extract: many files, mixed failures, " +
+    "manifest lands consistent") {
+    val (src, work, out) = freshDirs()
+    val tables = Seq("MOTIV", "MUNIC", "PAIS", "NATJU", "QUALS", "CNAECSV")
+    val zips = tables.zipWithIndex.map { case (t, i) =>
+      val name = s"Z$i.zip"
+      mkZip(src, name, Seq(
+        s"K$i.D509.$t" -> s"0$i;registro $i\n".getBytes(StandardCharsets.UTF_8)))
+      name
+    } :+ "Dead.zip" // never downloadable
+    mkZip(src, "Dead.zip", Seq(
+      "K9.D509.MOTIV" -> "09;x\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(zips).getBytes(StandardCharsets.UTF_8))
+
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src, failFirst = Map(
+        "Z1.zip" -> 2,              // transient, retried within the run
+        "Dead.zip" -> Int.MaxValue)), // permanent
+      backoffMs = 0L, ioParallelism = 4)
+    val done = pipe.run("file://rfb/")
+    val byName = done.map(e => e.arquivo -> e).toMap
+    tables.indices.foreach { i =>
+      assert(byName(s"Z$i.zip").statusCarga == Status.Sucesso, s"Z$i.zip")
+    }
+    assert(byName("Dead.zip").statusDownload == Status.Falhou)
+    assert(byName("Dead.zip").tentativasDownload == 1)
+    // persisted manifest agrees with the in-memory result
+    val persisted = Manifest.load(spark, pipe.manifestPath)
+      .map(e => e.arquivo -> e.statusCarga).toMap
+    assert(persisted == done.map(e => e.arquivo -> e.statusCarga).toMap)
+  }
+
   test("download failure after max retries → falhou + attempt counted") {
     val (src, work, out) = freshDirs()
     mkZip(src, "Motivos.zip", Seq(
