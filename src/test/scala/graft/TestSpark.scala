@@ -7,6 +7,9 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    // the library's extension point, end-to-end: functions + optimizer rule
+    // arrive via config, not register() (ExtensionsE2ESpec asserts this)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
