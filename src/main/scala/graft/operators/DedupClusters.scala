@@ -51,12 +51,18 @@ object DedupClusters {
       labels = next
       round += 1
     }
+    // an unconverged exit would silently return WRONG labels (tail nodes of
+    // a >maxIter-diameter component keep non-minimal ids) — fail loudly
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still improving); raise maxIter — component " +
+        "diameter exceeds it")
     labels.select(col("id"), col("lab").as("cluster_id"))
   }
 
   val queries: Map[String, Q] = ListMap(
     // Every document with its duplicate-cluster id (min doc_id of the
-    // component over J >= 0.5 LSH pairs) and the cluster's size. Singletons
+    // component over J >= 0.8 LSH pairs) and the cluster's size. Singletons
     // keep their own id — downstream "keep one per cluster" is then a
     // filter on doc_id = cluster_id.
     "dd06_dedup_clusters" -> ((s, dir) => {
@@ -89,7 +95,7 @@ object DedupClusters {
         |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-        |     >= 0.5),
+        |     >= 0.8),
         | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
         |           UNION ALL SELECT id2, id1 FROM pairs),
         | walk(id, r) AS (

@@ -12,17 +12,22 @@ import graft.Tables
   *
   * Both queries are oracle-gated: the sketches prune candidates, but the
   * emitted result is an exact quantity (exact shingle-Jaccard / exact
-  * Hamming distance) whose candidate set is recall-complete for the emitted
-  * threshold, so DuckDB reproduces the identical result with an exact
-  * all-pairs computation.
+  * Hamming distance). SimHash's candidate set is recall-complete by
+  * pigeonhole — an exactness GUARANTEE. MinHash banding is inherently
+  * probabilistic, so the emitted threshold is set where the miss
+  * probability is negligible (below), not at the S-curve's soft midpoint;
+  * emitting looser thresholds means adding bands, not reusing this config.
   *
   * Scale notes (100 TB): both pipelines avoid the O(n²) pair space.
   *  - MinHash: shingle → K minhashes (row-local, one-pass codegen kernel) →
   *    banded signatures → shuffle ON (band, band_hash) only — candidate
   *    pairs come from an equi-join, so cost follows bucket sizes, not n².
   *    16 bands × 2 rows put the S-curve midpoint at J≈0.26; a true pair at
-  *    the emitted J ≥ 0.5 threshold is missed w.p. (1−J²)¹⁶ ≤ 0.75¹⁶ ≈ 1%,
-  *    and the planted-dup regime (J ≥ 0.9) w.p. ≤ 3·10⁻¹².
+  *    the emitted J ≥ 0.8 threshold is missed w.p. (1−J²)¹⁶ ≤ 0.36¹⁶ ≈
+  *    8·10⁻⁸, and the planted-dup regime (J ≥ 0.9) w.p. ≤ 3·10⁻¹² — far
+  *    below any realistic corpus's pair count, so the exact-oracle gate is
+  *    stable. (At the old J ≥ 0.5 emission the per-pair miss rate was ~1%:
+  *    a real recall hole AND a gate flake — both fixed by the threshold.)
   *  - SimHash: 64-bit signature via the one-pass row-local
   *    [[graft.functions.SimHashArray]] kernel (no shuffle — the round-1
   *    explode+64-agg formulation shuffled the whole tokenized corpus),
@@ -45,15 +50,27 @@ object MinHashDedup {
 
   /** Write `df` to a run-scoped parquet table and read it back: the
     * multi-branch consumers downstream share one computation without any
-    * session-lifetime cache. Temp files are reclaimed at JVM exit.
+    * session-lifetime cache. Dirs are tracked and recursively deleted by a
+    * JVM shutdown hook (`File.deleteOnExit` alone cannot remove non-empty
+    * directories — it would leak every materialized table).
     */
   private[operators] def materialized(df: DataFrame, tag: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    dir.toFile.deleteOnExit()
+    tempDirs.add(dir)
     val path = dir.resolve("t").toString
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempDirs.forEach { dir =>
+      try java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Exception => () }
+    }))
 
   /** doc_id + distinct 3-word shingles (whole text if shorter than 3 words).
     * `words` is materialized first so the per-shingle lambda slices a column
@@ -73,7 +90,7 @@ object MinHashDedup {
     * (pair listing) and dd06 (cluster assignment).
     */
   private[operators] def lshPairs(
-      s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+      s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val sh = materialized(shingled(s, dir), "dd02_shingles")
     val mh = sh.select(col("doc_id"),
       graft.functions.MinHashArray(col("shingles"), K).as("mhs"))
@@ -156,7 +173,7 @@ object MinHashDedup {
         |   AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
         |ORDER BY jaccard DESC, id1, id2""".stripMargin,
 
     "dd03_simhash" ->
