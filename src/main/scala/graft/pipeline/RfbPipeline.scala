@@ -111,7 +111,7 @@ class RfbPipeline(
       math.max(1, math.min(ioParallelism, pending.size)))
     try {
       val lock = new Object
-      pending.map { i =>
+      val futures = pending.map { i =>
         pool.submit(new Runnable {
           override def run(): Unit = {
             val updated = fn(entries0(i))
@@ -121,7 +121,19 @@ class RfbPipeline(
             }
           }
         })
-      }.foreach(_.get())
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // stop the remaining work and WAIT for in-flight tasks, so no
+            // manifest write races the unwinding caller; rethrow the real
+            // cause, not the executor wrapper
+            pool.shutdownNow()
+            pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
+            throw e.getCause
+        }
+      }
     } finally pool.shutdown()
     entries
   }
@@ -182,9 +194,16 @@ class RfbPipeline(
       try {
         val zf = new ZipFile(e.caminhoZip)
         try {
+          // per-archive subdirectory: two archives may legally carry members
+          // with the same basename; a shared flat dir would make concurrent
+          // extraction race on one path (and sequential extraction silently
+          // last-wins, like the reference)
+          val archiveDir = extractDir.resolve(
+            Paths.get(e.caminhoZip).getFileName.toString.stripSuffix(".zip"))
+          Files.createDirectories(archiveDir)
           val names = zf.entries().asScala.filterNot(_.isDirectory).toSeq
           val outPaths = names.map { ze =>
-            val dest = extractDir.resolve(
+            val dest = archiveDir.resolve(
               Paths.get(ze.getName).getFileName.toString)
             val in = zf.getInputStream(ze)
             try Files.copy(in, dest,
@@ -249,7 +268,13 @@ class RfbPipeline(
           case -1 => (name, "")
           case k => (name.substring(0, k), name.substring(k))
         }
-        (i, f, csName, fixedDir.resolve(s"${base}__corrigido$ext").toString)
+        // mirror the per-archive extract layout: members of different
+        // archives may share basenames, and the transcode tasks run
+        // concurrently — corrected files must not collide either
+        val sub = Option(src.getParent).map(_.getFileName.toString)
+          .getOrElse("_")
+        (i, f, csName,
+          fixedDir.resolve(sub).resolve(s"${base}__corrigido$ext").toString)
       }
     }
     // executors: transcode + count in one distributed pass, metrics only back
