@@ -116,18 +116,23 @@ object RfbMain {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      println("--- INICIANDO PIPELINE DE ETL DA RECEITA FEDERAL ---")
-      run(spark, year, month, baseUrl, rootDir, workDir,
-        new HttpFetcher()) match {
-        case Some(report) =>
-          printReport(report)
-          println("\n--- PROCESSO CONCLUÍDO! ---")
-          if (report.falhasOuPendentes > 0) sys.exit(1)
-        case None =>
-          println("\n--- PROCESSO INTERROMPIDO! ---")
-          sys.exit(2)
-      }
-    } finally spark.stop()
+    // exit code computed inside try; sys.exit only AFTER spark.stop() —
+    // System.exit doesn't unwind, so calling it inside try would skip the
+    // finally and leave Spark to its shutdown-hook race
+    val exitCode =
+      try {
+        println("--- INICIANDO PIPELINE DE ETL DA RECEITA FEDERAL ---")
+        run(spark, year, month, baseUrl, rootDir, workDir,
+          new HttpFetcher()) match {
+          case Some(report) =>
+            printReport(report)
+            println("\n--- PROCESSO CONCLUÍDO! ---")
+            if (report.falhasOuPendentes > 0) 1 else 0
+          case None =>
+            println("\n--- PROCESSO INTERROMPIDO! ---")
+            2
+        }
+      } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

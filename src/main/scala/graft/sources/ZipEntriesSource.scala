@@ -76,11 +76,13 @@ class ZipScan(path: String, var required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val zips =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p) // must close: holds a directory handle
+        try stream.iterator().asScala
           .filter(_.toString.toLowerCase.endsWith(".zip")).map(_.toString)
           .toArray.sorted
-      else Array(path)
+        finally stream.close()
+      } else Array(path)
     zips.map(z => ZipPartition(z): InputPartition)
   }
 

@@ -53,12 +53,16 @@ object FileArrivalLoad {
         "maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
       .schema(RfbTables.rawSchema(nCols))
       .csv(watchDir)
+    // the built-in file sink, NOT foreachBatch+append: the sink commits its
+    // _spark_metadata log transactionally with the checkpoint, so a crash
+    // between write and offset commit replays the batch WITHOUT duplicating
+    // rows (a bare parquet append would be at-least-once)
     routed(raw)
       .writeStream
+      .format("parquet")
+      .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("table").parquet(outDir)
-      }
+      .partitionBy("table")
       .start()
   }
 
