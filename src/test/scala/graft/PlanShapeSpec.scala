@@ -18,6 +18,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a single table scan, got ${scans.length}")
   }
 
+  test("rj01 range join plans as an equi-join — no nested-loop fallback") {
+    // the hour-bucket probe turns the interval predicate into an equi-join
+    // on (user_id, bucket); a BroadcastNestedLoopJoin here would mean the
+    // O(|errors|×|purchases-per-user|) pair space came back
+    val plan = SparkEntry.queries("rj01_range_join")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("dd02 candidate generation is an equi-join on (band, band-hash)") {
+    val plan = SparkEntry.queries("dd02_minhash_lsh")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
