@@ -117,5 +117,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+
+/** AS-OF join as a FULL custom operator — logical node + planner strategy +
+  * physical sort-merge exec (builder brief preference (c), the path for
+  * whole-operator semantics Spark lacks). This complements the composed
+  * union+window form in [[graft.operators.TemporalJoins.asOf]]:
+  *
+  *  - the composed form is one shuffle of `left ∪ right` through a window —
+  *    simple, declarative, codegen-friendly; the right default.
+  *  - THIS operator declares the join's true physical contract instead:
+  *    children need only be co-partitioned on the key and sorted by
+  *    (key, ts). `EnsureRequirements` then inserts exchanges/sorts ONLY
+  *    when the children don't already satisfy them — so bucketed or
+  *    pre-sorted inputs as-of join with NO shuffle at all, which the
+  *    union+window formulation cannot express (its window is a new
+  *    partitioning over the concatenation). Per partition it is a
+  *    streaming merge: O(|left| + |right|) with one retained row of state.
+  *
+  * Semantics (matching DuckDB `ASOF LEFT JOIN` and `TemporalJoins.asOf`):
+  * for each left row, the LATEST right row with `right.ts <= left.ts` on
+  * the same key; unmatched (including null-key and null-ts rows) emit
+  * nulls for the right side. Equal timestamps match. Ties among right rows
+  * at the same (key, ts) resolve to the last in sort order.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute)
+  extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoinNode = copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition on the key; EnsureRequirements adds exchanges only if the
+  // children aren't already distributed this way (bucketed input → none)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // per-partition order (key..., ts) — the merge's only requirement
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lExprs = leftKeys :+ leftTs
+    val rExprs = rightKeys :+ rightTs
+    val types = lExprs.map(_.dataType)
+    val nKeys = leftKeys.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key..., ts) projected to one shared shape on both sides, so plain
+      // field-wise orderings implement both the advance rule (full compare:
+      // rKey < lKey, or equal key and rTs <= lTs) and match validity (key
+      // prefix compare)
+      val lProj = UnsafeProjection.create(lExprs, lOut)
+      val rProj = UnsafeProjection.create(rExprs, rOut)
+      val fullOrd = InterpretedOrdering.forSchema(types)
+      val keyOrd = InterpretedOrdering.forSchema(types.take(nKeys))
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _      // fetched, not yet consumed
+        private var rHeadKey: UnsafeRow = _
+        private var lastMatch: InternalRow = _  // latest right row consumed
+        private var lastMatchKey: UnsafeRow = _
+
+        // fetch the next usable right row (null key/ts rows match nothing)
+        private def fetchRight(): Unit = {
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rProj(r)
+            if (!(0 to nKeys).exists(k.isNullAt)) {
+              rHead = r.copy()        // iterators reuse row objects
+              rHeadKey = k.copy()
+            }
+          }
+        }
+
+        // consume right rows while (key, ts) <= the left row's (key, ts)
+        private def advance(limit: UnsafeRow): Unit = {
+          fetchRight()
+          while (rHead != null && fullOrd.compare(rHeadKey, limit) <= 0) {
+            lastMatch = rHead
+            lastMatchKey = rHeadKey
+            rHead = null
+            fetchRight()
+          }
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lProj(lRow)
+          if ((0 to nKeys).exists(lKey.isNullAt)) joiner(lRow, nullRight)
+          else {
+            advance(lKey)
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
+              joiner(lRow, lastMatch)
+            else joiner(lRow, nullRight)
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Column-level API + session wiring for the custom operator. */
+object AsOfJoinPlan {
+
+  /** AS-OF join `left` to `right` on equal `leftKeys`/`rightKeys`, taking
+    * the latest right row with `rightTs <= leftTs`. Output = all left
+    * columns followed by all right columns (nullable); name right-side
+    * columns distinctly before calling. Registers the planner strategy on
+    * the session if absent (also injectable via `GraftExtensions`).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lp = PlanBridge.analyzed(left)
+    val rp = PlanBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in [${p.output.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, AsOfJoinNode(lp, rp,
+      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+      attr(lp, leftTs), attr(rp, rightTs)))
+  }
+
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+}
