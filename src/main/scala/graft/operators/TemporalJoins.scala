@@ -85,6 +85,28 @@ object TemporalJoins {
         .orderBy(asc("event_id"))
     }),
 
+    // The same as-of semantics through the CUSTOM OPERATOR path
+    // (graft.plans.AsOfJoinExec: LogicalPlan + Strategy + physical
+    // sort-merge) — hash-gated against the identical DuckDB ASOF oracle,
+    // proving the custom exec end to end, not just in specs.
+    "aj02_asof_exec" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("signup_id"))
+        .select(col("user_id").as("s_user"), col("ts").as("sts"),
+          col("signup_id"))
+      graft.plans.AsOfJoinPlan.asOfJoin(purchases, signups,
+        Seq("user_id"), Seq("s_user"), "ts", "sts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          date_format(col("sts"), TsFmt).as("signup_ts"),
+          col("signup_id"))
+        .orderBy(asc("event_id"))
+    }),
+
     // Range join: purchases of the same user within ±1 h of each error.
     // Candidates come from an equi-join on (user, hour-bucket) — the right
     // side lands in ONE bucket, the left probes its ≤3 covering buckets, so
@@ -120,6 +142,19 @@ object TemporalJoins {
 
   val oracle: Map[String, String] = ListMap(
     "aj01_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+        |       WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |  s.signup_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "aj02_asof_exec" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
