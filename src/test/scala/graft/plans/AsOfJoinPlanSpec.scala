@@ -60,6 +60,18 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(got(1L) === Some(101L))
   }
 
+  test("mixed inputs: one side pre-partitioned, other raw — still correct") {
+    // EnsureRequirements must bring the raw side to a co-partitioning the
+    // zipPartitions merge can consume (mismatched partition counts would
+    // throw at runtime)
+    val l = leftDf.repartition(3, col("k")).sortWithinPartitions("k", "ts")
+    val got = AsOfJoinPlan.asOfJoin(l, rightDf,
+      Seq("k"), Seq("rk"), "ts", "rts")
+      .select("id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> None))
+  }
+
   test("null right timestamps and null keys match nothing") {
     val r = Seq(
       (Some(10L), Option.empty[Timestamp], Some(666L)),
