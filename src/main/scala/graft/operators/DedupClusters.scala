@@ -39,7 +39,7 @@ object DedupClusters {
     var labels = nodes.select(col("id"), col("id").as("lab"))
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxIter) {
+    def propagate(): Unit = {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lab"))
       val next = labels.union(prop)
@@ -51,6 +51,11 @@ object DedupClusters {
       labels = next
       round += 1
     }
+    while (changed > 0 && round < maxIter) propagate()
+    // convergence may land exactly on round maxIter (that round still
+    // reports changed > 0) — one verification round distinguishes
+    // converged-on-last-round from genuinely unconverged
+    if (changed > 0) propagate()
     // an unconverged exit would silently return WRONG labels (tail nodes of
     // a >maxIter-diameter component keep non-minimal ids) — fail loudly
     if (changed > 0) throw new IllegalStateException(

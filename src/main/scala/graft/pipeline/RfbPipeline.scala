@@ -126,12 +126,18 @@ class RfbPipeline(
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            // stop the remaining work and WAIT for in-flight tasks, so no
-            // manifest write races the unwinding caller; rethrow the real
-            // cause, not the executor wrapper
+            // stop the remaining work and wait (best-effort: a task hung in
+            // un-interruptible IO can outlive the window) so in-flight
+            // manifest writes quiesce before the caller unwinds; rethrow
+            // the real cause, not the executor wrapper
             pool.shutdownNow()
-            pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
-            throw e.getCause
+            val quiesced = pool.awaitTermination(
+              1, java.util.concurrent.TimeUnit.MINUTES)
+            val cause = e.getCause
+            if (!quiesced) cause.addSuppressed(new IllegalStateException(
+              "IO pool did not quiesce within 60 s; a hung task may still " +
+                "write the manifest"))
+            throw cause
         }
       }
     } finally pool.shutdown()

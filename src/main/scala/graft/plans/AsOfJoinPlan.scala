@@ -40,6 +40,9 @@ case class AsOfJoinNode(
     rightTs: Attribute)
   extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  require((leftKeys :+ leftTs).map(_.dataType) ==
+    (rightKeys :+ rightTs).map(_.dataType),
+    "as-of join sides must have identical key/ts types")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -109,12 +112,13 @@ case class AsOfJoinExec(
         private var lastMatch: InternalRow = _  // latest right row consumed
         private var lastMatchKey: UnsafeRow = _
 
-        // fetch the next usable right row (null key/ts rows match nothing)
+        // fetch the next usable right row (null key/ts rows match nothing);
+        // the projected row is exactly keys+ts, so anyNull covers all fields
         private def fetchRight(): Unit = {
           while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
             val k = rProj(r)
-            if (!(0 to nKeys).exists(k.isNullAt)) {
+            if (!k.anyNull) {
               rHead = r.copy()        // iterators reuse row objects
               rHeadKey = k.copy()
             }
@@ -137,7 +141,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lProj(lRow)
-          if ((0 to nKeys).exists(lKey.isNullAt)) joiner(lRow, nullRight)
+          if (lKey.anyNull) joiner(lRow, nullRight)
           else {
             advance(lKey)
             if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
@@ -169,14 +173,33 @@ object AsOfJoinPlan {
     val spark = left.sparkSession
     register(spark)
     val lp = PlanBridge.analyzed(left)
-    val rp = PlanBridge.analyzed(right)
+    // re-alias every right column: a right side sharing lineage with the
+    // left (self-join, common ancestor) would otherwise carry the SAME
+    // exprIds on both sides and bind to the wrong attributes
+    val rp = PlanBridge.analyzed(
+      right.select(right.columns.toIndexedSeq.map(n =>
+        right(n).alias(n)): _*))
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not found in [${p.output.map(_.name).mkString(", ")}]"))
-    PlanBridge.ofRows(spark, AsOfJoinNode(lp, rp,
-      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      attr(lp, leftTs), attr(rp, rightTs)))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not found in [${p.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
+    val lk = leftKeys.map(attr(lp, _))
+    val rk = rightKeys.map(attr(rp, _))
+    val lt = attr(lp, leftTs)
+    val rt = attr(rp, rightTs)
+    // the merge compares raw projected values with the LEFT side's types —
+    // coercion is the caller's job, mismatches would be silently wrong
+    (lk :+ lt).zip(rk :+ rt).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of column type mismatch: ${a.name}: ${a.dataType} vs " +
+          s"${b.name}: ${b.dataType} — cast the inputs first")
+    }
+    PlanBridge.ofRows(spark, AsOfJoinNode(lp, rp, lk, rk, lt, rt))
   }
 
   def register(spark: SparkSession): Unit =

@@ -39,6 +39,11 @@ object FileArrivalLoad {
   /** Start the incremental loader: files under `watchDir` → `outDir/table=<t>/`.
     * `nCols` fixes the widest positional schema; narrower files leave the
     * tail columns null (PERMISSIVE, like the batch path).
+    *
+    * `outDir` must be OWNED by this sink from its first write: the file
+    * sink's `_spark_metadata` log is the source of truth for readers, so
+    * parquet files written to the same directory by anything else are
+    * invisible to `spark.read.parquet(outDir)` once the log exists.
     */
   def start(
       spark: SparkSession,

@@ -22,6 +22,18 @@ class DedupClustersSpec extends AnyFunSuite {
       99L -> 99L))
   }
 
+  test("convergence exactly at maxIter is accepted; beyond it throws") {
+    // chain 0-1-2-3-4: min-label propagation needs 4 improving rounds
+    val nodes = (0L to 4L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(0L))
+    intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(nodes, edges, maxIter = 2).collect()
+    }
+  }
+
   test("property: components equal driver-side union-find on random graphs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val prop = Prop.forAll(

@@ -84,6 +84,36 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       1L -> Some(1L), 2L -> Some(1L), 3L -> None, 4L -> None))
   }
 
+  test("shared-lineage right side (self-as-of) works via re-aliasing") {
+    // events as-of their own earlier events per key — both sides derive
+    // from ONE frame, so without re-aliasing the exprIds would collide
+    val ev = leftDf
+    val prior = ev.select(col("k").as("rk"), col("ts").as("rts"),
+      col("id").as("prior_id"))
+    val got = AsOfJoinPlan.asOfJoin(ev, prior,
+      Seq("k"), Seq("rk"), "ts", "rts")
+      .select("id", "prior_id").as[(Long, Option[Long])].collect().toMap
+    // each row's latest at-or-before match is itself (equal ts counts)
+    assert(got === Map(1L -> Some(1L), 2L -> Some(2L),
+      3L -> Some(3L), 4L -> Some(4L)))
+  }
+
+  test("key/ts type mismatches are rejected, not silently mis-ordered") {
+    val r = rightDf.select(col("rk").cast("int").as("rk"),
+      col("rts"), col("payload"))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOfJoin(leftDf, r, Seq("k"), Seq("rk"), "ts", "rts")
+    }
+    assert(ex.getMessage.contains("type mismatch"))
+  }
+
+  test("column lookup honors the session resolver (case-insensitive)") {
+    val got = AsOfJoinPlan.asOfJoin(leftDf, rightDf,
+      Seq("K"), Seq("RK"), "TS", "RTS")
+      .select("id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(101L))
+  }
+
   test("property: custom exec equals the composed asOf on random data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val rowGen = for {
