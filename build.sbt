@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the reference's pt-BR month folders ("3. Março") need a UTF-8 process
+// locale: sun.jnu.encoding (what Path uses for file names) follows the OS
+// locale and ignores -D overrides, so a POSIX-locale JVM cannot even
+// construct the Path
+Test / envVars += "LC_ALL" -> "C.utf8"
+run / envVars += "LC_ALL" -> "C.utf8"

@@ -19,7 +19,10 @@ object Period {
   /** Same snapshot namespace from an already-formatted `YYYYMM`. */
   def schemaName(refMonth: String): String = s"rfb_$refMonth"
 
-  /** `"9. Setembro"` — the reference's locale-named month folder. */
+  /** `"9. Setembro"` — the reference's locale-named month folder. Note
+    * month 3 is "Março": creating that directory requires a UTF-8
+    * `sun.jnu.encoding` (any modern distro; POSIX-locale JVMs fail).
+    */
   def folderName(year: Int, month: Int): String = {
     val name = Month.of(month).getDisplayName(TextStyle.FULL, ptBr)
     s"$month. ${name.substring(0, 1).toUpperCase(ptBr)}${name.substring(1)}"

@@ -49,6 +49,26 @@ class RfbMainSpec extends AnyFunSuite {
     assert(loaded.length === 2)
   }
 
+  test("end-to-end run into the JDBC sink (reference deployment shape)") {
+    val src = Files.createTempDirectory("rfb-src")
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    mkZip(src, "Motivos.zip", Seq(
+      "K1.D509.MOTIV" -> "00;Sem motivo\n01;Extinção\n".getBytes(StandardCharsets.UTF_8)))
+    writeListing(src, Seq("Motivos.zip"))
+
+    val dbDir = Files.createTempDirectory("rfb-derby")
+    Files.delete(dbDir)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val sink = new JdbcSink(s"jdbc:derby:$dbDir;create=true", props)
+
+    val report = RfbMain.run(spark, 2026, 3, "http://rfb/", root, work,
+      new LocalFetcher(src), sink0 = sink).get
+    assert(report.sucesso === 1)
+    assert(sink.readBack(spark, "rfb_motivos", "202603").count() === 2)
+  }
+
   test("publication absent: report is None (PROCESSO INTERROMPIDO)") {
     val src = Files.createTempDirectory("rfb-src") // no listing.html
     val root = Files.createTempDirectory("rfb-root")
