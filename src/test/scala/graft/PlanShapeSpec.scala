@@ -35,6 +35,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("tx07 cleaning pipeline: one scan, one shuffle (the dedup groupBy)") {
+    val df = SparkEntry.queries("tx07_clean_corpus")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected one scan:\n$plan")
+    // quality + language + fingerprint are row-local; only the dedup
+    // groupBy (plus the final presentation sort) may shuffle
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected <=2 exchanges:\n$plan")
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
