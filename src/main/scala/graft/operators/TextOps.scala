@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -139,6 +140,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Stratified sampling: a fixed per-language quota, deterministically —
+    // rank by a hash of the id within each stratum and keep the first k.
+    // The hash-order makes the sample stable across runs/partitionings
+    // (training pipelines need reproducible subsets), and the window is
+    // per-stratum so quotas hold exactly.
+    "tx08_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(asc("h"), asc("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Sequence packing: group documents into fixed token-budget packs (the
+    // shape of training-batch assembly). Deterministic greedy-by-order
+    // packing: running token sum per language in doc_id order, pack id =
+    // floor(cumulative-before / budget). One window pass — no iterative
+    // bin packing, which is the scalable approximation used in practice.
+    "tx09_sequence_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budget = 2000L
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top 50.
     "tx05_vocabulary" -> ((s, dir) => {
       docs(s, dir)
@@ -244,6 +280,23 @@ object TextOps {
       """SELECT w, COUNT(*) AS n FROM (
         | SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY n DESC, w LIMIT 50""".stripMargin,
+
+    "tx08_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+        | SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "tx09_sequence_pack" ->
+      """SELECT doc_id, lang,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(FLOOR((SUM(len(string_split(text, ' ')))
+        |     OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   - len(string_split(text, ' '))) / 2000) AS BIGINT) AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx06_length_hist" ->
       """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
