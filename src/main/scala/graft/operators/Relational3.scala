@@ -92,21 +92,32 @@ object Relational3 {
 
     // Column profiling: count / distinct / nulls / min / max per column —
     // the data-quality sweep a training pipeline runs before ingestion.
-    // ONE scan computes every column's aggregates side by side (the
-    // per-column-union formulation scans the table N times — the difference
-    // between 1 and N full-table passes at 100 TB); stack() pivots the
-    // single wide row into the per-column report.
+    // ONE scan (the per-column-union formulation scans the table N times),
+    // and no multi-countDistinct Expand over the full table (the r2 plan:
+    // Expand multiplied every row 4× before the partial aggregate — the
+    // suite's slowest query at 4 s). Instead: pre-aggregate to the distinct
+    // (c1, c2, c3) combinations with per-combo counts — a plain partial-agg
+    // groupBy on narrow keys whose output is tiny when the profiled columns
+    // are enum-ish (3×2×7 combos here) — then compute every per-column
+    // profile (distincts, null counts via the combo counts, min/max) over
+    // that tiny frame. For genuinely high-cardinality profile columns the
+    // combo frame degrades toward the row count; there the lake-scale
+    // answer is approx_count_distinct (HLL), which this exact-oracle query
+    // deliberately does not use.
     "q38_column_profile" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val cols = Seq(
         "l_returnflag" -> col("l_returnflag"),
         "l_linestatus" -> col("l_linestatus"),
         "l_linenumber" -> col("l_linenumber").cast("string"))
-      val aggs = count(lit(1)).as("n") +: cols.flatMap { case (name, v) => Seq(
-        countDistinct(v).as(s"nd_$name"),
-        sum(v.isNull.cast("long")).as(s"nn_$name"),
-        min(v).as(s"min_$name"), max(v).as(s"max_$name")) }
-      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val combos = li
+        .groupBy(cols.map { case (name, v) => v.as(name) }: _*)
+        .agg(count(lit(1)).as("cnt"))
+      val aggs = sum("cnt").as("n") +: cols.flatMap { case (name, _) => Seq(
+        countDistinct(col(name)).as(s"nd_$name"),
+        sum(when(col(name).isNull, col("cnt")).otherwise(0L)).as(s"nn_$name"),
+        min(col(name)).as(s"min_$name"), max(col(name)).as(s"max_$name")) }
+      val wide = combos.agg(aggs.head, aggs.tail: _*)
       val stackArgs = cols.map { case (name, _) =>
         s"'$name', n, nd_$name, nn_$name, min_$name, max_$name"
       }.mkString(", ")

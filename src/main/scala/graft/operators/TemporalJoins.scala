@@ -42,12 +42,19 @@ object TemporalJoins {
       rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c))
     val l = left.select(lSel: _*)
     // a null right ts satisfies no `<=` comparison (ASOF semantics), but
-    // would sort FIRST under asc ordering and pollute every match — drop it
+    // would sort FIRST under asc ordering and pollute every match — drop it.
+    // Same for null KEYS: `null = null` is never true in a join predicate
+    // (DuckDB ASOF and AsOfJoinExec both emit nulls for null-key left
+    // rows), but window PARTITIONING groups nulls together — so null-key
+    // right rows must go too, or they'd match null-key left rows
     val rSel: Seq[Column] = leftCols.map(c =>
       if (key.contains(c) || c == tsCol) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)) ++
       Seq(lit(0).as("_side")) ++ rightPayload.map(col)
-    val r = right.filter(col(tsCol).isNotNull).select(rSel: _*)
+    val rightUsable = key.foldLeft(col(tsCol).isNotNull) {
+      (acc, k) => acc && col(k).isNotNull
+    }
+    val r = right.filter(rightUsable).select(rSel: _*)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

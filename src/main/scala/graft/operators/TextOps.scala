@@ -141,37 +141,63 @@ object TextOps {
     }),
 
     // Stratified sampling: a fixed per-language quota, deterministically —
-    // rank by a hash of the id within each stratum and keep the first k.
-    // The hash-order makes the sample stable across runs/partitionings
-    // (training pipelines need reproducible subsets), and the window is
-    // per-stratum so quotas hold exactly.
+    // the k smallest md5(id) per stratum (hash order makes the sample
+    // stable across runs/partitionings; training pipelines need
+    // reproducible subsets). NO per-stratum window: the bounded
+    // [[graft.functions.BottomKPerKey]] aggregator partial-aggregates, so
+    // each map task ships ≤ k rows per stratum and no stratum is ever
+    // co-located on one reducer (the window formulation is a
+    // one-task-per-language wall at 100 TB). The array position of each
+    // survivor IS the rank the window would have produced.
     "tx08_stratified_sample" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(asc("h"), asc("doc_id"))
+      val sample = graft.functions.BottomKPerKey.bottomK(20)
       docs(s, dir)
-        .select(col("doc_id"), col("lang"),
-          md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
-        .select(col("doc_id"), col("lang"), col("rk"))
+        .select(col("lang"), md5(col("doc_id").cast("string")).as("h"),
+          col("doc_id"))
+        .groupBy("lang")
+        .agg(sample(col("h"), col("doc_id")).as("picks"))
+        .select(col("lang"), posexplode(col("picks")).as(Seq("pos", "e")))
+        .select(col("e._2").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("int").as("rk"))
         .orderBy("lang", "rk")
     }),
 
     // Sequence packing: group documents into fixed token-budget packs (the
     // shape of training-batch assembly). Deterministic greedy-by-order
     // packing: running token sum per language in doc_id order, pack id =
-    // floor(cumulative-before / budget). One window pass — no iterative
-    // bin packing, which is the scalable approximation used in practice.
+    // floor(cumulative-before / budget). HIERARCHICAL two-level prefix sum,
+    // not one global window per language (which lands a whole stratum on a
+    // single reducer): (1) running sum WITHIN bounded (lang, shard) groups
+    // — shard = doc_id range, so each window partition holds ≤ shardSize
+    // rows; (2) per-shard token totals (tiny aggregate) prefix-summed per
+    // language and broadcast-joined back as the shard's starting offset.
+    // offset + within-shard cum == the exact global running sum, bit-equal
+    // to the single-window formulation the oracle runs.
     "tx09_sequence_pack" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val budget = 2000L
-      docs(s, dir)
+      val shardSize = 4096L
+      val toks = docs(s, dir)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard", floor(col("doc_id") / shardSize))
+      val within = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-(lang, shard) totals: O(#shards) rows — the "tiny second
+      // aggregation"; its prefix window runs over shard counts, not rows
+      val offsets = toks.groupBy("lang", "shard")
+        .agg(sum("n_tokens").as("shard_tokens"))
+        .withColumn("offset",
+          coalesce(sum(col("shard_tokens")).over(
+            Window.partitionBy(col("lang")).orderBy(asc("shard"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("shard"), col("offset"))
+      toks
+        .withColumn("cum_in_shard", sum(col("n_tokens")).over(within))
+        .join(broadcast(offsets), Seq("lang", "shard"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
+          floor((col("offset") + col("cum_in_shard") - col("n_tokens"))
+            / budget).as("pack_id"))
         .orderBy("doc_id")
     }),
 

@@ -46,6 +46,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges:\n$plan")
   }
 
+  test("tx08 sampling has no per-stratum window — bounded aggregator only") {
+    // a Window partitioned by lang shuffles every row of a stratum to one
+    // task (the round-2 scale-killer); the BottomKPerKey plan has NO window
+    // at all, and the stratum aggregate partial-aggregates map-side
+    val plan = SparkEntry.queries("tx08_stratified_sample")(
+      spark, TestSpark.sf0001).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"expected no Window node:\n$plan")
+    assert(plan.toString.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k ObjectHashAggregate:\n$plan")
+  }
+
+  test("tx09 packing windows are shard-bounded, never whole-stratum") {
+    // full-corpus windows must partition by (lang, shard) — bounded groups;
+    // a lang-only window is allowed only over the tiny per-shard totals
+    // (an aggregate sits between it and the scan)
+    val plan = SparkEntry.queries("tx09_sequence_pack")(
+      spark, TestSpark.sf0001).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val overRawRows = w.partitionSpec.size < 2
+      if (overRawRows) {
+        val aggBelow = w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"lang-only window over un-aggregated rows (stratum skew):\n$plan")
+      }
+    }
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq

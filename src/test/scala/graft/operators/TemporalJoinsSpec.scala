@@ -49,6 +49,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out === Seq((1L, Some(1L))))
   }
 
+  test("asOf null keys never match — left emits nulls, right is dropped") {
+    // join-predicate semantics: null = null is NOT a match (DuckDB ASOF,
+    // AsOfJoinExec). Window partitioning groups nulls together, so without
+    // the right-side null-key filter the 666 payload would leak through.
+    val left = Seq(
+      (1L, Option.empty[Long], ts("2024-01-01 10:00:00")),
+      (2L, Some(10L), ts("2024-01-01 10:00:00"))
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 666L), // null key
+      (Some(10L), ts("2024-01-01 09:00:00"), 1L)
+    ).toDF("k", "ts", "p")
+    val out = TemporalJoins.asOf(left, right, Seq("k"), "ts", Seq("p"))
+      .orderBy("id").select("id", "p")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq((1L, None), (2L, Some(1L))))
+  }
+
   test("asOf plan is one shuffle + window — no join operator") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((10L, ts("2024-01-01 09:30:00"), 5L)).toDF("k", "ts", "p")
