@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -36,6 +37,8 @@ object SimHashKernel {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       d.reset()
       val dig = d.digest(arr.getUTF8String(i).getBytes)
       // first 8 digest bytes, big-endian (== leading 16 hex chars of md5())
@@ -48,6 +51,7 @@ object SimHashKernel {
         b += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var b = 0
@@ -59,8 +63,18 @@ object SimHashKernel {
   }
 }
 
-/** `simhash_array(array<string>) → long`: whole-stage-codegen SimHash. */
+/** `simhash_array(array<string>) → long`: whole-stage-codegen SimHash.
+  * Input type is enforced at ANALYSIS time (not a runtime ClassCastException)
+  * and null array elements are skipped by the kernel (they carry no tokens).
+  */
 case class SimHashArray(child: Expression) extends UnaryExpression {
+  // ExpectsInputTypes needs the private[sql] AbstractDataType, so enforce
+  // the input type with the equivalent analysis-time check directly.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_array requires array<string> input type, got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     SimHashKernel.simhash(v.asInstanceOf[ArrayData])

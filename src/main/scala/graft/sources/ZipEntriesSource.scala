@@ -72,16 +72,25 @@ class ZipScan(path: String, var required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // driver-side: LIST archives only (never open them here)
+  // driver-side: LIST archives only (never open them here). The walk is
+  // RECURSIVE like the built-in file sources, so nested layouts
+  // (dir/month=…/x.zip) scan their archives instead of silently yielding
+  // an empty table; a directory with zero archives is a loud error for
+  // the same reason (a typo'd path must not look like an empty corpus).
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val zips =
       if (Files.isDirectory(p)) {
-        val stream = Files.list(p) // must close: holds a directory handle
-        try stream.iterator().asScala
-          .filter(_.toString.toLowerCase.endsWith(".zip")).map(_.toString)
-          .toArray.sorted
-        finally stream.close()
+        val stream = Files.walk(p) // must close: holds directory handles
+        val found =
+          try stream.iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              f.toString.toLowerCase.endsWith(".zip")).map(_.toString)
+            .toArray.sorted
+          finally stream.close()
+        if (found.isEmpty) throw new IllegalArgumentException(
+          s"zip_entries: no .zip files under '$path' (recursive walk)")
+        found
       } else Array(path)
     zips.map(z => ZipPartition(z): InputPartition)
   }

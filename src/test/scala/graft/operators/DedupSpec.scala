@@ -86,6 +86,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got != null)
   }
 
+  test("SimHashArray rejects wrong input types at analysis; skips null elements") {
+    import org.apache.spark.sql.functions._
+    // analysis-time type error, not a runtime ClassCastException
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(
+        graft.functions.SimHashArray(array(lit(1), lit(2)))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("type"))
+    // a null element contributes no tokens: sig("a", null) == sig("a")
+    val sigs = spark.range(1).select(
+      graft.functions.SimHashArray(
+        array(lit("a"), lit(null).cast("string"))).as("withNull"),
+      graft.functions.SimHashArray(array(lit("a"))).as("plain"))
+      .collect()(0)
+    assert(sigs.getLong(0) === sigs.getLong(1))
+  }
+
   test("word jaccard: dup pair = 1.0, near pair high, unrelated low (dd04)") {
     val rows = TextOps.queries("dd04_word_jaccard")(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -38,6 +38,23 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 2) // one per archive
   }
 
+  test("walks nested directories recursively; empty dir fails fast") {
+    val dir = Files.createTempDirectory("zipsrc4")
+    val nested = Files.createDirectories(dir.resolve("month=2024-05"))
+    mkZip(nested, "deep.zip", Seq("K9.PAIS" -> "105;x\n".getBytes("UTF-8")))
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("K9.PAIS"))
+
+    val empty = Files.createTempDirectory("zipsrc5")
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.ZipEntriesSource")
+        .load(empty.toString).collect()
+    }
+    assert(ex.getMessage.contains("no .zip files") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no .zip files")))
+  }
+
   test("column pruning reaches the scan") {
     val dir = Files.createTempDirectory("zipsrc2")
     mkZip(dir, "a.zip", Seq("K1.CNAECSV" -> "x\n".getBytes("UTF-8")))
