@@ -50,6 +50,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
   }
 }

@@ -48,29 +48,71 @@ object MinHashDedup {
   private val K = 32       // minhash functions
   private val BANDS = 16   // bands of 2 rows each
 
-  /** Write `df` to a run-scoped parquet table and read it back: the
+  /** Write `df` to a scratch parquet table and read it back: the
     * multi-branch consumers downstream share one computation without any
-    * session-lifetime cache. Dirs are tracked and recursively deleted by a
-    * JVM shutdown hook (`File.deleteOnExit` alone cannot remove non-empty
-    * directories — it would leak every materialized table).
+    * session-lifetime cache.
+    *
+    * Lifecycle (a long-lived engine session must not accumulate
+    * corpus-sized temp tables, and a cluster must be able to read them from
+    * every executor):
+    *  - the scratch ROOT is `spark.graft.scratch.dir` when set (on a
+    *    multi-node cluster: a shared path — HDFS/S3/NFS; all paths go
+    *    through the Hadoop FileSystem API, so any supported scheme works),
+    *    defaulting to the driver-local java tmpdir, which is only correct
+    *    for local mode;
+    *  - materializations are CACHED per (tag, cache key): re-running dd02
+    *    after dd06 reuses the signature tables instead of re-writing the
+    *    corpus;
+    *  - [[clearScratch]] deletes everything eagerly — call it when the
+    *    consuming actions are done (Verify/Bench do); a JVM shutdown hook
+    *    backstops sessions that never call it.
     */
-  private[operators] def materialized(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    tempDirs.add(dir)
-    val path = dir.resolve("t").toString
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+  private[operators] def materialized(
+      df: DataFrame, tag: String, cacheKey: String): DataFrame = {
+    val s = df.sparkSession
+    val path = scratchCache.computeIfAbsent((tag, cacheKey), _ => {
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.getOption("spark.graft.scratch.dir")
+          .getOrElse(System.getProperty("java.io.tmpdir")))
+      val dir = new org.apache.hadoop.fs.Path(
+        root, s"graft_${tag}_${java.util.UUID.randomUUID}")
+      val p = dir.toString
+      df.write.mode("overwrite").parquet(p)
+      hadoopConf.compareAndSet(null, s.sparkContext.hadoopConfiguration)
+      scratchDirs.add(p)
+      p
+    })
+    s.read.parquet(path)
   }
 
-  private val tempDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val scratchCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // captured at first materialization: the shutdown-hook path must not
+  // touch SparkContext.getOrCreate (it could spawn a context mid-shutdown)
+  private val hadoopConf =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.hadoop.conf.Configuration](null)
+
+  /** Delete every scratch table written by [[materialized]] and drop the
+    * cache. Safe to call between queries; the next invocation re-writes.
+    */
+  def clearScratch(): Unit = {
+    scratchCache.clear()
+    val hc = Option(hadoopConf.get())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    scratchDirs.forEach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(hc).delete(path, true)
+      } catch { case _: Exception => () }
+    }
+    scratchDirs.clear()
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    tempDirs.forEach { dir =>
-      try java.nio.file.Files.walk(dir)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Exception => () }
-    }))
+    try clearScratch() catch { case _: Exception => () }))
 
   /** doc_id + distinct 3-word shingles (whole text if shorter than 3 words).
     * `words` is materialized first so the per-shingle lambda slices a column
@@ -91,7 +133,7 @@ object MinHashDedup {
     */
   private[operators] def lshPairs(
       s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = materialized(shingled(s, dir), "dd02_shingles")
+    val sh = materialized(shingled(s, dir), "dd02_shingles", dir)
     val mh = sh.select(col("doc_id"),
       graft.functions.MinHashArray(col("shingles"), K).as("mhs"))
     // (doc_id, band, band-hash): only ids travel through the band shuffle;
@@ -103,7 +145,7 @@ object MinHashDedup {
           xxhash64(element_at(col("mhs"), 2 * j + 1),
             element_at(col("mhs"), 2 * j + 2)).as("bh"))): _*)).as("b"))
         .select(col("doc_id"), col("b.band"), col("b.bh")),
-      "dd02_bands")
+      "dd02_bands", dir)
     val cands = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("id2"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -136,7 +178,7 @@ object MinHashDedup {
         Tables(s, dir, "documents")
           .select(col("doc_id"),
             graft.functions.SimHashArray(split(col("text"), " ")).as("sig")),
-        "dd03_sigs")
+        "dd03_sigs", dir)
       val chunks = sigs.select(col("doc_id"), col("sig"), explode(array(
         (0 until 4).map(i => struct(lit(i).as("chunk"),
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL).as("cv"))): _*))

@@ -78,47 +78,46 @@ object EventsStream {
     }),
   )
 
-  /** Shared driver for complete-mode streaming aggs over the events file. */
-  private def runCompleteStream(s: SparkSession, dir: String, sinkPrefix: String)(
-      agg: DataFrame => DataFrame): DataFrame = {
-    val rawSchema = Tables.rawEvents(s, dir).schema
+  /** Shared driver for the streaming queries: file source → `xform` →
+    * memory sink, driven to completion synchronously.
+    *
+    * The reduced shuffle-partition count (streaming state here is tiny, and
+    * state-store partition count is fixed at first run) is set on a CLONED
+    * session (`newSession`: same SparkContext, own SQLConf), so a concurrent
+    * query planned on the caller's session during the stream's lifetime
+    * keeps the session-wide setting — the override is query-scoped, never
+    * session-global.
+    */
+  private def runStream(
+      s: SparkSession, dir: String, sinkPrefix: String, mode: String)(
+      xform: DataFrame => DataFrame): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val rawSchema = Tables.rawEvents(ss, dir).schema
     val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
     val stream = Tables.normalizeEvents(
-      s.readStream.schema(rawSchema)
+      ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try agg(stream).writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val q = xform(stream).writeStream.outputMode(mode)
+      .format("memory").queryName(sink).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(sink)
+    ss.table(sink)
   }
 
-  /** Append-mode variant of [[runCompleteStream]] for stateful operators
-    * that only support append output (dedup, stream-stream join). The whole
-    * file arrives in one batch and `processAllAvailable` drives every
-    * trigger, so append output is complete for the test corpus.
+  /** Complete-mode runner for streaming aggs (result == the batch agg). */
+  private def runCompleteStream(s: SparkSession, dir: String, sinkPrefix: String)(
+      agg: DataFrame => DataFrame): DataFrame =
+    runStream(s, dir, sinkPrefix, "complete")(agg)
+
+  /** Append-mode variant for stateful operators that only support append
+    * output (dedup, stream-stream join). The whole file arrives in one batch
+    * and `processAllAvailable` drives every trigger, so append output is
+    * complete for the test corpus.
     */
   private def runAppendStream(s: SparkSession, dir: String, sinkPrefix: String)(
-      xform: DataFrame => DataFrame): DataFrame = {
-    val rawSchema = Tables.rawEvents(s, dir).schema
-    val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
-    val stream = Tables.normalizeEvents(
-      s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try xform(stream).writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
-    s.table(sink)
-  }
+      xform: DataFrame => DataFrame): DataFrame =
+    runStream(s, dir, sinkPrefix, "append")(xform)
 
   /** Sliding-window (1 h / 15 min) streaming agg; complete-mode output
     * equals the batch `q36_sliding_windows` oracle.

@@ -103,6 +103,33 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs.getLong(0) === sigs.getLong(1))
   }
 
+  test("scratch tables are cached per input, cleared eagerly, rebuilt on demand") {
+    import scala.jdk.CollectionConverters._
+    MinHashDedup.clearScratch() // drop leftovers from any earlier suite
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def scratch(): Set[String] = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_dd")).toSet
+      finally s.close()
+    }
+    // measure DELTAS vs the pre-test tmpdir (other JVMs' garbage is not ours)
+    val before = scratch()
+    MinHashDedup.queries("dd02_minhash_lsh")(spark, dir).collect()
+    MinHashDedup.queries("dd03_simhash")(spark, dir).collect()
+    val first = scratch() -- before
+    assert(first.size === 3) // dd02 shingles + dd02 bands + dd03 sigs
+    // re-running reuses the cached materializations — no accumulation
+    MinHashDedup.queries("dd02_minhash_lsh")(spark, dir).collect()
+    assert((scratch() -- before) === first)
+    // eager cleanup leaves nothing of ours behind (no waiting for JVM exit)
+    MinHashDedup.clearScratch()
+    assert((scratch() -- before).isEmpty)
+    // and the next invocation re-materializes from scratch
+    assert(MinHashDedup.queries("dd02_minhash_lsh")(spark, dir).collect().nonEmpty)
+    MinHashDedup.clearScratch()
+  }
+
   test("word jaccard: dup pair = 1.0, near pair high, unrelated low (dd04)") {
     val rows = TextOps.queries("dd04_word_jaccard")(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
