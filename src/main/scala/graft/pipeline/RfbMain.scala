@@ -61,10 +61,14 @@ object RfbMain {
       sink0: TableSink = null,
       maxPolls: Int = 1,
       pollIntervalMs: Long = 0L,
-      strictAudits: Boolean = false): Option[PipelineReport] = {
+      strictAudits: Boolean = false,
+      reporter: Reporter = StdoutReporter): Option[PipelineReport] = {
     val listingUrl = Period.listingUrl(baseUrl, year, month)
     val vigilante = new Vigilante(fetcher, pollIntervalMs)
-    if (vigilante.awaitPublication(listingUrl, maxPolls).isEmpty) return None
+    if (vigilante.awaitPublication(listingUrl, maxPolls).isEmpty) {
+      reporter.interrupted(listingUrl)
+      return None
+    }
 
     val outDir = destDir(rootDir, year, month)
     Files.createDirectories(outDir)
@@ -74,7 +78,9 @@ object RfbMain {
       strictAudits = strictAudits, sink0 = sink0)
     cleanWorkspace(workDir, pipe.manifestPath)
     val entries = pipe.run(listingUrl)
-    Some(pipe.report(entries))
+    val report = pipe.report(entries)
+    reporter.completed(report)
+    Some(report)
   }
 
   /** Mirror of `relatorio_final` (`main.py:222-237`). */
@@ -122,15 +128,12 @@ object RfbMain {
     val exitCode =
       try {
         println("--- INICIANDO PIPELINE DE ETL DA RECEITA FEDERAL ---")
+        // run() itself drives the Reporter hook (StdoutReporter prints the
+        // reference's final report on both outcomes)
         run(spark, year, month, baseUrl, rootDir, workDir,
           new HttpFetcher()) match {
-          case Some(report) =>
-            printReport(report)
-            println("\n--- PROCESSO CONCLUÍDO! ---")
-            if (report.falhasOuPendentes > 0) 1 else 0
-          case None =>
-            println("\n--- PROCESSO INTERROMPIDO! ---")
-            2
+          case Some(report) => if (report.falhasOuPendentes > 0) 1 else 0
+          case None => 2
         }
       } finally spark.stop()
     if (exitCode != 0) sys.exit(exitCode)

@@ -29,6 +29,40 @@ class CharsetsSpec extends AnyFunSuite {
     assert(Charsets.detect(p) == StandardCharsets.ISO_8859_1)
   }
 
+  test("detects Windows-1252 via C1 punctuation; pure accents stay Latin-1") {
+    // 0x93/0x94 = curly quotes, 0x80 = € — C1 controls in Latin-1, text in CP1252
+    val cp = "01;".getBytes(StandardCharsets.US_ASCII) ++
+      Array(0x93, 0x4F, 0x94, 0x20, 0x80).map(_.toByte) ++ "\n".getBytes
+    assert(Charsets.detectBytes(cp) == java.nio.charset.Charset.forName("windows-1252"))
+    // no C1 bytes → the Latin-1 default stands (RFB corpus behavior unchanged)
+    val latin = "01;Ação\n".getBytes(StandardCharsets.ISO_8859_1)
+    assert(Charsets.detectBytes(latin) == StandardCharsets.ISO_8859_1)
+  }
+
+  test("windows-1252 file survives the fix phase with punctuation intact") {
+    val src = tmpFile("01;".getBytes(StandardCharsets.US_ASCII) ++
+      Array(0x93).map(_.toByte) ++ "Ok".getBytes(StandardCharsets.US_ASCII) ++
+      Array(0x94, 0x20, 0x80).map(_.toByte) ++ "\n02;x\n".getBytes)
+    val cs = Charsets.detect(src)
+    val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+    val (orig, fixed) = Charsets.transcode(src, cs, dest)
+    assert(orig == 2 && fixed == 2)
+    val text = new String(Files.readAllBytes(dest), StandardCharsets.UTF_8)
+    assert(text.contains("“Ok” €")) // “Ok” €
+  }
+
+  test("detects BOM-less UTF-16LE and UTF-16BE; fix phase transcodes both") {
+    for (cs <- Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)) {
+      val src = tmpFile("01;São Paulo\n02;Ação\n".getBytes(cs))
+      assert(Charsets.detect(src) == cs, s"misdetected $cs")
+      val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+      val (orig, fixed) = Charsets.transcode(src, cs, dest)
+      assert(orig == 2 && fixed == 2)
+      val text = new String(Files.readAllBytes(dest), StandardCharsets.UTF_8)
+      assert(text.contains("São Paulo") && text.contains("Ação"))
+    }
+  }
+
   test("transcode Latin-1 → UTF-8 preserves line count and fixes accents") {
     val src = tmpFile("01;São Paulo\n02;Ação\n".getBytes(StandardCharsets.ISO_8859_1))
     val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()

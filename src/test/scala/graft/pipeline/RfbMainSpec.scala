@@ -77,6 +77,43 @@ class RfbMainSpec extends AnyFunSuite {
       new LocalFetcher(src), maxPolls = 3).isEmpty)
   }
 
+  /** Records which hook fired (READme.md:32-34 alert contract). */
+  private class RecordingReporter extends Reporter {
+    var completedWith: Option[PipelineReport] = None
+    var interruptedWith: Option[String] = None
+    override def completed(report: PipelineReport): Unit =
+      completedWith = Some(report)
+    override def interrupted(listingUrl: String): Unit =
+      interruptedWith = Some(listingUrl)
+  }
+
+  test("reporter hook fires with the final report on completion") {
+    val src = Files.createTempDirectory("rfb-src")
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    mkZip(src, "Quals.zip", Seq(
+      "K1.D509.QUALS" -> "05;Administrador\n".getBytes(StandardCharsets.UTF_8)))
+    writeListing(src, Seq("Quals.zip"))
+
+    val rep = new RecordingReporter
+    val out = RfbMain.run(spark, 2026, 4, "http://rfb/", root, work,
+      new LocalFetcher(src), reporter = rep)
+    assert(rep.completedWith === out) // the hook got exactly the final report
+    assert(rep.completedWith.get.sucesso === 1)
+    assert(rep.interruptedWith.isEmpty)
+  }
+
+  test("reporter hook fires on the interrupted path with the listing url") {
+    val src = Files.createTempDirectory("rfb-src") // no listing.html
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    val rep = new RecordingReporter
+    assert(RfbMain.run(spark, 2026, 5, "http://rfb/", root, work,
+      new LocalFetcher(src), reporter = rep).isEmpty)
+    assert(rep.completedWith.isEmpty)
+    assert(rep.interruptedWith.exists(_.startsWith("http://rfb/")))
+  }
+
   test("fresh period wipes stale workspace dirs (main.py:261-268)") {
     val work = Files.createTempDirectory("rfb-work")
     val stale = work.resolve("downloads").resolve("old.zip")
