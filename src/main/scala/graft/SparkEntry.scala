@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupClusters, MinHashDedup, Multimodal, Relational, Relational2, Relational3, Relational4, SimilarityOps, TemporalJoins, TextOps}
+import graft.operators.{CorpusFilters, DedupClusters, MinHashDedup, Multimodal, Relational, Relational2, Relational3, Relational4, SimilarityOps, TemporalJoins, TextOps}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ MinHashDedup.queries ++ Multimodal.queries ++
-      TemporalJoins.queries ++ DedupClusters.queries ++ EventsStream.queries
+      TemporalJoins.queries ++ DedupClusters.queries ++ EventsStream.queries ++
+      CorpusFilters.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ MinHashDedup.oracle ++ Multimodal.oracle ++
-      TemporalJoins.oracle ++ DedupClusters.oracle ++ EventsStream.oracle
+      TemporalJoins.oracle ++ DedupClusters.oracle ++ EventsStream.oracle ++
+      CorpusFilters.oracle
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-hygiene operators a large-scale training-data pipeline runs after
+  * dedup (builder brief / SURVEY §2.3 extension surface): benchmark
+  * decontamination, repetition-based quality filtering, and PII redaction.
+  *
+  * Scale notes (100 TB):
+  *  - dc01: the benchmark n-gram set is SMALL by construction (eval suites
+  *    are thousands of documents, the corpus is billions), so contamination
+  *    is a broadcast hash join of corpus n-grams against the benchmark set
+  *    — no shuffle of the corpus, cost is one scan + the tiny broadcast.
+  *  - tx10: repetition signals are explode + two partial-aggregated
+  *    group-bys on (doc_id[, bigram]) — the canonical distributed
+  *    formulation (tx05's vocabulary pattern); no skewed keys because
+  *    doc_id is unique per group.
+  *  - tx11: pure row-local regex over codegen'd string expressions — a
+  *    narrow map, embarrassingly parallel.
+  */
+object CorpusFilters {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** 5-gram decontamination threshold: flag at ≥ 3 shared 5-grams (one
+    * shared gram can be idiom; three is verbatim leakage — the GPT-3/PaLM
+    * style n-gram-overlap rule with a small n because the synthetic docs
+    * are ~50 words).
+    */
+  private val ContaminationMin = 3
+
+  /** PII patterns — intersection of Java-regex and RE2 semantics (no
+    * backreferences/lookaround), so Spark and the DuckDB oracle replace
+    * identically.
+    */
+  private[operators] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[operators] val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  val queries: Map[String, Q] = ListMap(
+    // Benchmark decontamination: docs sharing 5-grams with the "eval set"
+    // (here: every 20th doc stands in for a held-out benchmark). The eval
+    // n-gram set is distinct'd and BROADCAST; corpus docs count how many of
+    // their distinct 5-grams hit it. Eval docs themselves are excluded.
+    "dc01_decontaminate" -> ((s, dir) => {
+      val grams5 = array_distinct(expr(
+        """transform(sequence(1, greatest(size(words) - 4, 1)),
+          | i -> concat_ws(' ', slice(words, i, 5)))""".stripMargin))
+      val withGrams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), grams5.as("grams"))
+      val benchGrams = withGrams.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("grams")).as("g")).distinct()
+      val corpus = withGrams.filter(col("doc_id") % 20 =!= 0)
+      val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(benchGrams), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      corpus.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).cast("int").as("n_shared_5grams"),
+          (coalesce(col("n_shared"), lit(0L)) >= ContaminationMin)
+            .cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition signals (Gopher-style quality filters): duplicate-word
+    // fraction (row-local) and top-bigram fraction (explode + partial-agg
+    // group-bys). Both computed in ONE scan: the row-local stats ride
+    // through the bigram aggregation as max() of a per-doc constant.
+    "tx10_repetition" -> ((s, dir) => {
+      val bigrams = expr(
+        """transform(sequence(1, greatest(size(w) - 1, 1)),
+          | i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin)
+      docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          round(lit(1.0) -
+            size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+            .as("dup_word_frac"),
+          explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("c"),
+          max("n_words").as("n_words"), max("dup_word_frac").as("dup_word_frac"))
+        .groupBy("doc_id")
+        .agg(max("n_words").as("n_words"), max("dup_word_frac").as("dup_word_frac"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6)
+            .as("top_bigram_frac"))
+        .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("top_bigram_frac"),
+          // 0.18 (not lower): a clean k-word doc has top fraction ~1/(k-1),
+          // so short prose must clear the bar while true repetition can't
+          (col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18)
+            .cast("int").as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // PII detection + redaction plumbing: match counts plus the md5 of the
+    // redacted text (small output even for huge docs; the corpus-rewrite
+    // variant is the same expressions minus the md5). The synthetic corpus
+    // carries no PII — the oracle gates the no-op path exactly; planted
+    // fixtures in CorpusFiltersSpec prove the positive path.
+    "tx11_pii_redact" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "dc01_decontaminate" ->
+      s"""WITH g AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+         |   i -> array_to_string(
+         |     list_slice(string_split(text, ' '), i, i + 4), ' '))) AS grams
+         | FROM documents),
+         | bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g
+         |   WHERE doc_id % 20 = 0),
+         | corpus AS (SELECT * FROM g WHERE doc_id % 20 <> 0),
+         | hits AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM (
+         |    SELECT doc_id, unnest(grams) AS gr FROM corpus) e
+         |  JOIN bench USING (gr) GROUP BY doc_id)
+         |SELECT c.doc_id,
+         | CAST(COALESCE(h.n, 0) AS INT) AS n_shared_5grams,
+         | CAST(COALESCE(h.n, 0) >= $ContaminationMin AS INT) AS contaminated
+         |FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "tx10_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        | rowstats AS (SELECT doc_id,
+        |   CAST(len(w) AS INT) AS n_words,
+        |   ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        |     AS dup_word_frac FROM w),
+        | bg AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, greatest(len(w) - 1, 1) + 1),
+        |   i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg FROM w),
+        | counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg
+        |   GROUP BY doc_id, bg),
+        | top AS (SELECT doc_id,
+        |   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+        |  FROM counts GROUP BY doc_id)
+        |SELECT r.doc_id, r.n_words, r.dup_word_frac, t.top_bigram_frac,
+        | CAST(r.dup_word_frac > 0.8 OR t.top_bigram_frac > 0.18 AS INT)
+        |   AS repetitive
+        |FROM rowstats r JOIN top t ON t.doc_id = r.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "tx11_pii_redact" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         | md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |   '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -45,11 +45,17 @@ object SimilarityOps {
   private val dot12: Column =
     GraftFunctions.dot_product(col("v1"), col("v2"))
 
-  /** Deterministic random hyperplanes for LSH (seed fixed → reproducible). */
-  private[operators] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(42)
+  /** Deterministic random hyperplanes for LSH (fixed seed → reproducible;
+    * distinct seeds → the independent hash tables of multi-table LSH).
+    */
+  private[operators] def planesSeeded(
+      seed: Int, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
+
+  private[operators] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planesSeeded(42, nPlanes, dim)
 
   /** Plane count for a corpus of `n` vectors. With `p` planes there are 2^p
     * signature buckets, so the expected bucket population is n/2^p; the
@@ -169,6 +175,43 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
+    // Embedding near-dup, UNBOUNDED corpus scale path: multi-table
+    // hyperplane LSH (3 independent tables amplify recall: a pair is a
+    // candidate if ANY table buckets it together — recall 1-(1-s^p)^3 for
+    // per-plane agreement s), then the exact cosine filter. Only ids travel
+    // through the bucket shuffle; vectors join back per candidate pair
+    // (dd02's lake pattern). Complements dd05's bounded-window variant,
+    // which assumes near-dups are id-adjacent; this one has no such
+    // assumption and its cost follows bucket sizes, not n².
+    "dd07_embedding_lsh_neardup" -> ((s, dir) => {
+      val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
+      val nTables = 3
+      val e = emb(s, dir)
+      def sigCol(pl: Array[Array[Double]]): Column =
+        pl.indices.map { p =>
+          val plane = array(pl(p).map(lit): _*)
+          when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
+            .otherwise(0)
+        }.reduce(_ + _)
+      // ids-only through the bucket shuffle
+      val sigs = e.select(col("vec_id"), explode(array(
+        (0 until nTables).map(t => struct(lit(t).as("tb"),
+          sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
+        .select(col("vec_id"), col("ts.tb"), col("ts.sig"))
+      val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
+        .join(sigs.select(col("vec_id").as("id2"), col("tb"), col("sig")),
+          Seq("tb", "sig"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      cands.join(v1, "id1").join(v2, "id2")
+        .select(col("id1"), col("id2"),
+          round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("id1", "id2")
+    }),
+
     // Embedding near-dup: bounded candidate window, rounded-cosine flag.
     "dd05_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -198,10 +241,12 @@ object SimilarityOps {
   private def planeSql(p: Array[Double]): String =
     p.map(_.toString).mkString("[", ", ", "]")
 
-  private def ss03SigSql: String =
-    planes(4, 64).zipWithIndex.map { case (p, i) =>
+  private def sigSqlFor(seed: Int, nPlanes: Int): String =
+    planesSeeded(seed, nPlanes, 64).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product(v, ${planeSql(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  private def ss03SigSql: String = sigSqlFor(42, 4)
 
   val oracle: Map[String, String] = ListMap(
     "ss01_cosine_pairs" ->
@@ -251,6 +296,24 @@ object SimilarityOps {
          |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
          |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // The 3 hash tables' planes inlined as exact double literals — DuckDB
+    // reproduces every bucket, so candidate generation is replicated
+    // bit-for-bit and the cosine filter gates an exact quantity.
+    "dd07_embedding_lsh_neardup" ->
+      s"""$oWith,
+         | s AS (SELECT vec_id, v, nrm,
+         |   ${sigSqlFor(42, 4)} AS s0,
+         |   ${sigSqlFor(43, 4)} AS s1,
+         |   ${sigSqlFor(44, 4)} AS s2 FROM n),
+         | c AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM s a JOIN s b ON b.vec_id > a.vec_id
+         |   AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2))
+         |SELECT c.id1, c.id2,
+         | ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+         |FROM c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2
+         |WHERE ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
+         |ORDER BY id1, id2""".stripMargin,
 
     "dd05_embedding_neardup" ->
       s"""$oWith

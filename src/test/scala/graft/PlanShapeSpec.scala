@@ -83,6 +83,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dc01 joins corpus n-grams against a BROADCAST benchmark set") {
+    // the benchmark n-gram set is tiny vs the corpus; a sort-merge join
+    // here would shuffle every corpus n-gram at 100 TB
+    val plan = SparkEntry.queries("dc01_decontaminate")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("dd07 candidate generation is an equi-join on (table, signature)") {
+    val plan = SparkEntry.queries("dd07_embedding_lsh_neardup")(
+      spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq

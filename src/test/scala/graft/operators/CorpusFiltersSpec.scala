@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Planted-fixture behavior for the corpus-hygiene operators: the oracle
+  * gate proves exactness on the synthetic corpus; these prove the operators
+  * actually FIRE on contaminated / repetitive / PII-bearing documents.
+  */
+class CorpusFiltersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("corpusf").toString
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      // doc 0: benchmark doc (0 % 20 == 0)
+      (0L, leaked, "en", "bench", leaked.length.toLong),
+      // doc 21: verbatim half of the benchmark doc → many shared 5-grams
+      (21L, "alpha beta gamma delta epsilon zeta eta theta different tail here",
+        "en", "web", 60L),
+      // doc 22: clean
+      (22L, "totally unrelated words about query engines and big shuffles now",
+        "en", "web", 60L),
+      // doc 23: pathological repetition
+      (23L, "spam spam spam spam spam spam spam spam spam spam",
+        "en", "web", 49L),
+      // doc 24: PII-bearing
+      (24L, "contact me at alice.smith@example.org or +1 (555) 123-4567 thanks",
+        "en", "web", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("dc01 flags the doc sharing >=3 five-grams with the benchmark set") {
+    val rows = CorpusFilters.queries("dc01_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(!rows.contains(0L)) // benchmark docs are excluded from the output
+    assert(rows(21L)._1 >= 3 && rows(21L)._2 == 1) // contaminated
+    assert(rows(22L) == ((0, 0))) // clean doc: zero overlap
+  }
+
+  test("tx10 repetition signals separate spam from prose") {
+    val rows = CorpusFilters.queries("tx10_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    val (dupSpam, topSpam, flagSpam) = rows(23L)
+    assert(dupSpam > 0.8) // 10 copies of one word
+    assert(topSpam == 1.0) // every bigram is "spam spam"
+    assert(flagSpam == 1)
+    val (_, _, flagClean) = rows(22L)
+    assert(flagClean == 0)
+  }
+
+  test("tx11 counts and redacts planted email + phone") {
+    val rows = CorpusFilters.queries("tx11_pii_redact")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    val (nEmail, nPhone, redactedMd5) = rows(24L)
+    assert(nEmail == 1)
+    assert(nPhone == 1)
+    assert(redactedMd5 ===
+      md5hex("contact me at <EMAIL> or <PHONE> thanks"))
+    // documents without PII pass through byte-identical
+    assert(rows(22L)._3 === md5hex(
+      "totally unrelated words about query engines and big shuffles now"))
+  }
+
+  test("dd07 emits exactly the bucket-mate pairs at cosine >= 0.4 (precision 1)") {
+    val sf = TestSpark.sf0001
+    val got = SimilarityOps.queries("dd07_embedding_lsh_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.4)) // precision is exact by construction
+    // every emitted pair must be a true cos>=0.4 pair of the brute-force set
+    val brute = {
+      import org.apache.spark.sql.functions._
+      val e = graft.Tables(spark, sf, "embeddings").select(
+        col("vec_id"),
+        col("embedding").as("v"))
+        .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot_product(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("id2") > col("id1"))
+        .select(col("id1"), col("id2"),
+          round(graft.functions.GraftFunctions.dot_product(col("v1"), col("v2"))
+            / (col("n1") * col("n2")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got.forall(p => brute.contains((p._1, p._2))))
+    // multi-table amplification: recall must beat any single 4-plane table's
+    // theoretical ceiling for mid-cosine pairs; empirically assert a floor
+    assert(got.length.toDouble / brute.size >= 0.2,
+      s"recall ${got.length}/${brute.size}")
+  }
+}
