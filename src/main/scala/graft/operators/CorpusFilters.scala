@@ -101,6 +101,35 @@ object CorpusFilters {
         .orderBy("doc_id")
     }),
 
+    // Temperature-based mixture sampling (the standard multilingual/domain
+    // rebalance: quota ∝ (share of largest source)^(1/2), so head sources
+    // are downsampled and tail sources survive). Quotas come from a TINY
+    // per-source aggregate broadcast back; selection is the de-skewed
+    // BottomKPerKey pattern — partial aggregation ships ≤ K rows per
+    // (source, map task), never a per-stratum window.
+    "tx12_temperature_mix" -> ((s, dir) => {
+      val K = 20
+      val counts = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_s"))
+      val maxN = counts.agg(max("n_s").as("max_n"))
+      val quotas = counts.crossJoin(broadcast(maxN))
+        .select(col("source"),
+          ceil(lit(K) * sqrt(col("n_s").cast("double") / col("max_n")))
+            .cast("int").as("quota"))
+      val sample = graft.functions.BottomKPerKey.bottomK(K)
+      docs(s, dir)
+        .select(col("source"), md5(col("doc_id").cast("string")).as("h"),
+          col("doc_id"))
+        .groupBy("source")
+        .agg(sample(col("h"), col("doc_id")).as("picks"))
+        .select(col("source"), posexplode(col("picks")).as(Seq("pos", "e")))
+        .select(col("e._2").as("doc_id"), col("source"),
+          (col("pos") + 1).cast("int").as("rk"))
+        .join(broadcast(quotas), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+        .orderBy("source", "rk")
+    }),
+
     // PII detection + redaction plumbing: match counts plus the md5 of the
     // redacted text (small output even for huge docs; the corpus-rewrite
     // variant is the same expressions minus the md5). The synthetic corpus
@@ -160,6 +189,18 @@ object CorpusFilters {
         |   AS repetitive
         |FROM rowstats r JOIN top t ON t.doc_id = r.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    "tx12_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents
+        |   GROUP BY source),
+        | q AS (SELECT source, CAST(CEIL(20 * SQRT(CAST(n_s AS DOUBLE)
+        |     / (SELECT MAX(n_s) FROM c))) AS INT) AS quota FROM c),
+        | r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |   FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk, q.quota
+        |FROM r JOIN q ON q.source = r.source
+        |WHERE r.rk <= q.quota ORDER BY r.source, rk""".stripMargin,
 
     "tx11_pii_redact" ->
       s"""SELECT doc_id,

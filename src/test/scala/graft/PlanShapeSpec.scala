@@ -83,6 +83,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("tx12 mixture sampling has no per-stratum window") {
+    val plan = SparkEntry.queries("tx12_temperature_mix")(
+      spark, TestSpark.sf0001).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"expected no Window node:\n$plan")
+    assert(plan.toString.contains("ObjectHashAggregate"),
+      s"expected the bounded bottom-k ObjectHashAggregate:\n$plan")
+  }
+
   test("dc01 joins corpus n-grams against a BROADCAST benchmark set") {
     // the benchmark n-gram set is tiny vs the corpus; a sort-merge join
     // here would shuffle every corpus n-gram at 100 TB

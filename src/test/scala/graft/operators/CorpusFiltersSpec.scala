@@ -76,6 +76,20 @@ class CorpusFiltersSpec extends AnyFunSuite {
       "totally unrelated words about query engines and big shuffles now"))
   }
 
+  test("tx12 temperature mix downsamples the head source, keeps the tail") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("tempmix").toString
+    val rows =
+      (0 until 40).map(i => (i.toLong, s"head doc $i", "en", "big", 10L)) ++
+        (100 until 105).map(i => (i.toLong, s"tail doc $i", "en", "small", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = CorpusFilters.queries("tx12_temperature_mix")(spark, d).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(got("big") == 20)  // head capped at K (quota 20 of 40 docs)
+    assert(got("small") == 5) // quota ceil(20*sqrt(5/40)) = 8 > 5 → all kept
+  }
+
   test("dd07 emits exactly the bucket-mate pairs at cosine >= 0.4 (precision 1)") {
     val sf = TestSpark.sf0001
     val got = SimilarityOps.queries("dd07_embedding_lsh_neardup")(spark, sf)
