@@ -38,6 +38,30 @@ object TextOps {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The tx07 cleaning gates as one row-local stage: quality score +
+    * language vote + whitespace-canonical fingerprint, filtered to
+    * good-quality English. Shared by the batch pipeline (tx07) and its
+    * streaming twin (st05) so both provably run the same expressions.
+    */
+  private[graft] def scoredEnglish(df: DataFrame): DataFrame = {
+    val rawWords = split(col("text"), " ")
+    val lowWords = split(lower(col("text")), " ")
+    val nWords = size(rawWords)
+    val nStop = hitCount(rawWords, enWords)
+    val score = round(
+      least(lit(1.0), nWords.cast("double") / 200) * 0.5
+        + (nStop.cast("double") / nWords) * 0.5, 6)
+    val en = hitCount(lowWords, enWords)
+    val es = hitCount(lowWords, esWords)
+    val de = hitCount(lowWords, deWords)
+    val predLang = when(en >= es && en >= de, "en")
+      .when(es >= de, "es").otherwise("de")
+    df.withColumn("quality_score", score)
+      .withColumn("pred_lang", predLang)
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.12)
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+  }
+
   val queries: Map[String, Q] = ListMap(
     // Exact dedup: hash-groupBy on full text; survivor = min doc_id.
     "dd01_dedup_exact" -> ((s, dir) => {
@@ -109,23 +133,7 @@ object TextOps {
     // shape of a real training-data filter chain. One scan feeds all three
     // row-local stages; the only shuffle is the final dedup groupBy.
     "tx07_clean_corpus" -> ((s, dir) => {
-      val rawWords = split(col("text"), " ")
-      val lowWords = split(lower(col("text")), " ")
-      val nWords = size(rawWords)
-      val nStop = hitCount(rawWords, enWords)
-      val score = round(
-        least(lit(1.0), nWords.cast("double") / 200) * 0.5
-          + (nStop.cast("double") / nWords) * 0.5, 6)
-      val en = hitCount(lowWords, enWords)
-      val es = hitCount(lowWords, esWords)
-      val de = hitCount(lowWords, deWords)
-      val predLang = when(en >= es && en >= de, "en")
-        .when(es >= de, "es").otherwise("de")
-      docs(s, dir)
-        .withColumn("quality_score", score)
-        .withColumn("pred_lang", predLang)
-        .filter(col("pred_lang") === "en" && col("quality_score") >= 0.12)
-        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      scoredEnglish(docs(s, dir))
         .groupBy("fp")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
           max("quality_score").as("quality_score"))
@@ -220,6 +228,24 @@ object TextOps {
     }),
   )
 
+  /** DuckDB form of [[scoredEnglish]]'s scoring stage (before the gates) —
+    * shared by the tx07 oracle and the streaming st05 oracle.
+    */
+  private[graft] val scoredCteSql: String = {
+    val stop = sqlList(enWords)
+    def h(l: Seq[String]) =
+      s"len(list_filter(string_split(lower(text), ' '), w -> list_contains(${sqlList(l)}, w)))"
+    s""" SELECT doc_id, text,
+       |  ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200) * 0.5
+       |   + (CAST(len(list_filter(string_split(text, ' '),
+       |        w -> list_contains($stop, w))) AS DOUBLE)
+       |      / len(string_split(text, ' '))) * 0.5, 6) AS quality_score,
+       |  CASE WHEN ${h(enWords)} >= ${h(esWords)} AND ${h(enWords)} >= ${h(deWords)}
+       |    THEN 'en' WHEN ${h(esWords)} >= ${h(deWords)} THEN 'es' ELSE 'de' END
+       |    AS pred_lang
+       | FROM documents""".stripMargin
+  }
+
   val oracle: Map[String, String] = ListMap(
     "dd01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
@@ -279,28 +305,15 @@ object TextOps {
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "tx07_clean_corpus" -> {
-      val stop = sqlList(enWords)
-      def h(l: Seq[String]) =
-        s"len(list_filter(string_split(lower(text), ' '), w -> list_contains(${sqlList(l)}, w)))"
-      s"""WITH scored AS (
-         | SELECT doc_id, text,
-         |  ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200) * 0.5
-         |   + (CAST(len(list_filter(string_split(text, ' '),
-         |        w -> list_contains($stop, w))) AS DOUBLE)
-         |      / len(string_split(text, ' '))) * 0.5, 6) AS quality_score,
-         |  CASE WHEN ${h(enWords)} >= ${h(esWords)} AND ${h(enWords)} >= ${h(deWords)}
-         |    THEN 'en' WHEN ${h(esWords)} >= ${h(deWords)} THEN 'es' ELSE 'de' END
-         |    AS pred_lang
-         | FROM documents)
+    "tx07_clean_corpus" ->
+      s"""WITH scored AS ($scoredCteSql)
          |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
          | MAX(quality_score) AS quality_score,
          | md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
          |FROM scored
          |WHERE pred_lang = 'en' AND quality_score >= 0.12
          |GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-         |ORDER BY keep_id""".stripMargin
-    },
+         |ORDER BY keep_id""".stripMargin,
 
     "tx05_vocabulary" ->
       """SELECT w, COUNT(*) AS n FROM (

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextOps
+
+/** Streaming twin of the tx07 corpus-cleaning pipeline: the SAME row-local
+  * gate expressions ([[graft.operators.TextOps.scoredEnglish]] — shared
+  * code, not a re-implementation), then state-store dedup on the document
+  * fingerprint. This is how a training-data pipeline ingests a continuous
+  * crawl: filter + fingerprint per micro-batch (narrow), dedup against
+  * all-history keys in the state store.
+  *
+  * Output is keys-only (st03's contract): WHICH physical row survives a
+  * streaming dedup depends on arrival order, so only the deterministic key
+  * set is emitted — equal to the batch DISTINCT the oracle runs.
+  *
+  * Scale notes: at a real ingest rate the fingerprint state store is the
+  * bounded structure (one key per distinct cleaned doc); with an
+  * event-time column the same plan takes `dropDuplicatesWithinWatermark`
+  * to bound state by time instead of corpus size.
+  */
+object CorpusStream {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val queries: Map[String, Q] = ListMap(
+    "st05_stream_clean_corpus" -> ((s, dir) => {
+      // cloned session: the small-state shuffle override never leaks to the
+      // caller's session (same scoping contract as EventsStream.runStream)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val schema = Tables(ss, dir, "documents").schema
+      val sink = s"st05_mem_${nameCounter.incrementAndGet()}"
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = TextOps.scoredEnglish(stream)
+        .dropDuplicates("fp")
+        .select(col("fp"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).orderBy("fp")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    // Streaming gate + state dedup == batch DISTINCT over the same gates.
+    "st05_stream_clean_corpus" ->
+      s"""WITH scored AS (${TextOps.scoredCteSql})
+         |SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |FROM scored
+         |WHERE pred_lang = 'en' AND quality_score >= 0.12
+         |ORDER BY fp""".stripMargin,
+  )
+}
