@@ -57,15 +57,16 @@ object CorpusFilters {
         .select(col("doc_id"), grams5.as("grams"))
       val benchGrams = withGrams.filter(col("doc_id") % 20 === 0)
         .select(explode(col("grams")).as("g")).distinct()
-      val corpus = withGrams.filter(col("doc_id") % 20 =!= 0)
-      val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
-        .join(broadcast(benchGrams), "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      corpus.select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).cast("int").as("n_shared_5grams"),
-          (coalesce(col("n_shared"), lit(0L)) >= ContaminationMin)
+      // LEFT join at the GRAM level: every corpus doc has ≥ 1 gram (the
+      // greatest(…, 1) floor), so the per-doc aggregate keeps zero-overlap
+      // docs too — ONE corpus scan, no second doc-level join.
+      withGrams.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_shared_5grams"))
+        .select(col("doc_id"), col("n_shared_5grams"),
+          (col("n_shared_5grams") >= ContaminationMin)
             .cast("int").as("contaminated"))
         .orderBy("doc_id")
     }),

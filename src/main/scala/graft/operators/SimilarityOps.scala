@@ -193,11 +193,15 @@ object SimilarityOps {
           when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
             .otherwise(0)
         }.reduce(_ + _)
-      // ids-only through the bucket shuffle
-      val sigs = e.select(col("vec_id"), explode(array(
-        (0 until nTables).map(t => struct(lit(t).as("tb"),
-          sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
-        .select(col("vec_id"), col("ts.tb"), col("ts.sig"))
+      // ids-only through the bucket shuffle; the signature table is
+      // materialized once (the lake pattern — MinHashDedup's scratch
+      // cache), so the self-join's two sides share one signature pass
+      val sigs = MinHashDedup.materialized(
+        e.select(col("vec_id"), explode(array(
+          (0 until nTables).map(t => struct(lit(t).as("tb"),
+            sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
+          .select(col("vec_id"), col("ts.tb"), col("ts.sig")),
+        "dd07_sigs", dir)
       val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
         .join(sigs.select(col("vec_id").as("id2"), col("tb"), col("sig")),
           Seq("tb", "sig"))
