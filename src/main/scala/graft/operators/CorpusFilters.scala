@@ -72,27 +72,32 @@ object CorpusFilters {
     }),
 
     // Repetition signals (Gopher-style quality filters): duplicate-word
-    // fraction (row-local) and top-bigram fraction (explode + partial-agg
-    // group-bys). Both computed in ONE scan: the row-local stats ride
-    // through the bigram aggregation as max() of a per-doc constant.
+    // fraction and top-bigram fraction, both ROW-LOCAL — the top bigram
+    // count is the longest run in the doc's SORTED bigram array, folded
+    // with a higher-order aggregate. One scan, ZERO data shuffle (the
+    // explode + groupBy(doc_id, bigram) formulation pushes every bigram of
+    // the corpus through two exchanges for a per-row statistic); the oracle
+    // runs the unnest + GROUP BY spelling of the same definition.
     "tx10_repetition" -> ((s, dir) => {
-      val bigrams = expr(
+      val bigrams =
         """transform(sequence(1, greatest(size(w) - 1, 1)),
-          | i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin)
+          | i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin
+      val topRun = expr(
+        s"""aggregate(array_sort($bigrams),
+           | named_struct('prev', '', 'run', 0L, 'best', 0L),
+           | (acc, x) -> named_struct(
+           |   'prev', x,
+           |   'run', IF(x = acc.prev, acc.run + 1L, 1L),
+           |   'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+           | acc -> acc.best)""".stripMargin)
       docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .select(col("doc_id"), size(col("w")).as("n_words"),
           round(lit(1.0) -
             size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
             .as("dup_word_frac"),
-          explode(bigrams).as("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(count(lit(1)).as("c"),
-          max("n_words").as("n_words"), max("dup_word_frac").as("dup_word_frac"))
-        .groupBy("doc_id")
-        .agg(max("n_words").as("n_words"), max("dup_word_frac").as("dup_word_frac"),
-          round(max(col("c")).cast("double") / sum(col("c")), 6)
-            .as("top_bigram_frac"))
+          round(topRun.cast("double") /
+            greatest(size(col("w")) - 1, lit(1)), 6).as("top_bigram_frac"))
         .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
           col("top_bigram_frac"),
           // 0.18 (not lower): a clean k-word doc has top fraction ~1/(k-1),

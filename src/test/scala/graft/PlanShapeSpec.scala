@@ -94,6 +94,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the bounded bottom-k ObjectHashAggregate:\n$plan")
   }
 
+  test("tx10 repetition stats are row-local: one scan, no aggregate shuffle") {
+    val df = SparkEntry.queries("tx10_repetition")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected one scan:\n$plan")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.isEmpty, s"per-row stats must not aggregate:\n$plan")
+    // only the presentation sort may exchange
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 1, s"expected <=1 exchange:\n$plan")
+  }
+
   test("dc01 joins corpus n-grams against a BROADCAST benchmark set") {
     // the benchmark n-gram set is tiny vs the corpus; a sort-merge join
     // here would shuffle every corpus n-gram at 100 TB
