@@ -116,7 +116,7 @@ object SimilarityOps {
       }.reduce(_ + _)
       val e0 = emb(s, dir)
       val withPl = (0 until nPlanes).foldLeft(e0) { (df, p) =>
-        df.withColumn(s"pl$p", array(pl(p).map(lit): _*))
+        df.withColumn(s"pl$p", array(pl(p).toIndexedSeq.map(lit): _*))
       }
       val sig = withPl.withColumn("sig", sigCol)
         .select("vec_id", "v", "nrm", "sig")
@@ -189,7 +189,7 @@ object SimilarityOps {
       val e = emb(s, dir)
       def sigCol(pl: Array[Array[Double]]): Column =
         pl.indices.map { p =>
-          val plane = array(pl(p).map(lit): _*)
+          val plane = array(pl(p).toIndexedSeq.map(lit): _*)
           when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
             .otherwise(0)
         }.reduce(_ + _)

@@ -20,7 +20,7 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
     val saltCol: Column =
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salts))
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(salts))
     val p = probe.withColumn("__salt", saltCol.cast("int"))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
