@@ -11,6 +11,36 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("bucketed LSH signature table makes the band self-join exchange-free") {
+    // the lake deployment of dd02/dd07: the signature table is PERSISTED
+    // bucketed on the banded hash, so every nightly dedup run's candidate
+    // self-join co-locates both sides and plans with zero shuffles — the
+    // band shuffle is paid once at signature-build time, not per run
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    docs.select(col("doc_id"), xxhash64(col("text")).as("bh"))
+      .write.mode("overwrite").bucketBy(8, "bh").sortBy("bh")
+      .saveAsTable("sig_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sig = spark.table("sig_bucketed")
+      val pairs = sig.select(col("doc_id").as("id1"), col("bh"))
+        .join(sig.select(col("doc_id").as("id2"), col("bh")), Seq("bh"))
+        .filter(col("id1") < col("id2"))
+      val joinNode = pairs.queryExecution.sparkPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joinNode.isDefined, "expected a sort-merge join")
+      assert(joinNode.get.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        "bucketed signature self-join must not shuffle")
+      assert(pairs.count() >= 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sig_bucketed")
+    }
+  }
+
   test("join over bucketed tables plans without shuffle exchanges") {
     val li = Tables(spark, TestSpark.sf0001, "lineitem")
     val o = Tables(spark, TestSpark.sf0001, "orders")
