@@ -16,12 +16,13 @@ import graft.Tables
   *    are thousands of documents, the corpus is billions), so contamination
   *    is a broadcast hash join of corpus n-grams against the benchmark set
   *    — no shuffle of the corpus, cost is one scan + the tiny broadcast.
-  *  - tx10: repetition signals are explode + two partial-aggregated
-  *    group-bys on (doc_id[, bigram]) — the canonical distributed
-  *    formulation (tx05's vocabulary pattern); no skewed keys because
-  *    doc_id is unique per group.
+  *  - tx10: repetition signals are fully ROW-LOCAL (the top-bigram count
+  *    is the longest run of the sorted bigram array, folded with a
+  *    higher-order aggregate) — one scan, zero data shuffle.
   *  - tx11: pure row-local regex over codegen'd string expressions — a
   *    narrow map, embarrassingly parallel.
+  *  - tx12: per-source quotas from a tiny broadcast aggregate; selection
+  *    via the bounded BottomKPerKey aggregator, never a stratum window.
   */
 object CorpusFilters {
   type Q = (SparkSession, String) => DataFrame
