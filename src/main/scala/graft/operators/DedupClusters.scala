@@ -80,6 +80,22 @@ object DedupClusters {
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy(asc("doc_id"))
     }),
+
+    // SEMANTIC dedup clusters: same min-label CC kernel over the embedding
+    // near-dup pairs (dd07's multi-table LSH path) instead of text-LSH
+    // pairs — "keep one per semantic duplicate group", the
+    // embedding-space twin of dd06. `keep` marks the representative.
+    "dd08_semantic_clusters" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
+      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      connectedComponents(nodes, pairs)
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
+        .orderBy(asc("vec_id"))
+    }),
   )
 
   /** Oracle: exact all-pairs Jaccard pairs (the proven dd02 equivalent) +
@@ -111,5 +127,22 @@ object DedupClusters {
         |  COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size
         |FROM walk GROUP BY id
         |ORDER BY doc_id""".stripMargin,
+
+    // Same reachability oracle over dd07's exact pair computation (the
+    // plane-literal CTE chain spliced under WITH RECURSIVE).
+    "dd08_semantic_clusters" ->
+      s"""WITH RECURSIVE
+         | ${SimilarityOps.nearDupPairsCteSql},
+         | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |           UNION ALL SELECT id2, id1 FROM pairs),
+         | walk(id, r) AS (
+         |   SELECT vec_id, vec_id FROM embeddings
+         |   UNION
+         |   SELECT e.a, walk.r FROM edges e JOIN walk ON walk.id = e.b)
+         |SELECT id AS vec_id, MIN(r) AS cluster_id,
+         |  COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size,
+         |  CAST(id = MIN(r) AS INT) AS keep
+         |FROM walk GROUP BY id
+         |ORDER BY vec_id""".stripMargin,
   )
 }

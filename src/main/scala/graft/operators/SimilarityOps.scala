@@ -72,6 +72,42 @@ object SimilarityOps {
     math.max(MinPlanes, math.ceil(
       math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt)
 
+  /** dd07's kernel, shared with the semantic-cluster operator (dd08):
+    * multi-table hyperplane LSH candidates → exact cosine ≥ 0.4 pairs.
+    * Only ids travel through the bucket shuffle; the signature table is
+    * materialized once (the lake pattern — MinHashDedup's scratch cache),
+    * so the self-join's two sides share one signature pass.
+    */
+  private[operators] def embeddingNearDupPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
+    val nTables = 3
+    val e = emb(s, dir)
+    def sigCol(pl: Array[Array[Double]]): Column =
+      pl.indices.map { p =>
+        val plane = array(pl(p).toIndexedSeq.map(lit): _*)
+        when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
+          .otherwise(0)
+      }.reduce(_ + _)
+    val sigs = MinHashDedup.materialized(
+      e.select(col("vec_id"), explode(array(
+        (0 until nTables).map(t => struct(lit(t).as("tb"),
+          sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
+        .select(col("vec_id"), col("ts.tb"), col("ts.sig")),
+      "dd07_sigs", dir)
+    val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
+      .join(sigs.select(col("vec_id").as("id2"), col("tb"), col("sig")),
+        Seq("tb", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    cands.join(v1, "id1").join(v2, "id2")
+      .select(col("id1"), col("id2"),
+        round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
   val queries: Map[String, Q] = ListMap(
     // Cosine over consecutive-id pairs — oracle-checked exact kernel.
     "ss01_cosine_pairs" -> ((s, dir) => {
@@ -183,38 +219,8 @@ object SimilarityOps {
     // (dd02's lake pattern). Complements dd05's bounded-window variant,
     // which assumes near-dups are id-adjacent; this one has no such
     // assumption and its cost follows bucket sizes, not n².
-    "dd07_embedding_lsh_neardup" -> ((s, dir) => {
-      val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
-      val nTables = 3
-      val e = emb(s, dir)
-      def sigCol(pl: Array[Array[Double]]): Column =
-        pl.indices.map { p =>
-          val plane = array(pl(p).toIndexedSeq.map(lit): _*)
-          when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
-            .otherwise(0)
-        }.reduce(_ + _)
-      // ids-only through the bucket shuffle; the signature table is
-      // materialized once (the lake pattern — MinHashDedup's scratch
-      // cache), so the self-join's two sides share one signature pass
-      val sigs = MinHashDedup.materialized(
-        e.select(col("vec_id"), explode(array(
-          (0 until nTables).map(t => struct(lit(t).as("tb"),
-            sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
-          .select(col("vec_id"), col("ts.tb"), col("ts.sig")),
-        "dd07_sigs", dir)
-      val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
-        .join(sigs.select(col("vec_id").as("id2"), col("tb"), col("sig")),
-          Seq("tb", "sig"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-      val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      cands.join(v1, "id1").join(v2, "id2")
-        .select(col("id1"), col("id2"),
-          round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
-        .filter(col("cosine") >= 0.4)
-        .orderBy("id1", "id2")
-    }),
+    "dd07_embedding_lsh_neardup" -> ((s, dir) =>
+      embeddingNearDupPairs(s, dir).orderBy("id1", "id2")),
 
     // Embedding near-dup: bounded candidate window, rounded-cosine flag.
     "dd05_embedding_neardup" -> ((s, dir) => {
@@ -251,6 +257,29 @@ object SimilarityOps {
     }.mkString(" + ")
 
   private def ss03SigSql: String = sigSqlFor(42, 4)
+
+  /** dd07's pair computation as a CTE chain ending in `pairs(id1, id2,
+    * cosine)` — shared by the dd07 oracle and dd08's recursive-CTE oracle
+    * (which must splice it under `WITH RECURSIVE`).
+    */
+  private[operators] def nearDupPairsCteSql: String =
+    s"""d AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       | n AS (SELECT vec_id, v,
+       |   sqrt(list_inner_product(v, v)) AS nrm FROM d),
+       | sg AS (SELECT vec_id, v, nrm,
+       |   ${sigSqlFor(42, 4)} AS s0,
+       |   ${sigSqlFor(43, 4)} AS s1,
+       |   ${sigSqlFor(44, 4)} AS s2 FROM n),
+       | c AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sg a JOIN sg b ON b.vec_id > a.vec_id
+       |   AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2)),
+       | pairs AS (SELECT c.id1, c.id2,
+       |   ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+       |  FROM c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2
+       |  WHERE ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+       |    >= 0.4)""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
     "ss01_cosine_pairs" ->
@@ -305,19 +334,8 @@ object SimilarityOps {
     // reproduces every bucket, so candidate generation is replicated
     // bit-for-bit and the cosine filter gates an exact quantity.
     "dd07_embedding_lsh_neardup" ->
-      s"""$oWith,
-         | s AS (SELECT vec_id, v, nrm,
-         |   ${sigSqlFor(42, 4)} AS s0,
-         |   ${sigSqlFor(43, 4)} AS s1,
-         |   ${sigSqlFor(44, 4)} AS s2 FROM n),
-         | c AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM s a JOIN s b ON b.vec_id > a.vec_id
-         |   AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2))
-         |SELECT c.id1, c.id2,
-         | ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
-         |FROM c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2
-         |WHERE ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
-         |ORDER BY id1, id2""".stripMargin,
+      s"""WITH $nearDupPairsCteSql
+         |SELECT id1, id2, cosine FROM pairs ORDER BY id1, id2""".stripMargin,
 
     "dd05_embedding_neardup" ->
       s"""$oWith

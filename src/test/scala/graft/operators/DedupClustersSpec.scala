@@ -83,4 +83,27 @@ class DedupClustersSpec extends AnyFunSuite {
     // the fixture corpus has planted near-dups → at least one real cluster
     assert(byCluster.exists(_._2.length > 1))
   }
+
+  test("dd08 semantic clusters: labels minimal, keep marks representatives, " +
+    "edges intra-cluster") {
+    val out = DedupClusters.queries("dd08_semantic_clusters")(
+      spark, TestSpark.sf0001)
+    val rows = out.select("vec_id", "cluster_id", "cluster_size", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    val nVecs = graft.Tables(spark, TestSpark.sf0001, "embeddings").count()
+    assert(rows.length.toLong === nVecs)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.forall(_._3 === members.length.toLong))
+      assert(members.count(_._4 == 1) === 1) // exactly one representative
+      assert(members.find(_._4 == 1).get._1 === cid)
+    }
+    // every near-dup pair's endpoints landed in the same cluster
+    val label = rows.map(r => r._1 -> r._2).toMap
+    val pairs = SimilarityOps.embeddingNearDupPairs(spark, TestSpark.sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(label(a) === label(b)) }
+  }
 }
