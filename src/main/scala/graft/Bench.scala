@@ -6,6 +6,25 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   */
 object Bench {
+  type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  /** Times each query against the materializing noop sink. A query that
+    * throws lands in the second map (error text) and NEVER as a timing —
+    * a crash must not masquerade as a fast run in BENCH_rN deltas.
+    */
+  def run(spark: SparkSession, sfDir: String, queries: Map[String, Q])
+      : (Map[String, Double], Map[String, String]) = {
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable => Some(t.toString) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    (results.collect { case (k, v, None) => (k, v) }.toMap,
+      results.collect { case (k, _, Some(e)) => (k, e) }.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,15 +46,7 @@ object Bench {
     }
     // noop sink: materializes every row of the final plan (unlike count(),
     // under which Catalyst elides top-level ORDER BY + output projection).
-    // A query that throws is recorded under "errors" — NOT as a timing —
-    // so a crash can never masquerade as a fast run in BENCH_rN deltas.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case t: Throwable => Some(t.toString) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
+    val (ok, errMap) = run(spark, sfDir, SparkEntry.queries)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -43,12 +54,13 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val ok = results.collect { case (k, v, None) => (k, v) }
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    // SparkEntry.queries order for stable output
+    val qs = SparkEntry.queries.keys.toSeq.filter(ok.contains)
+      .map(k => jstr(k) + ":" + ok(k)).mkString("{", ",", "}")
+    val errs = errMap.toSeq.map { case (k, e) =>
       jstr(k) + ":" + jstr(e.take(300))
     }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
