@@ -23,7 +23,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (name != "st01_stream_hourly") { // streaming: no batch plan to print
+      // streaming queries (st*) RUN the whole stream inside the query fn
+      // and return a memory-sink table — there's no batch plan worth
+      // printing, so skip them instead of paying the stream execution
+      if (!name.startsWith("st")) {
         sb.append(s"\n=== $name ===\n")
         try sb.append(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
