@@ -17,8 +17,11 @@ import graft.Tables
   * every node takes the min label among itself and its neighbors; converges
   * in O(component diameter) rounds. Near-dup components are band-connected
   * near-cliques (diameter rarely above 2-3), so a handful of rounds closes
-  * them. Each round is two shuffles (edge join + min-agg) over frames whose
-  * size never exceeds |nodes| + |edges| — no transitive-closure pair blowup
+  * them. Each round is exactly two shuffles (edge join + min-agg) over
+  * frames whose size never exceeds |nodes| + |edges|; the convergence
+  * check reads the round's own aggregate (the previous label rides through
+  * the min-agg tagged), so it adds no extra join — and there is no
+  * transitive-closure pair blowup
   * (the oracle's recursive CTE enumerates reachability, which is only
   * tractable because the corpus is small; the Spark path scales).
   * `localCheckpoint` truncates lineage each round so plans stay O(1); a
@@ -42,13 +45,17 @@ object DedupClusters {
     def propagate(): Unit = {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lab"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("lab").as("lab"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lab") < col("o.lab")).count()
-      labels = next
+      // the node's OWN row rides through the min-agg tagged, so the old
+      // label comes out of the same pass — no per-round join of
+      // next×labels (a second full shuffle) just to count convergence
+      val agg = labels.select(col("id"), col("lab"), lit(true).as("own"))
+        .union(prop.select(col("id"), col("lab"), lit(false).as("own")))
+        .groupBy("id")
+        .agg(min("lab").as("lab"),
+          max(when(col("own"), col("lab"))).as("oldLab"))
+        .localCheckpoint() // eager: one job materializes the round
+      changed = agg.filter(col("lab") < col("oldLab")).count() // cheap re-read
+      labels = agg.select(col("id"), col("lab"))
       round += 1
     }
     while (changed > 0 && round < maxIter) propagate()
