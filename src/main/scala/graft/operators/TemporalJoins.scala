@@ -114,6 +114,27 @@ object TemporalJoins {
         .orderBy(asc("event_id"))
     }),
 
+    // AS-OF with TOLERANCE: the practical variant — match the latest
+    // signup at-or-before the purchase ONLY if it is within 1 hour;
+    // otherwise emit nulls. Same one-shuffle union+window kernel; the
+    // tolerance is a row-local post-filter on the matched timestamp, so
+    // the scale shape is identical to aj01.
+    "aj03_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("signup_id"))
+      val within = col("asof_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      asOf(purchases, signups, Seq("user_id"), "ts", Seq("signup_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          when(within, date_format(col("asof_ts"), TsFmt)).as("signup_ts"),
+          when(within, col("signup_id")).as("signup_id"))
+        .orderBy(asc("event_id"))
+    }),
+
     // Range join: purchases of the same user within ±1 h of each error.
     // Candidates come from an equi-join on (user, hour-bucket) — the right
     // side lands in ONE bucket, the left probes its ≤3 covering buckets, so
@@ -170,6 +191,21 @@ object TemporalJoins {
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
         |  s.signup_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "aj03_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+        |       WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CASE WHEN s.ts >= p.ts - INTERVAL 1 HOUR
+        |       THEN strftime(s.ts, '%Y-%m-%d %H:%M:%S') END AS signup_ts,
+        |  CASE WHEN s.ts >= p.ts - INTERVAL 1 HOUR
+        |       THEN s.signup_id END AS signup_id
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,

@@ -108,6 +108,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("asOf tolerance masks matches older than the window, keeps the rest") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = TemporalJoins.queries("aj03_asof_tolerance")(
+      spark, graft.TestSpark.sf0001)
+    val base = TemporalJoins.queries("aj01_asof_join")(
+      spark, graft.TestSpark.sf0001)
+    // same row set as the un-toleranced as-of (left semantics preserved)
+    assert(out.count() === base.count())
+    // every surviving match is within the 1 h window
+    val violations = out.filter(col("signup_ts").isNotNull &&
+      col("signup_ts").cast("timestamp") <
+        col("ts").cast("timestamp") - expr("INTERVAL 1 HOUR")).count()
+    assert(violations === 0L)
+    // the tolerance is not a no-op: some aj01 matches fall outside 1 h
+    val masked = base.filter(col("signup_id").isNotNull).count() -
+      out.filter(col("signup_id").isNotNull).count()
+    assert(masked > 0L, "expected at least one match older than 1 h")
+  }
+
   test("range join counts only in-window purchases; zero-match rows kept") {
     val q = TemporalJoins.queries("rj01_range_join")
     val out = q(spark, graft.TestSpark.sf0001)
