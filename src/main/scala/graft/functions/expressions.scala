@@ -81,6 +81,35 @@ case class DotProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
 }
 
+/** Runtime kernel for [[NfcNormalize]] — kept as a static helper so the
+  * generated code is a single call. The `isNormalized` fast path matters at
+  * scale: ASCII (the overwhelming majority of corpus bytes) short-circuits
+  * without allocating a transformed copy.
+  */
+object TextNorm {
+  private val NFC = java.text.Normalizer.Form.NFC
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, NFC))
+  }
+}
+
+/** `nfc_normalize(string) → string`: Unicode canonical composition (NFC) —
+  * the standard pre-tokenization canonicalization (é as one codepoint vs
+  * e + combining acute hash differently, breaking dedup). Codegen'd, no UDF;
+  * mirrors DuckDB's `nfc_normalize` so the oracle gates it exactly.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextNorm.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 /** Registration + Column wrappers. `register` installs the SQL names into a
   * session's function registry (also injectable via
   * [[GraftExtensions]] for `spark.sql.extensions`-configured sessions).
@@ -89,6 +118,7 @@ object GraftFunctions {
   def cnpj_valid(c: Column): Column = toCol(CnpjValid(toExpr(c)))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+  def nfc_normalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -96,6 +126,8 @@ object GraftFunctions {
       es => CnpjValid(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "scala_udf")
   }
 
   private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
@@ -116,6 +148,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -91,6 +91,26 @@ object Relational4 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // LATERAL correlated subquery: per-customer top-2 orders by price —
+    // the SQL-standard form of "top-k per key". Catalyst decorrelates the
+    // correlated ORDER BY + LIMIT into a partitioned window (one shuffle on
+    // the join key), so the plan is the same scale shape as q09's explicit
+    // window — no nested-loop re-execution per outer row.
+    "q44_lateral" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q44_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("q44_orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+          |FROM q44_customer c
+          |JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM q44_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+          |) t
+          |WHERE c.c_custkey < 200
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     // Explicit GROUPING SETS (beyond rollup/cube): two one-dimension margins
     // plus the full cross — the Dataset.groupingSets API, grouping()
     // indicators disambiguating margin rows from real NULL keys.
@@ -165,6 +185,17 @@ object Relational4 {
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q44_lateral" ->
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t ON TRUE
+        |WHERE c.c_custkey < 200
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
 
     "q43_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

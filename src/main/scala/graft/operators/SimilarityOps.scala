@@ -72,13 +72,13 @@ object SimilarityOps {
     math.max(MinPlanes, math.ceil(
       math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt)
 
-  /** dd07's kernel, shared with the semantic-cluster operator (dd08):
-    * multi-table hyperplane LSH candidates → exact cosine ≥ 0.4 pairs.
-    * Only ids travel through the bucket shuffle; the signature table is
-    * materialized once (the lake pattern — MinHashDedup's scratch cache),
-    * so the self-join's two sides share one signature pass.
+  /** Multi-table hyperplane LSH signatures — (vec_id, tb, sig) with one row
+    * per (vector, table). 3 independent tables amplify recall (candidate if
+    * ANY table agrees). Materialized once per (tag, input dir) via
+    * MinHashDedup's scratch cache, so dd07, dd08 and ss05 all share one
+    * signature pass instead of re-shingling the corpus.
     */
-  private[operators] def embeddingNearDupPairs(
+  private[operators] def multiTableSigs(
       s: SparkSession, dir: String): DataFrame = {
     val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
     val nTables = 3
@@ -89,12 +89,23 @@ object SimilarityOps {
         when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
           .otherwise(0)
       }.reduce(_ + _)
-    val sigs = MinHashDedup.materialized(
+    MinHashDedup.materialized(
       e.select(col("vec_id"), explode(array(
         (0 until nTables).map(t => struct(lit(t).as("tb"),
           sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
         .select(col("vec_id"), col("ts.tb"), col("ts.sig")),
       "dd07_sigs", dir)
+  }
+
+  /** dd07's kernel, shared with the semantic-cluster operator (dd08):
+    * multi-table hyperplane LSH candidates → exact cosine ≥ 0.4 pairs.
+    * Only ids travel through the bucket shuffle; vectors join back per
+    * candidate pair.
+    */
+  private[operators] def embeddingNearDupPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val sigs = multiTableSigs(s, dir)
     val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
       .join(sigs.select(col("vec_id").as("id2"), col("tb"), col("sig")),
         Seq("tb", "sig"))
@@ -204,6 +215,34 @@ object SimilarityOps {
         .select(col("qid"), col("vec_id"),
           (dot12 / (col("n1") * col("n2"))).as("cos"))
         .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Two-stage ANN, the production retrieval pattern: (1) candidate
+    // generation — multi-table LSH bucket probe (union of 3 tables'
+    // buckets, higher recall than ss03's single table), ids only through
+    // the join; (2) exact re-rank — candidates join back their full
+    // vectors and the true cosine picks top-5. Work scales with candidate
+    // count (bucket-bounded), never corpus²; the query side is broadcast.
+    "ss05_ann_rerank" -> ((s, dir) => {
+      val sigs = multiTableSigs(s, dir)
+      val qs = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("tb"), col("sig"))
+      val cands = broadcast(qs).join(sigs, Seq("tb", "sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      val cv = e.select(col("vec_id"), col("v").as("v2"), col("nrm").as("n2"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      cands.join(cv, "vec_id").join(broadcast(qv), "qid")
+        .select(col("qid"), col("vec_id"),
+          (dot12 / (col("n1") * col("n2"))).as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
@@ -325,6 +364,27 @@ object SimilarityOps {
          |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
          |  FROM asg q JOIN asg c ON c.cid = q.cid AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 10),
+         | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
+         |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Candidate buckets replicated exactly (3 tables' planes as double
+    // literals), then the same exact-cosine re-rank — the two-stage
+    // pipeline is gated end to end, not just its final ordering.
+    "ss05_ann_rerank" ->
+      s"""$oWith,
+         | sg AS (SELECT vec_id,
+         |   ${sigSqlFor(42, 4)} AS s0,
+         |   ${sigSqlFor(43, 4)} AS s1,
+         |   ${sigSqlFor(44, 4)} AS s2 FROM n),
+         | c AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id
+         |  FROM sg q JOIN sg b ON b.vec_id <> q.vec_id
+         |   AND (q.s0 = b.s0 OR q.s1 = b.s1 OR q.s2 = b.s2)
+         |  WHERE q.vec_id < 10),
+         | j AS (SELECT c.qid, c.vec_id,
+         |   list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+         |  FROM c JOIN n x ON x.vec_id = c.qid JOIN n y ON y.vec_id = c.vec_id),
          | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
          |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
          |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn

@@ -209,6 +209,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Text normalization: strip markup-ish tags, collapse whitespace, trim,
+    // then Unicode NFC canonical composition — the canonicalization pass
+    // that precedes tokenization/fingerprinting in a real corpus pipeline
+    // (é-as-one-codepoint vs e+combining-acute must dedup together). Fully
+    // row-local, zero shuffle; NFC is the native codegen'd
+    // [[graft.functions.NfcNormalize]] with an already-normalized (ASCII)
+    // fast path, mirrored exactly by DuckDB's nfc_normalize.
+    "tx13_normalize" -> ((s, dir) => {
+      val stripped = trim(regexp_replace(
+        regexp_replace(col("text"), "<[^>]+>", " "), "\\s+", " "))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.nfc_normalize(stripped)
+            .as("norm_text"))
+        .select(col("doc_id"), md5(col("norm_text")).as("norm_md5"),
+          length(col("norm_text")).as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top 50.
     "tx05_vocabulary" -> ((s, dir) => {
       docs(s, dir)
@@ -314,6 +333,16 @@ object TextOps {
          |WHERE pred_lang = 'en' AND quality_score >= 0.12
          |GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
          |ORDER BY keep_id""".stripMargin,
+
+    "tx13_normalize" ->
+      """WITH nrm AS (SELECT doc_id,
+        |  nfc_normalize(trim(regexp_replace(
+        |    regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))
+        |    AS norm_text
+        | FROM documents)
+        |SELECT doc_id, md5(norm_text) AS norm_md5,
+        | CAST(LENGTH(norm_text) AS INT) AS norm_len
+        |FROM nrm ORDER BY doc_id""".stripMargin,
 
     "tx05_vocabulary" ->
       """SELECT w, COUNT(*) AS n FROM (

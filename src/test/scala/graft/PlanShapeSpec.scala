@@ -127,6 +127,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q44 lateral top-k decorrelates to a window — no nested loop") {
+    // Catalyst must rewrite the correlated ORDER BY + LIMIT subquery into a
+    // per-key window (one shuffle on the join key); a nested-loop plan
+    // would re-execute the subquery per outer row
+    val df = SparkEntry.queries("q44_lateral")(spark, TestSpark.sf0001)
+    // executedPlan is an AdaptiveSparkPlan leaf — assert on its rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // WindowGroupLimit = the decorrelated per-key top-k, with a map-side
+    // Partial pass so only <=2 rows per key reach the shuffle
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the decorrelated window group limit:\n${plan.take(2000)}")
+  }
+
+  test("ss05 re-rank joins candidates by id — no nested loop, broadcast probe") {
+    val plan = SparkEntry.queries("ss05_ann_rerank")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("tx13 normalization is a single scan with no shuffle but the sort") {
+    val df = SparkEntry.queries("tx13_normalize")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected one scan:\n$plan")
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 1, s"expected <=1 exchange:\n$plan")
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq

@@ -39,7 +39,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  Seq("ss03_ann_lsh", "ss04_ann_ivf").foreach { annName =>
+  test("ss05 multi-table candidates dominate ss03's single table per rank") {
+    // ss05's table 0 uses ss03's seed, so its candidate set is a superset;
+    // at every (qid, rank) the re-ranked cosine can only be >= ss03's.
+    def byRank(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val multi = byRank("ss05_ann_rerank")
+    val single = byRank("ss03_ann_lsh")
+    assert(multi.nonEmpty)
+    single.foreach { case (k, c) =>
+      assert(multi.getOrElse(k, Double.MinValue) >= c - 1e-9,
+        s"ss05 lost to ss03 at $k")
+    }
+  }
+
+  Seq("ss03_ann_lsh", "ss04_ann_ivf", "ss05_ann_rerank").foreach { annName =>
     test(s"$annName results are bounded by brute-force search") {
       val ann = SparkEntry.queries(annName)(spark, dir).collect()
       assert(ann.nonEmpty)

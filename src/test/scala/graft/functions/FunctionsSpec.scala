@@ -58,6 +58,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
   }
 
+  test("nfc_normalize composes combining sequences, passes through NFC text") {
+    import spark.implicits._
+    val composed = "café" // é as one codepoint
+    val decomposed = "café" // e + combining acute
+    val df = Seq(decomposed, composed, "plain ascii", null)
+      .toDF("s")
+    val got = df.select(GraftFunctions.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq(composed, composed, "plain ascii", null))
+    // both forms now fingerprint identically — the dedup motivation
+    val fps = df.filter(col("s").isNotNull)
+      .select(md5(GraftFunctions.nfc_normalize(col("s"))).as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fps(0) == fps(1))
+    // SQL registration path
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(s) AS n FROM nfc_in WHERE s IS NOT NULL")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == Seq(composed, composed, "plain ascii"))
+  }
+
   test("expressions stay inside whole-stage codegen (no fallback)") {
     val e = Tables(spark, TestSpark.sf0001, "embeddings")
       .select(GraftFunctions.dot_product(col("embedding"), col("embedding")).as("d"))
