@@ -1,0 +1,86 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-duplicate graph — the step after clustering
+  * (dd06/dd08): WHICH member of a duplicate group is the canonical one?
+  * Degree/PageRank centrality ranks representatives (the doc most connected
+  * to its near-dups is the best keeper), the same computation as web-graph
+  * dedup canonicalization.
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic (rank × 10⁹ as BIGINT,
+  * damping 0.85 applied as ×17 `div` 20): every operation is exact integer
+  * math, so the result is bit-identical regardless of partial-aggregation
+  * order — float PageRank cannot be hash-gated (double addition is not
+  * associative across partitionings), integer PageRank can. The oracle
+  * unrolls the same five iterations as chained CTEs with DuckDB's `//`.
+  *
+  * Scale notes (100 TB): each iteration is one edge⋈rank join (shuffle on
+  * src) + one contribution sum (shuffle on dst) over frames bounded by
+  * |edges| — the canonical distributed PageRank shape. The edge table (with
+  * per-src degree baked in) is materialized ONCE via the scratch-table lake
+  * pattern, so iterations re-read a parquet table instead of re-running LSH
+  * candidate generation; `localCheckpoint` truncates lineage per iteration
+  * (a multi-node deployment would use reliable `checkpoint`).
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 5
+  private val Scale = 1000000000L // rank fixed-point: 1.0 == 10^9
+  private val Base = 150000000L   // (1 - d) × Scale with d = 0.85
+
+  val queries: Map[String, Q] = ListMap(
+    // PageRank over the undirected embedding near-dup graph (dd07's pairs).
+    // Nodes = vectors with at least one near-dup edge; rank_scaled is the
+    // fixed-point rank after 5 iterations (uniform 1.0 start).
+    "gr01_pagerank" -> ((s, dir) => {
+      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1"), col("id2"))
+      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg-of-src), materialized once — iterations re-read it
+      val edges = MinHashDedup.materialized(
+        sym.join(deg, "src"), "gr01_edges", dir)
+      var ranks = edges.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(Scale))
+      for (_ <- 1 to Iters) {
+        ranks = edges.join(ranks, edges("src") === ranks("node"))
+          // integer div: exact, order-independent
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy("dst")
+          .agg(sum(col("contrib")).as("csum"))
+          .select(col("dst").as("node"),
+            (lit(Base) + expr("(csum * 17) div 20")).as("r"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
+    }),
+  )
+
+  /** The five iterations unrolled as chained CTEs over the spliced dd07
+    * pair chain — same integer math (`//` = Spark's `div` on positives).
+    */
+  private def iterSql: String = (1 to Iters).map { k =>
+    val prev = if (k == 1) "r0" else s"i${k - 1}"
+    s""" i$k AS (SELECT e.dst AS node,
+       |   CAST($Base + (SUM(r.r // d.deg) * 17) // 20 AS BIGINT) AS r
+       |  FROM ed e JOIN dg d ON d.src = e.src JOIN $prev r ON r.node = e.src
+       |  GROUP BY e.dst)""".stripMargin
+  }.mkString(",\n")
+
+  val oracle: Map[String, String] = ListMap(
+    "gr01_pagerank" ->
+      s"""WITH ${SimilarityOps.nearDupPairsCteSql},
+         | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |        UNION ALL SELECT id2, id1 FROM pairs),
+         | dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+         | r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS r FROM dg),
+         |$iterSql
+         |SELECT node, r AS rank_scaled FROM i$Iters ORDER BY node""".stripMargin,
+  )
+}

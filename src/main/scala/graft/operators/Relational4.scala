@@ -91,6 +91,23 @@ object Relational4 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Sketch with an ACCURACY CONTRACT: approx_count_distinct (HLL++) next
+    // to the exact count, gated on relative error staying under 5% — the
+    // oracle emits the exact counts plus a constant-true flag, so the hash
+    // gate fails if the sketch ever drifts out of contract. At lake scale
+    // the exact column drops away and the sketch's one-pass MERGEABLE
+    // aggregation (partials combine map-side, no distinct shuffle of the
+    // raw keys) is the point.
+    "q45_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          ((abs(col("approx") - col("exact_custs")).cast("double")
+            / col("exact_custs")) <= lit(0.05)).cast("int").as("within_5pct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // LATERAL correlated subquery: per-customer top-2 orders by price —
     // the SQL-standard form of "top-k per key". Catalyst decorrelates the
     // correlated ORDER BY + LIMIT into a partitioned window (one shuffle on
@@ -185,6 +202,13 @@ object Relational4 {
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q45_approx_distinct" ->
+      """SELECT o_orderpriority,
+        | COUNT(DISTINCT o_custkey) AS exact_custs,
+        | CAST(1 AS INT) AS within_5pct
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q44_lateral" ->
       """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice

@@ -76,6 +76,21 @@ object EventsStream {
           .select(col("purchase_id"), col("signup_id"), col("user_id"))
       }.orderBy("purchase_id", "signup_id")
     }),
+    // Stream-static enrichment: the streaming fact (purchases) joined to a
+    // STATIC broadcast dimension (customer) — the canonical streaming
+    // enrichment shape. The dim is re-planned per micro-batch (picking up
+    // dimension updates between batches) and broadcast, so the join adds
+    // no state store and no shuffle to the stream.
+    "st06_stream_enrich" -> ((s, dir) => {
+      runAppendStream(s, dir, "st06_mem") { df =>
+        val dim = broadcast(Tables(df.sparkSession, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        df.filter(col("event_type") === "purchase")
+          .join(dim, col("user_id") === col("c_custkey"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      }.orderBy("event_id")
+    }),
   )
 
   /** Shared driver for the streaming queries: file source → `xform` →
@@ -167,5 +182,13 @@ object EventsStream {
         |  AND p.user_id = s.user_id
         |  AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY purchase_id, signup_id""".stripMargin,
+
+    // Stream-static enrichment == the batch left join.
+    "st06_stream_enrich" ->
+      """SELECT e.event_id, e.user_id,
+        | COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("gr01 equals a driver-side fixed-point PageRank, bit for bit") {
+    // reference implementation: same integer math, sequential — any
+    // partial-agg reordering in the distributed path must not show
+    val pairs = SimilarityOps.embeddingNearDupPairs(spark, dir)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test graph is empty")
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var rank = deg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        contrib(dst) += rank(src) / deg(src)
+      }
+      rank = deg.keys.map(n => n -> (150000000L + contrib(n) * 17 / 20)).toMap
+    }
+    val got = GraphOps.queries("gr01_pagerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == rank)
+  }
+
+  test("gr01 ranks are positive and higher-degree hubs beat leaves") {
+    val rows = GraphOps.queries("gr01_pagerank")(spark, dir).collect()
+    assert(rows.forall(_.getLong(1) >= 150000000L))
+  }
+}
