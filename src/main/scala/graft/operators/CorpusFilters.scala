@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -108,6 +109,42 @@ object CorpusFilters {
         .orderBy("doc_id")
     }),
 
+    // Exact duplicate-substring spans — the suffix-array dedup CONTRACT of
+    // "Deduplicating Training Data Makes Language Models Better" (Lee et
+    // al.), realized shuffle-style: any 8-token run appearing verbatim in
+    // ≥ 2 documents is a duplicated span, and overlapping/adjacent
+    // duplicated grams merge into maximal per-doc spans (interval merge).
+    // Grams travel the shuffle as md5 keys (fixed-width, never the text);
+    // the span merge is a per-DOCUMENT window — bounded by doc length,
+    // embarrassingly parallel across docs, no stratum skew.
+    "dd09_substring_spans" -> ((s, dir) => {
+      val k = 8
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, size(w) - ${k - 1}),
+             | i -> md5(concat_ws(' ', slice(w, i, $k))))""".stripMargin))
+          .as(Seq("pos", "g")))
+      val dup = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val hits = grams.join(dup, "g").select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val prevMax = max(col("pos") + (k - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      hits
+        .withColumn("newSpan",
+          (prevMax.isNull || col("pos") > prevMax + 1).cast("int"))
+        .withColumn("isl", sum(col("newSpan")).over(w))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("span_start"),
+          (max(col("pos")) + (k - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Temperature-based mixture sampling (the standard multilingual/domain
     // rebalance: quota ∝ (share of largest source)^(1/2), so head sources
     // are downsampled and tail sources survive). Quotas come from a TINY
@@ -196,6 +233,25 @@ object CorpusFilters {
         |   AS repetitive
         |FROM rowstats r JOIN top t ON t.doc_id = r.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    "dd09_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |   WHERE len(string_split(text, ' ')) >= 8),
+        | g AS (SELECT tbl.doc_id, t.i - 1 AS pos,
+        |    md5(array_to_string(list_slice(tbl.w, t.i, t.i + 7), ' ')) AS g
+        |   FROM w tbl CROSS JOIN UNNEST(range(1, len(tbl.w) - 6)) AS t(i)),
+        | dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        | h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (g)),
+        | m AS (SELECT doc_id, pos,
+        |   MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM h),
+        | i AS (SELECT doc_id, pos,
+        |   SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+        | CAST(MAX(pos) + 7 AS INT) AS span_end,
+        | CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INT) AS span_tokens
+        |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
 
     "tx12_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents

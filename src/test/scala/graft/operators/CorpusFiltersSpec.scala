@@ -43,6 +43,15 @@ class CorpusFiltersSpec extends AnyFunSuite {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("dd09 finds the exact cross-doc 8-token span, ignores within-doc repeats") {
+    // docs 0 and 21 share exactly their first 8 tokens ("alpha .. theta");
+    // doc 23's spam-run repeats only WITHIN itself (count-distinct-doc < 2)
+    val spans = CorpusFilters.queries("dd09_substring_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(spans == Set((0L, 0, 7, 8), (21L, 0, 7, 8)))
+  }
+
   test("dc01 flags the doc sharing >=3 five-grams with the benchmark set") {
     val rows = CorpusFilters.queries("dc01_decontaminate")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
