@@ -135,6 +135,32 @@ object TemporalJoins {
         .orderBy(asc("event_id"))
     }),
 
+    // Time-series RESAMPLE + GAP FILL: per-user hourly grid from first to
+    // last purchase, carrying the last observed hourly max forward through
+    // empty hours. Scale shape: events collapse to (user, hour) partials
+    // FIRST (one partial-agg shuffle over the data); the spine explode and
+    // forward-fill window then run over the tiny (users × hours) grid —
+    // bounded by calendar span, not event count — so the per-user window
+    // is never a data-volume skew.
+    "ts01_gap_fill" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val hourly = ev.groupBy("user_id", "h").agg(max("value").as("hmax"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("filled", last(col("hmax"), ignoreNulls = true).over(w))
+        .select(col("user_id"), date_format(col("h"), TsFmt).as("hour"),
+          col("hmax").isNotNull.cast("int").as("observed"), col("filled"))
+        .orderBy("user_id", "hour")
+    }),
+
     // Range join: purchases of the same user within ±1 h of each error.
     // Candidates come from an equi-join on (user, hour-bucket) — the right
     // side lands in ONE bucket, the left probes its ≤3 covering buckets, so
@@ -209,6 +235,25 @@ object TemporalJoins {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "ts01_gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+        |   FROM events WHERE event_type = 'purchase'),
+        | hourly AS (SELECT user_id, h, MAX(value) AS hmax FROM ev
+        |   GROUP BY user_id, h),
+        | bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev
+        |   GROUP BY user_id),
+        | spine AS (SELECT b.user_id, t.h FROM bounds b
+        |   CROSS JOIN UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+        |     AS t(h))
+        |SELECT s.user_id, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        | CAST(hy.hmax IS NOT NULL AS INT) AS observed,
+        | LAST_VALUE(hy.hmax IGNORE NULLS) OVER (
+        |   PARTITION BY s.user_id ORDER BY s.h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN hourly hy
+        |  ON hy.user_id = s.user_id AND hy.h = s.h
+        |ORDER BY s.user_id, hour""".stripMargin,
 
     "rj01_range_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events

@@ -127,6 +127,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(masked > 0L, "expected at least one match older than 1 h")
   }
 
+  test("ts01 gap rows carry the last observed value forward, unchanged") {
+    val out = TemporalJoins.queries("ts01_gap_fill")(
+      spark, graft.TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        { assert(!r.isNullAt(3), s"unfilled row $r"); r.getDouble(3) }))
+    assert(out.nonEmpty)
+    assert(out.exists(_._3 == 0), "expected at least one gap hour")
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 1, "spine must start at an observed hour")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._3 == 0) assert(b._4 == a._4, s"gap row changed value: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("range join counts only in-window purchases; zero-match rows kept") {
     val q = TemporalJoins.queries("rj01_range_join")
     val out = q(spark, graft.TestSpark.sf0001)
