@@ -99,6 +99,51 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(got("small") == 5) // quota ceil(20*sqrt(5/40)) = 8 > 5 → all kept
   }
 
+  test("dd09 property: equals brute-force span merge on random corpora") {
+    import spark.implicits._
+    val k = 8
+    val rng = new scala.util.Random(1234)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    (1 to 3).foreach { trial =>
+      val base = (0L until 20L).map { id =>
+        id -> Array.fill(15 + rng.nextInt(26))(vocab(rng.nextInt(vocab.length)))
+      }.toMap
+      // plant a cross-doc duplicate run: 10 tokens of doc 3 pasted into doc 7
+      val src = base(3L)
+      val planted = src.slice(2, math.min(12, src.length))
+      val docsMap = base.updated(7L,
+        base(7L).take(5) ++ planted ++ base(7L).drop(5))
+      val d = Files.createTempDirectory(s"dd09p$trial").toString
+      docsMap.toSeq.map { case (id, w) =>
+        (id, w.mkString(" "), "en", "web", w.mkString(" ").length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      // brute-force reference: dup grams by distinct-doc count, then merge
+      val owners = scala.collection.mutable.Map.empty[String, Set[Long]]
+        .withDefaultValue(Set.empty)
+      for ((id, w) <- docsMap; if w.length >= k; i <- 0 to w.length - k)
+        owners(w.slice(i, i + k).mkString(" ")) += id
+      val dup = owners.filter(_._2.size >= 2).keySet
+      val expect = docsMap.toSeq.flatMap { case (id, w) =>
+        val hits = (0 to w.length - k)
+          .filter(i => w.length >= k && dup(w.slice(i, i + k).mkString(" ")))
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        hits.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2 + 1)
+            spans(spans.length - 1) = (spans.last._1,
+              math.max(spans.last._2, p + k - 1))
+          else spans += ((p, p + k - 1))
+        }
+        spans.map { case (a, b) => (id, a, b, b - a + 1) }
+      }.toSet
+      val got = CorpusFilters.queries("dd09_substring_spans")(spark, d)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got == expect, s"trial $trial mismatch")
+      assert(expect.exists(_._1 == 7L), s"trial $trial: planted span missing")
+    }
+  }
+
   test("dd07 emits exactly the bucket-mate pairs at cosine >= 0.4 (precision 1)") {
     val sf = TestSpark.sf0001
     val got = SimilarityOps.queries("dd07_embedding_lsh_neardup")(spark, sf)
