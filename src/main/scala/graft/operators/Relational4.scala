@@ -91,6 +91,36 @@ object Relational4 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // NULL-AWARE anti join: NOT IN over a subquery differs from NOT EXISTS
+    // (q07) under three-valued logic — if the subquery yields ANY null, NOT
+    // IN returns no rows at all; a null probe key never qualifies either.
+    // Catalyst plans the single-column case as an optimized null-aware
+    // BroadcastHashJoin, not the naive nested loop (plan-guarded).
+    "q48_not_in" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q48_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("q48_orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM q48_customer
+          |WHERE c_custkey NOT IN (
+          |  SELECT o_custkey FROM q48_orders
+          |  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // UNPIVOT / melt (the inverse of q28's pivot): wide numeric columns to
+    // (measure, value) rows — the shape feature stores and long-format
+    // stats pipelines need. Row-local Expand, no shuffle except the sort.
+    "q49_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "measure", "value")
+        .orderBy("c_custkey", "measure")
+    }),
+
     // VALUE-RANGE window frame (vs q10's ROWS frame): per-user sliding
     // 1-hour sum/count over purchases — the frame is defined by the ORDER
     // column's VALUE (ts within the trailing hour), not a row count, so
@@ -236,6 +266,22 @@ object Relational4 {
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q48_not_in" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q49_unpivot" ->
+      """SELECT c_custkey, measure, value FROM (
+        | SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |   CAST(c_nationkey AS DOUBLE) AS nationkey
+        | FROM customer WHERE c_custkey < 100)
+        |UNPIVOT (value FOR measure IN (acctbal, nationkey))
+        |ORDER BY c_custkey, measure""".stripMargin,
 
     "q46_range_frame" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,

@@ -158,6 +158,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected <=1 exchange:\n$plan")
   }
 
+  test("q48 NOT IN plans as a broadcast anti join — no nested loop") {
+    // the IS NOT NULL guard on the subquery lets Catalyst skip the
+    // null-aware nested-loop fallback entirely
+    val plan = SparkEntry.queries("q48_not_in")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
