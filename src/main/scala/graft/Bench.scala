@@ -36,14 +36,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JIT + whole-stage-codegen + parquet reader paths untimed so
-    // the first measured query doesn't absorb JVM startup cost, and touch
-    // the benchmark-SF tables so page-cache state is uniform across queries
-    // (steady-state measurement, not first-read IO).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    Tables.all.foreach { t => // per-table: one miss must not leave the rest cold
-      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
-    }
+    // Steady-state measurement: one UNTIMED pass of the full query surface
+    // first. A parquet count() warms nothing real (it answers from footer
+    // metadata), so the old per-table touch left the first measured queries
+    // paying JIT + codegen-compile + page-cache misses that no later query
+    // pays — cross-round deltas then mixed methodology noise with real
+    // regressions. The warmup pass runs the same noop-materializing sink,
+    // so every scan, codegen unit, and shuffle path is hot before timing.
+    // SPARK_GRAFT_WARMUP=0 skips it (cold-start numbers).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      run(spark, sfDir, SparkEntry.queries)
     // noop sink: materializes every row of the final plan (unlike count(),
     // under which Catalyst elides top-level ORDER BY + output projection).
     val (ok, errMap) = run(spark, sfDir, SparkEntry.queries)
