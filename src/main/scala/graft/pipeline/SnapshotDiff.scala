@@ -27,7 +27,7 @@ object SnapshotDiff {
       val dataCols = df.columns.filterNot(keyCols.contains).sorted
       df.select(
         concat_ws("\u0001", keyCols.map(col): _*).as("key"),
-        xxhash64(dataCols.map(c => coalesce(col(c), lit("\u0000"))): _*)
+        xxhash64(dataCols.toIndexedSeq.map(c => coalesce(col(c), lit("\u0000"))): _*)
           .as("row_hash"))
     }
     val a = keyed(snap(m1)).withColumnRenamed("row_hash", "h1")
