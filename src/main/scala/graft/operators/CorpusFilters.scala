@@ -174,6 +174,28 @@ object CorpusFilters {
         .orderBy("source", "rk")
     }),
 
+    // Fixed-size overlapping token chunking (context-window assembly: 40
+    // tokens per chunk, stride 30 → 10-token overlap). Fully ROW-LOCAL —
+    // chunk starts come from `sequence` + `transform` over the document's
+    // own token array, so the explode is a narrow flatMap with zero
+    // shuffle; at 100 TB this is an embarrassingly parallel scan.
+    "tx14_chunk" -> ((s, dir) => {
+      val cs = 40
+      val st = 30
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("nc", when(size(col("w")) <= cs, lit(1))
+          .otherwise(expr(s"(size(w) - ${cs - st + 1}) div $st") + 1)
+          .cast("int"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, nc - 1), i -> slice(w, i * $st + 1, $cs))"))
+          .as(Seq("chunk_ix", "cw")))
+        .select(col("doc_id"), col("chunk_ix").cast("int").as("chunk_ix"),
+          size(col("cw")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
     // PII detection + redaction plumbing: match counts plus the md5 of the
     // redacted text (small output even for huge docs; the corpus-rewrite
     // variant is the same expressions minus the md5). The synthetic corpus
@@ -264,6 +286,20 @@ object CorpusFilters {
         |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk, q.quota
         |FROM r JOIN q ON q.source = r.source
         |WHERE r.rk <= q.quota ORDER BY r.source, rk""".stripMargin,
+
+    "tx14_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | c AS (SELECT doc_id, w,
+        |   CASE WHEN len(w) <= 40 THEN 1
+        |     ELSE CAST((len(w) - 11) // 30 AS INT) + 1 END AS nc FROM w)
+        |SELECT doc_id, CAST(t.i AS INT) AS chunk_ix,
+        | CAST(len(list_slice(w, t.i * 30 + 1, t.i * 30 + 40)) AS INT)
+        |   AS n_chunk_tokens,
+        | md5(array_to_string(list_slice(w, t.i * 30 + 1, t.i * 30 + 40), ' '))
+        |   AS chunk_md5
+        |FROM c CROSS JOIN UNNEST(range(0, nc)) AS t(i)
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
 
     "tx11_pii_redact" ->
       s"""SELECT doc_id,

@@ -1,0 +1,141 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Lake-maintenance operators — the mutation side of a 100 TB table: MERGE
+  * (upsert/delete apply), CDC compaction (latest row per key), and
+  * incremental cross-snapshot dedup (a new batch against corpus history).
+  *
+  * Scale notes (100 TB):
+  *  - md01 MERGE: ONE shuffle join of snapshot × changeset on the key.
+  *    Deletes/updates ride the join; inserts pass through as unmatched
+  *    change rows — nothing is driver-side, AQE handles key skew. On a
+  *    real lake the snapshot side is bucketed by key so only the (much
+  *    smaller) changeset shuffles.
+  *  - ts02 latest-by-key: aggregation-based (`max(struct(ts, id, ...))`)
+  *    with map-side partial aggregation — each map task ships ONE row per
+  *    key it saw, not a per-key window (which would co-locate each key's
+  *    full history on one reducer before discarding all but one row).
+  *  - dd10 incremental dedup: history is pre-aggregated to its distinct
+  *    fingerprint set (fixed 16-byte keys — ids-only through the shuffle,
+  *    never text), and Spark's runtime bloom-filter injection (proven in
+  *    RuntimeFilterSpec) prunes batch-side rows before the exchange. This
+  *    is the "dedup tomorrow's crawl against yesterday's corpus" pattern:
+  *    cost scales with the NEW batch, not with history re-processing.
+  */
+object LakeOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = ListMap(
+    // MERGE INTO semantics over the orders snapshot: a derived changeset
+    // (keys %10==0 update status+price, %10==3 delete, %10==7 insert under
+    // a fresh key) applied in one full-outer join — the engine-level shape
+    // of Delta/Iceberg MERGE. Matched+op=U → change values win; matched+
+    // op=D → row dropped; unmatched change (op=I) → insert; unmatched base
+    // → unchanged.
+    "md01_merge_upsert" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          col("o_custkey").as("c_custkey"), lit("X").as("c_status"),
+          (col("o_totalprice") + 1.0).as("c_total"),
+          col("o_orderdate").as("c_date"))
+      val del = base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(null).cast("bigint").as("c_custkey"),
+          lit(null).cast("string").as("c_status"),
+          lit(null).cast("double").as("c_total"),
+          lit(null).cast("timestamp").as("c_date"))
+      val ins = base.filter(col("o_orderkey") % 10 === 7)
+        .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+          col("o_custkey").as("c_custkey"), lit("N").as("c_status"),
+          col("o_totalprice").as("c_total"), col("o_orderdate").as("c_date"))
+      val changes = upd.unionAll(del).unionAll(ins)
+      base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("op").isNotNull, col("c_custkey"))
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("op").isNotNull, col("c_status"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("op").isNotNull, col("c_total"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          date_format(when(col("op").isNotNull, col("c_date"))
+            .otherwise(col("o_orderdate")), "yyyy-MM-dd").as("order_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // CDC compaction: the LATEST event per (user_id, event_type) — SCD
+    // type-1 read of a change stream. Deterministic via lexicographic
+    // struct max on (ts, event_id): event_id breaks ts ties.
+    "ts02_latest_by_key" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("m.event_id").as("last_event_id"),
+          col("m.value").as("last_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Incremental dedup with provenance: the "new batch" (doc_id%5==4)
+    // against corpus history (the rest), on the canonical whitespace/case
+    // fingerprint. Each batch doc is either new (no history fp match) or a
+    // duplicate pointing at its canonical history doc.
+    "dd10_incremental_dedup" -> ((s, dir) => {
+      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      val d = Tables(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+      val hist = d.filter(col("doc_id") % 5 =!= 4)
+        .groupBy("fp").agg(min("doc_id").as("canonical_id"))
+      d.filter(col("doc_id") % 5 === 4)
+        .join(hist, Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"), col("canonical_id"),
+          col("canonical_id").isNull.cast("int").as("is_new"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    // The MERGE contract stated directly: updated survivors + inserts.
+    "md01_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |   AS o_orderstatus,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+        |   ELSE o_totalprice END AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d')
+        |FROM orders WHERE o_orderkey % 10 = 7
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ts02_latest_by_key" ->
+      """SELECT user_id, event_type,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | event_id AS last_event_id, value AS last_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "dd10_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        | hist AS (SELECT fp, MIN(doc_id) AS canonical_id FROM f
+        |  WHERE doc_id % 5 <> 4 GROUP BY fp)
+        |SELECT b.doc_id, b.fp, h.canonical_id,
+        | CAST(h.canonical_id IS NULL AS INT) AS is_new
+        |FROM f b LEFT JOIN hist h USING (fp)
+        |WHERE b.doc_id % 5 = 4 ORDER BY b.doc_id""".stripMargin,
+  )
+}

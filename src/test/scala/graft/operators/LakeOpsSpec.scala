@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Semantic checks for the lake-maintenance operators — the oracle gate
+  * proves hash-exactness at sf0.01; these prove the MERGE actually applies
+  * each change class, latest-by-key picks the true maximum, incremental
+  * dedup flags both directions, and chunking tiles documents correctly.
+  */
+class LakeOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("md01 merge applies updates, drops deletes, appends inserts") {
+    val base = Tables(spark, dir, "orders")
+    val merged = LakeOps.queries("md01_merge_upsert")(spark, dir).cache()
+    try {
+      val nBase = base.count()
+      val nUpd = base.filter(col("o_orderkey") % 10 === 0).count()
+      val nDel = base.filter(col("o_orderkey") % 10 === 3).count()
+      val nIns = base.filter(col("o_orderkey") % 10 === 7).count()
+      assert(merged.count() === nBase - nDel + nIns)
+      // deleted keys gone
+      assert(merged.filter(col("o_orderkey") % 10 === 3
+        && col("o_orderkey") < 100000000L).count() === 0)
+      // every update key carries the changed status, and only those
+      assert(merged.filter(col("o_orderstatus") === "X").count() === nUpd)
+      assert(merged.filter(col("o_orderkey") % 10 === 0
+        && col("o_orderkey") < 100000000L
+        && col("o_orderstatus") =!= "X").count() === 0)
+      // inserts arrive under fresh keys with status N
+      assert(merged.filter(col("o_orderkey") >= 100000000L).count() === nIns)
+      assert(merged.filter(col("o_orderkey") >= 100000000L)
+        .filter(col("o_orderstatus") =!= "N").count() === 0)
+      // untouched rows are bit-identical to base
+      val untouched = merged.filter(col("o_orderkey") % 10 =!= 0
+        && col("o_orderkey") < 100000000L)
+      val expected = base.filter(col("o_orderkey") % 10 =!= 0
+        && col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      assert(untouched.exceptAll(expected).isEmpty
+        && expected.exceptAll(untouched).isEmpty)
+    } finally merged.unpersist()
+  }
+
+  test("ts02 latest-by-key equals the brute-force window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(desc("ts"), desc("event_id"))
+    val brute = ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+    val agg = LakeOps.queries("ts02_latest_by_key")(spark, dir)
+    assert(agg.exceptAll(brute).isEmpty && brute.exceptAll(agg).isEmpty)
+    // one row per observed key pair
+    val nKeys = ev.select("user_id", "event_type").distinct().count()
+    assert(agg.count() === nKeys)
+  }
+
+  test("ts02 plan aggregates — no per-key window") {
+    val plan = LakeOps.queries("ts02_latest_by_key")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected agg-based plan, got:\n$plan")
+  }
+
+  test("dd10 flags exact duplicates of history and passes novel docs") {
+    val out = LakeOps.queries("dd10_incremental_dedup")(spark, dir).cache()
+    try {
+      val docs = Tables(spark, dir, "documents")
+      assert(out.count() === docs.filter(col("doc_id") % 5 === 4).count())
+      // provenance: every dup's canonical_id is a history doc with equal fp
+      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      val hist = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("canonical_id"), fp.as("hfp"))
+      val bad = out.filter(col("is_new") === 0)
+        .join(hist, "canonical_id")
+        .filter(col("fp") =!= col("hfp"))
+      assert(bad.count() === 0)
+      // flags are consistent: is_new == 1 iff canonical_id is null
+      assert(out.filter(col("is_new") === 1 && col("canonical_id").isNotNull)
+        .count() === 0)
+      assert(out.filter(col("is_new") === 0 && col("canonical_id").isNull)
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("tx14 chunks tile every document with stride overlap") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val out = CorpusFilters.queries("tx14_chunk")(spark, dir).cache()
+    try {
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n"))
+      val stats = out.groupBy("doc_id")
+        .agg(count(lit(1)).as("nc"), max("chunk_ix").as("last_ix"),
+          max(col("chunk_ix") * 30 + col("n_chunk_tokens")).as("covered"))
+        .join(lens, "doc_id")
+      // chunk count matches the closed form and ixs are dense 0..nc-1
+      val wrongCount = stats.filter(col("nc") =!=
+        when(col("n") <= 40, 1).otherwise(expr("(n - 11) div 30") + 1))
+      assert(wrongCount.count() === 0)
+      assert(stats.filter(col("last_ix") =!= col("nc") - 1).count() === 0)
+      // the final chunk reaches the last token exactly: no gap, no overrun
+      assert(stats.filter(col("covered") =!= col("n")).count() === 0)
+      // every chunk except possibly the last is full-width
+      val nonLast = out.join(stats.select("doc_id", "nc"), "doc_id")
+        .filter(col("chunk_ix") < col("nc") - 1)
+      assert(nonLast.filter(col("n_chunk_tokens") =!= 40).count() === 0)
+      // planted doc: 100 tokens → 3 chunks of 40/40/40 covering 0..99
+      val d = java.nio.file.Files.createTempDirectory("tx14").toString
+      val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+      Seq((0L, text100, "en", "src0", text100.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      val planted = CorpusFilters.queries("tx14_chunk")(spark, d)
+        .select("chunk_ix", "n_chunk_tokens").as[(Int, Int)].collect().toSeq
+      assert(planted === Seq((0, 40), (1, 40), (2, 40)))
+    } finally out.unpersist()
+  }
+}
