@@ -70,6 +70,27 @@ object GraphOps {
       lastCp.foreach(DedupClusters.unpersistCheckpoint)
       out.orderBy("node")
     }),
+
+    // Per-node triangle count over the same near-dup graph — the local
+    // clustering signal (a doc whose near-dups are ALSO near-dups of each
+    // other sits inside a tight duplicate clique, not a hub of incidental
+    // matches). Edges arrive canonically ordered (id1 < id2), so each
+    // triangle a<b<c is enumerated exactly once: path join (a,b)+(b,c),
+    // closure check against (a,c). Two shuffle joins on edge endpoints;
+    // near-dup graphs are bounded-degree, so the open-path frame stays
+    // O(|E| · avg-degree) — the standard distributed triangle shape.
+    "gr02_triangles" -> ((s, dir) => {
+      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1"), col("id2"))
+      val e1 = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      val e2 = pairs.select(col("id1").as("b"), col("id2").as("c"))
+      val e3 = pairs.select(col("id1").as("a"), col("id2").as("c"))
+      val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    }),
   )
 
   /** The five iterations unrolled as chained CTEs over the spliced dd07
@@ -92,5 +113,17 @@ object GraphOps {
          | r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS r FROM dg),
          |$iterSql
          |SELECT node, r AS rank_scaled FROM i$Iters ORDER BY node""".stripMargin,
+
+    "gr02_triangles" ->
+      s"""WITH ${SimilarityOps.nearDupPairsCteSql},
+         | tri AS (
+         |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.id1 = e1.id2
+         |  JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+         | m AS (SELECT a AS node FROM tri UNION ALL
+         |       SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT node, COUNT(*) AS n_triangles FROM m
+         |GROUP BY node ORDER BY node""".stripMargin,
   )
 }

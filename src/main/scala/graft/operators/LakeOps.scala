@@ -85,6 +85,29 @@ object LakeOps {
         .orderBy("user_id", "event_type")
     }),
 
+    // SCD Type-2 history build: each (user_id, event_type) change stream
+    // becomes validity intervals — valid_from = the event's time,
+    // valid_to = the NEXT change's time (null while current). The window
+    // partitions are per-key histories, whose count grows with the data
+    // (no fixed-stratum skew — unlike a per-language window, key
+    // cardinality scales with the corpus, so no reducer sees more than
+    // one key's bounded history).
+    "ts03_scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(asc("ts"), asc("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("next_ts").isNull.cast("int").as("is_current"),
+          col("value"))
+        .orderBy("user_id", "event_type", "event_id")
+    }),
+
     // Incremental dedup with provenance: the "new batch" (doc_id%5==4)
     // against corpus history (the rest), on the canonical whitespace/case
     // fingerprint. Each batch doc is either new (no history fp match) or a
@@ -126,6 +149,17 @@ object LakeOps {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "ts03_scd2_intervals" ->
+      """SELECT user_id, event_type, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        | strftime(LEAD(ts, 1) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        | CAST(LEAD(ts, 1) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts, event_id) IS NULL AS INT) AS is_current,
+        | value
+        |FROM events
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
 
     "dd10_incremental_dedup" ->
       """WITH f AS (SELECT doc_id,

@@ -35,4 +35,20 @@ class GraphOpsSpec extends AnyFunSuite {
     val rows = GraphOps.queries("gr01_pagerank")(spark, dir).collect()
     assert(rows.forall(_.getLong(1) >= 150000000L))
   }
+
+  test("gr02 equals a driver-side brute-force triangle count") {
+    val pairs = SimilarityOps.embeddingNearDupPairs(spark, dir)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val count = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (a, b) <- pairs
+      c <- nodes if c > b && pairs((b, c)) && pairs((a, c))
+    } Seq(a, b, c).foreach(n => count(n) += 1)
+    val got = GraphOps.queries("gr02_triangles")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == count.toMap)
+  }
 }
