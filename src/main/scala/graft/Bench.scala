@@ -28,6 +28,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // iteration aid: SPARK_GRAFT_ONLY=tx03_langid,tx07_clean_corpus benches
+    // just those queries (driver runs never set it — full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,11 +52,34 @@ object Bench {
     // regressions. The warmup pass runs the same noop-materializing sink,
     // so every scan, codegen unit, and shuffle path is hot before timing.
     // SPARK_GRAFT_WARMUP=0 skips it (cold-start numbers).
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      run(spark, sfDir, SparkEntry.queries)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      run(spark, sfDir, selected)
+      // The warmup pass populates the scratch cache (materialized signature
+      // tables, CC/PageRank results). Without clearing it the timed pass of
+      // every scratch-backed query (dd02/dd03/dd06/dd07/dd08/gr01/ss05)
+      // would measure a small parquet re-read, not the operator. Clearing
+      // here keeps intra-pass sharing (dd02+dd06 share one signature build
+      // within the timed pass) while making each pass compute its own work.
+      operators.MinHashDedup.clearScratch()
+    }
     // noop sink: materializes every row of the final plan (unlike count(),
     // under which Catalyst elides top-level ORDER BY + output projection).
-    val (ok, errMap) = run(spark, sfDir, SparkEntry.queries)
+    // MIN over two timed passes: a single pass over ~100 queries reports
+    // whatever GC pause / page-cache eviction / compaction hiccup landed on
+    // a query (round 3 showed 10x phantom "regressions" on queries whose
+    // isolated time was unchanged); the min of two independent passes is
+    // the operator's cost, not the host's mood. Scratch tables are cleared
+    // between passes so each one computes its own materializations.
+    val (ok1, errMap1) = run(spark, sfDir, selected)
+    operators.MinHashDedup.clearScratch()
+    val (ok2, errMap2) = run(spark, sfDir, selected)
+    val ok = (ok1.keySet ++ ok2.keySet).map { k =>
+      k -> math.min(ok1.getOrElse(k, Double.MaxValue),
+        ok2.getOrElse(k, Double.MaxValue))
+    }.toMap
+    // a query that failed in EITHER pass reports as an error, never a time
+    val errMap = errMap1 ++ errMap2
+    val okClean = ok -- errMap.keys
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -56,14 +87,35 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    // SparkEntry.queries order for stable output
-    val qs = SparkEntry.queries.keys.toSeq.filter(ok.contains)
-      .map(k => jstr(k) + ":" + ok(k)).mkString("{", ",", "}")
+    // Double.toString is locale-independent ('.' decimal point always);
+    // String.format would honor the JVM default locale and could emit ','.
+    def num(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    // The harness captures only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail; full query names at nanosecond precision
+    // overflow it (~3.5 KB) and the line never parses. So the printed line
+    // uses the unique short prefix of each query name ("q01_pricing_summary"
+    // -> "q01") and millisecond precision; the full-name full-precision
+    // detail goes to bench_detail.json beside the build.
+    val ordered = selected.keys.toSeq
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val shortUnique = ordered.groupBy(short).forall(_._2.sizeIs == 1)
+    def key(name: String): String = if (shortUnique) short(name) else name
+    val qs = ordered.filter(okClean.contains)
+      .map(k => jstr(key(k)) + ":" + num(okClean(k))).mkString("{", ",", "}")
     val errs = errMap.toSeq.map { case (k, e) =>
+      jstr(key(k)) + ":" + jstr(e.take(120))
+    }.mkString("{", ",", "}")
+    val total = okClean.values.sum
+    val fullQs = ordered.filter(okClean.contains)
+      .map(k => jstr(k) + ":" + okClean(k)).mkString("{", ",", "}")
+    val fullErrs = errMap.toSeq.map { case (k, e) =>
       jstr(k) + ":" + jstr(e.take(300))
     }.mkString("{", ",", "}")
-    val total = ok.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
   }

@@ -22,11 +22,16 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
+    // streaming queries RUN the whole stream inside the query fn and return
+    // a memory-sink table — there's no batch plan worth printing, so skip
+    // them instead of paying the stream execution. The skip set is derived
+    // from the streaming modules' own declarations, not a name prefix: a
+    // future "stats01_*" batch query must not be silently omitted, and a
+    // renamed streaming query must not sneak in.
+    val streamingQueries = graft.streaming.EventsStream.queries.keySet ++
+      graft.streaming.CorpusStream.queries.keySet
     SparkEntry.queries.foreach { case (name, fn) =>
-      // streaming queries (st*) RUN the whole stream inside the query fn
-      // and return a memory-sink table — there's no batch plan worth
-      // printing, so skip them instead of paying the stream execution
-      if (!name.startsWith("st")) {
+      if (!streamingQueries.contains(name)) {
         sb.append(s"\n=== $name ===\n")
         try sb.append(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))

@@ -37,7 +37,10 @@ object LakeOps {
     // a fresh key) applied in one full-outer join — the engine-level shape
     // of Delta/Iceberg MERGE. Matched+op=U → change values win; matched+
     // op=D → row dropped; unmatched change (op=I) → insert; unmatched base
-    // → unchanged.
+    // → unchanged. Insert keys are NEGATED order keys: o_orderkey is
+    // strictly positive at every TPC-H scale factor, so the insert range is
+    // disjoint by construction (an additive offset would collide once
+    // o_orderkey outgrows it — at SF≈17 for +1e8).
     "md01_merge_upsert" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
       val upd = base.filter(col("o_orderkey") % 10 === 0)
@@ -52,7 +55,7 @@ object LakeOps {
           lit(null).cast("double").as("c_total"),
           lit(null).cast("timestamp").as("c_date"))
       val ins = base.filter(col("o_orderkey") % 10 === 7)
-        .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+        .select((-col("o_orderkey")).as("k"), lit("I").as("op"),
           col("o_custkey").as("c_custkey"), lit("N").as("c_status"),
           col("o_totalprice").as("c_total"), col("o_orderdate").as("c_date"))
       val changes = upd.unionAll(del).unionAll(ins)
@@ -136,7 +139,7 @@ object LakeOps {
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM orders WHERE o_orderkey % 10 <> 3
         |UNION ALL
-        |SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |SELECT -o_orderkey, o_custkey, 'N', o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d')
         |FROM orders WHERE o_orderkey % 10 = 7
         |ORDER BY o_orderkey""".stripMargin,

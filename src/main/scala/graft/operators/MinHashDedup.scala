@@ -60,9 +60,13 @@ object MinHashDedup {
     *    through the Hadoop FileSystem API, so any supported scheme works),
     *    defaulting to the driver-local java tmpdir, which is only correct
     *    for local mode;
-    *  - materializations are CACHED per (tag, cache key): re-running dd02
-    *    after dd06 reuses the signature tables instead of re-writing the
-    *    corpus;
+    *  - materializations are CACHED per (tag, cache key, input fingerprint):
+    *    re-running dd02 after dd06 reuses the signature tables instead of
+    *    re-writing the corpus. The fingerprint covers the source files'
+    *    paths, sizes and modification times (one listStatus per distinct
+    *    parent dir — no per-file RPC), so a table rewritten in place under
+    *    the same path invalidates the entry instead of silently serving
+    *    stale results to a long-lived session;
     *  - [[clearScratch]] deletes everything eagerly — call it when the
     *    consuming actions are done (Verify/Bench do); a JVM shutdown hook
     *    backstops sessions that never call it.
@@ -70,7 +74,8 @@ object MinHashDedup {
   private[operators] def materialized(
       df: DataFrame, tag: String, cacheKey: String): DataFrame = {
     val s = df.sparkSession
-    val path = scratchCache.computeIfAbsent((tag, cacheKey), _ => {
+    val key = (tag, cacheKey + "#" + inputFingerprint(df))
+    val path = scratchCache.computeIfAbsent(key, _ => {
       val root = new org.apache.hadoop.fs.Path(
         s.conf.getOption("spark.graft.scratch.dir")
           .getOrElse(System.getProperty("java.io.tmpdir")))
@@ -83,6 +88,38 @@ object MinHashDedup {
       p
     })
     s.read.parquet(path)
+  }
+
+  /** Content fingerprint of `df`'s source files: md5 over each file's
+    * (path, length, modificationTime), gathered with ONE listStatus per
+    * distinct parent directory (the statuses of all part-files in a dir
+    * come back in a single namenode/object-store call — no per-file RPC).
+    * Files that vanish between planning and listing hash as absent, which
+    * still changes the fingerprint — exactly what invalidation wants.
+    */
+  private def inputFingerprint(df: DataFrame): String = {
+    val hc = df.sparkSession.sparkContext.hadoopConfiguration
+    // normalize through Path: inputFiles says "file:///x", FileStatus says
+    // "file:/x" — new Path(...).toString canonicalizes both to the latter
+    val paths = df.inputFiles.map(new org.apache.hadoop.fs.Path(_))
+    val files = paths.map(_.toString).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.map(_.getParent)
+      .distinct.sortBy(_.toString)
+      .foreach { parent =>
+        val fs = parent.getFileSystem(hc)
+        val statuses =
+          try fs.listStatus(parent)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        statuses.filter(st => files.contains(st.getPath.toString))
+          .sortBy(_.getPath.toString)
+          .foreach { st =>
+            md.update(s"${st.getPath}|${st.getLen}|${st.getModificationTime}\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   private val scratchCache =

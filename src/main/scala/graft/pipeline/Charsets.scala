@@ -54,6 +54,17 @@ object Charsets {
     * first for BE (zeros at even offsets), low byte first for LE (zeros at
     * odd offsets). A strong one-sided zero pattern is decisive because NUL
     * essentially never appears in single-byte text files.
+    *
+    * Scope and limits (by design, for the RFB corpus — Latin-script CSV):
+    *  - the heuristic assumes MOSTLY-LATIN text. BOM-less UTF-16 of a
+    *    non-Latin script (CJK: both bytes of most code units nonzero) shows
+    *    no NUL pattern and falls through to the single-byte path — a known,
+    *    accepted miss outside this pipeline's input domain;
+    *  - a zero-interleaved file could also be binary padding, not UTF-16.
+    *    To avoid misrouting such files (e.g. a truncated/sparse sample),
+    *    the verdict additionally requires the NON-zero half to look like
+    *    text: ≥ 90% printable ASCII / common whitespace. Genuine Latin
+    *    UTF-16 passes trivially; zero-padded binaries virtually never do.
     */
   private def utf16WithoutBom(sample: Array[Byte]): Option[Charset] = {
     val n = sample.length
@@ -66,9 +77,24 @@ object Charsets {
       i += 1
     }
     val half = n / 2
-    if (evenZeros > half * 0.3 && oddZeros <= half * 0.05)
+    def textLike(zeroParity: Int): Boolean = {
+      // bytes at the OTHER parity carry the character values; require them
+      // to be overwhelmingly printable ASCII or whitespace before deciding
+      var printable = 0
+      var total = 0
+      var j = 1 - zeroParity
+      while (j < n) {
+        val b = sample(j) & 0xFF
+        total += 1
+        if ((b >= 0x20 && b <= 0x7E) || b == 0x09 || b == 0x0A || b == 0x0D
+          || b >= 0xA0) printable += 1 // 0xA0+: Latin-1 range of U+00A0+
+        j += 2
+      }
+      total > 0 && printable >= total * 0.9
+    }
+    if (evenZeros > half * 0.3 && oddZeros <= half * 0.05 && textLike(0))
       Some(StandardCharsets.UTF_16BE)
-    else if (oddZeros > half * 0.3 && evenZeros <= half * 0.05)
+    else if (oddZeros > half * 0.3 && evenZeros <= half * 0.05 && textLike(1))
       Some(StandardCharsets.UTF_16LE)
     else None
   }

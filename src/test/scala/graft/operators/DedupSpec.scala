@@ -141,6 +141,34 @@ class DedupSpec extends AnyFunSuite {
     MinHashDedup.clearScratch()
   }
 
+  test("scratch cache invalidates when the input is rewritten in place") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    MinHashDedup.clearScratch()
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def scratch(): Set[String] = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_dd")).toSet
+      finally s.close()
+    }
+    val d = Files.createTempDirectory("dedup_inval").toString
+    def write(docs: Seq[(Long, String)]): Unit =
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    write(Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta")))
+    val before = scratch()
+    assert(MinHashDedup.queries("dd02_minhash_lsh")(spark, d).count() === 1)
+    val first = scratch() -- before
+    // same path, new content: the fingerprint must force a re-materialize
+    // (not serve the stale 2-doc signature table) and the answer must change
+    write(Seq((0L, "alpha beta gamma delta"), (1L, "totally unrelated words here")))
+    assert(MinHashDedup.queries("dd02_minhash_lsh")(spark, d).count() === 0)
+    assert((scratch() -- before).size > first.size) // new entries, not reuse
+    MinHashDedup.clearScratch()
+  }
+
   test("word jaccard: dup pair = 1.0, near pair high, unrelated low (dd04)") {
     val rows = TextOps.queries("dd04_word_jaccard")(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -23,21 +23,21 @@ class LakeOpsSpec extends AnyFunSuite {
       val nDel = base.filter(col("o_orderkey") % 10 === 3).count()
       val nIns = base.filter(col("o_orderkey") % 10 === 7).count()
       assert(merged.count() === nBase - nDel + nIns)
-      // deleted keys gone
+      // deleted keys gone (inserts live in the negated-key range)
       assert(merged.filter(col("o_orderkey") % 10 === 3
-        && col("o_orderkey") < 100000000L).count() === 0)
+        && col("o_orderkey") > 0L).count() === 0)
       // every update key carries the changed status, and only those
       assert(merged.filter(col("o_orderstatus") === "X").count() === nUpd)
       assert(merged.filter(col("o_orderkey") % 10 === 0
-        && col("o_orderkey") < 100000000L
+        && col("o_orderkey") > 0L
         && col("o_orderstatus") =!= "X").count() === 0)
-      // inserts arrive under fresh keys with status N
-      assert(merged.filter(col("o_orderkey") >= 100000000L).count() === nIns)
-      assert(merged.filter(col("o_orderkey") >= 100000000L)
+      // inserts arrive under fresh (negative, disjoint-by-sign) keys with N
+      assert(merged.filter(col("o_orderkey") < 0L).count() === nIns)
+      assert(merged.filter(col("o_orderkey") < 0L)
         .filter(col("o_orderstatus") =!= "N").count() === 0)
       // untouched rows are bit-identical to base
       val untouched = merged.filter(col("o_orderkey") % 10 =!= 0
-        && col("o_orderkey") < 100000000L)
+        && col("o_orderkey") > 0L)
       val expected = base.filter(col("o_orderkey") % 10 =!= 0
         && col("o_orderkey") % 10 =!= 3)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

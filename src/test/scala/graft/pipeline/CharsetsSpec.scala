@@ -63,6 +63,16 @@ class CharsetsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-interleaved binary is NOT misrouted as BOM-less UTF-16") {
+    // same NUL-parity pattern as UTF-16LE, but the non-zero half is control
+    // bytes, not text — the printable-ASCII requirement must reject it
+    val bytes = Array.tabulate[Byte](64)(i =>
+      if (i % 2 == 1) 0 else ((i % 0x1F) + 1).toByte)
+    val cs = Charsets.detectBytes(bytes)
+    assert(cs != StandardCharsets.UTF_16LE && cs != StandardCharsets.UTF_16BE,
+      s"zero-padded binary misdetected as $cs")
+  }
+
   test("transcode Latin-1 → UTF-8 preserves line count and fixes accents") {
     val src = tmpFile("01;São Paulo\n02;Ação\n".getBytes(StandardCharsets.ISO_8859_1))
     val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
