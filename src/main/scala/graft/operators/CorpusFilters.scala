@@ -114,9 +114,17 @@ object CorpusFilters {
     // al.), realized shuffle-style: any 8-token run appearing verbatim in
     // ≥ 2 documents is a duplicated span, and overlapping/adjacent
     // duplicated grams merge into maximal per-doc spans (interval merge).
-    // Grams travel the shuffle as md5 keys (fixed-width, never the text);
-    // the span merge is a per-DOCUMENT window — bounded by doc length,
-    // embarrassingly parallel across docs, no stratum skew.
+    // Grams travel the shuffle as 16-byte binary md5 keys (fixed-width,
+    // collision-safe at corpus scale, never the text — and half the bytes
+    // of the hex form); the span merge is a per-DOCUMENT window — bounded
+    // by doc length, embarrassingly parallel across docs, no stratum skew.
+    //
+    // The ≥2-distinct-docs test is a WINDOW over the gram key
+    // (min(doc_id) != max(doc_id)), not an aggregate + self-join back:
+    // that formulation explodes + hashes the whole corpus TWICE and
+    // shuffles it twice (agg build + join probe); this one explodes once
+    // and shuffles once. Per-gram partitions are bucket-sized (the gram's
+    // duplicate count), so no stratum skew either.
     "dd09_substring_spans" -> ((s, dir) => {
       val k = 8
       val grams = docs(s, dir)
@@ -124,12 +132,13 @@ object CorpusFilters {
         .filter(size(col("w")) >= k)
         .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(1, size(w) - ${k - 1}),
-             | i -> md5(concat_ws(' ', slice(w, i, $k))))""".stripMargin))
+             | i -> unhex(md5(concat_ws(' ', slice(w, i, $k)))))""".stripMargin))
           .as(Seq("pos", "g")))
-      val dup = grams.groupBy("g")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("g")
-      val hits = grams.join(dup, "g").select("doc_id", "pos")
+      val wg = Window.partitionBy("g")
+      val hits = grams
+        .withColumn("dup",
+          min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+        .filter(col("dup")).select("doc_id", "pos")
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val prevMax = max(col("pos") + (k - 1))
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -211,6 +220,34 @@ object CorpusFilters {
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>")).as("redacted_md5"))
         .orderBy("doc_id")
+    }),
+
+    // tf-idf term weighting: each document's top-3 most characteristic
+    // terms — the classic keyword/topic signal a corpus profiler emits.
+    // The idf is EXACT-ARITHMETIC fixed point (tf · 10⁶ · N div df, BIGINT
+    // floor division) rather than a float logarithm: tf·(N/df) ranks terms
+    // identically to tf·log-idf within a document's tied-tf groups, and
+    // integer math is bit-equal across engines where libm's log is not.
+    // Shape at scale: tf is one (doc, word) shuffle with map-side combine;
+    // df reuses tf's output (already distinct per doc) so the second
+    // aggregate shuffles ONE row per (doc, word), not the corpus; the
+    // top-3 window partitions by doc — bounded by a document's vocabulary,
+    // no stratum skew.
+    "tx15_tfidf" -> ((s, dir) => {
+      val words = docs(s, dir).select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).select(countDistinct("doc_id").as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score_fp"), asc("word"))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("score_fp", expr("tf * 1000000 * n_docs div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          col("score_fp"), col("rk").cast("int").as("rk"))
+        .orderBy("doc_id", "rk")
     }),
   )
 
@@ -308,5 +345,19 @@ object CorpusFilters {
          | md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
          |   '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx15_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |   unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        | tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        | df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        | sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    (tf.tf * 1000000 * n.n_docs) // df.df AS score_fp
+        |   FROM tf JOIN df USING (word) CROSS JOIN n),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_fp DESC, word) AS rk FROM sc)
+        |SELECT doc_id, word, tf, df, score_fp, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -111,6 +111,29 @@ object LakeOps {
         .orderBy("user_id", "event_type", "event_id")
     }),
 
+    // OHLC downsampling bars — the canonical time-series resample (metrics
+    // rollup / market bars): per (hour, event_type), the first and last
+    // value plus extrema and count. First/last ride the SAME partial
+    // aggregation as min/max via lexicographic struct min on (ts,
+    // event_id, value) — event_id breaks ts ties deterministically, and
+    // each map task ships one candidate per group, never a per-key window
+    // (which would co-locate each group's full history before discarding
+    // all but two rows).
+    "ts04_ohlc_bars" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+        .select(
+          date_format(col("hb"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+          col("event_type"), col("o.value").as("open"), col("high"),
+          col("low"), col("c.value").as("close"), col("n"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+
     // Incremental dedup with provenance: the "new batch" (doc_id%5==4)
     // against corpus history (the rest), on the canonical whitespace/case
     // fingerprint. Each batch doc is either new (no history fp match) or a
@@ -163,6 +186,22 @@ object LakeOps {
         | value
         |FROM events
         |ORDER BY user_id, event_type, event_id""".stripMargin,
+
+    "ts04_ohlc_bars" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,
+        |   event_id, value FROM events),
+        | r AS (SELECT *,
+        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
+        |     ORDER BY ts, event_id) AS rf,
+        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
+        |     ORDER BY ts DESC, event_id DESC) AS rl FROM b)
+        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
+        | MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        | COUNT(*) AS n
+        |FROM r GROUP BY hb, event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin,
 
     "dd10_incremental_dedup" ->
       """WITH f AS (SELECT doc_id,

@@ -273,6 +273,38 @@ object SimilarityOps {
         .withColumn("near_dup", (col("cosine") >= 0.3).cast("int"))
         .orderBy("id1", "id2")
     }),
+
+    // Per-label centroid outlier scan — the embedding-quality audit of a
+    // training corpus (mislabeled / off-manifold vectors): each vector's
+    // cosine to its label centroid, flagged when below threshold. The
+    // hash-stability trap here is CROSS-ROW float math: a double sum
+    // depends on partial-agg order, so centroid sums are accumulated in
+    // exact fixed-point BIGINT (floor(x·10⁴) per element — order-free,
+    // overflow-safe to ~10¹⁴ vectors/label) and become doubles once,
+    // row-locally. Only (label, idx, q) triples shuffle; the centroid
+    // table is labels × dim (tiny) and broadcasts back for the row-local
+    // cosine — one corpus scan for sums, one for scoring.
+    "ss06_embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val fx = Tables(s, dir, "embeddings").select(col("label"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))"))
+          .as(Seq("idx", "q")))
+      val cents = fx.groupBy("label", "idx")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("idx"),
+          (col("sq").cast("double") / (col("n").cast("double") * 10000.0)).as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("idx"), col("c")))).as("cs"))
+        .select(col("label"), expr("transform(cs, s -> s.c)").as("cent"))
+      val cdot = GraftFunctions.dot_product(col("v"), col("cent"))
+      val cnrm = sqrt(GraftFunctions.dot_product(col("cent"), col("cent")))
+      e.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          round(cdot / (col("nrm") * cnrm), 6).as("centroid_cos"))
+        .withColumn("is_outlier", (col("centroid_cos") < 0.5).cast("int"))
+        .orderBy("vec_id")
+    }),
   )
 
   private val oWith =
@@ -405,5 +437,27 @@ object SimilarityOps {
          |   AS INT) AS near_dup
          |FROM n a JOIN n b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
          |WHERE a.vec_id < 100 ORDER BY id1, id2""".stripMargin,
+
+    // Same fixed-point centroid construction (exact BIGINT sums → one
+    // double conversion), same sequential-accumulation cosine.
+    "ss06_embedding_outliers" ->
+      s"""WITH fx AS (SELECT label, t.i - 1 AS idx,
+         |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 10000) AS BIGINT) AS q
+         |  FROM embeddings CROSS JOIN UNNEST(range(1, len(embedding) + 1)) t(i)),
+         | ce AS (SELECT label, idx,
+         |    CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10000.0) AS c
+         |   FROM fx GROUP BY label, idx),
+         | cent AS (SELECT label, list(c ORDER BY idx) AS cent FROM ce GROUP BY label),
+         | d AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+         | sc AS (SELECT n.vec_id, n.label,
+         |    ROUND(list_inner_product(n.v, cent.cent)
+         |      / (n.nrm * sqrt(list_inner_product(cent.cent, cent.cent))), 6)
+         |      AS centroid_cos
+         |  FROM n JOIN cent USING (label))
+         |SELECT vec_id, label, centroid_cos,
+         | CAST(centroid_cos < 0.5 AS INT) AS is_outlier
+         |FROM sc ORDER BY vec_id""".stripMargin,
   )
 }

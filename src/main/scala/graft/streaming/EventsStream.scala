@@ -91,6 +91,27 @@ object EventsStream {
             coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       }.orderBy("event_id")
     }),
+
+    // Custom-state sessionization (flatMapGroupsWithState, event-time
+    // timeout) driven over the real file stream. Append mode emits a
+    // session only once the WATERMARK closes it (watermark = max event
+    // time − 10 min; a session closes when the watermark passes its end +
+    // the 30-min gap), so the stream's output is exactly the batch q29
+    // sessions whose end predates the final watermark by more than the gap
+    // — which is what the oracle computes. The still-open tail sessions
+    // are withheld state, not missing data: honest streaming semantics.
+    "st07_stream_sessionize" -> ((s, dir) => {
+      runAppendStream(s, dir, "st07_mem") { df =>
+        val enc = org.apache.spark.sql.Encoders.product[Sessionize.Event]
+        Sessionize.sessionize(
+          df.select(col("user_id"), col("ts"), col("value")).as(enc)).toDF()
+      }
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    }),
   )
 
   /** Shared driver for the streaming queries: file source → `xform` →
@@ -190,5 +211,30 @@ object EventsStream {
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+
+    // Streaming custom-state sessionization == the batch q29 sessions the
+    // final watermark (max ts − 10 min) has CLOSED (end + 30-min gap
+    // strictly before the watermark); open tail sessions are withheld in
+    // state by design.
+    "st07_stream_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+        |  WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+        |    AS new_session FROM g),
+        |sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM f),
+        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS st, MAX(ts) AS en,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        | FROM sid GROUP BY user_id, session_id),
+        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | n_events, session_value
+        |FROM sess, wm WHERE en + INTERVAL 30 MINUTE < w
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

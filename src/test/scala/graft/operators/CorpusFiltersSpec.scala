@@ -172,4 +172,53 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(got.length.toDouble / brute.size >= 0.2,
       s"recall ${got.length}/${brute.size}")
   }
+
+  test("tx15 ranks a document's distinctive term above corpus-wide words") {
+    // doc 23 ("spam" x10): tf=10, and "spam" appears in no other doc, so
+    // its score dominates; rk 1 must be "spam" with tf=10, df=1
+    val rows = CorpusFilters.queries("tx15_tfidf")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(5)), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows((23L, 1)) == (("spam", 10L, 1L)))
+    // every doc emits at most 3 terms, ranks 1..3 dense
+    val byDoc = rows.keys.groupBy(_._1)
+    byDoc.foreach { case (_, ks) =>
+      val ranks = ks.map(_._2).toList.sorted
+      assert(ranks == (1 to ranks.size).toList)
+      assert(ranks.size <= 3)
+    }
+    // within a document, scores are non-increasing with rank
+    CorpusFilters.queries("tx15_tfidf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(5), r.getLong(4)))
+      .groupBy(_._1).values.foreach { g =>
+        val byRank = g.sortBy(_._2).map(_._3)
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      }
+  }
+
+  test("ss06 flags the vector pointing away from its label centroid") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ss06").toString
+    // label 0: a tight cluster along +e0 plus one anti-aligned outlier;
+    // label 1: a clean cluster along +e1 (no outliers)
+    def vec(main: Int, sign: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == main) sign else 0.01f)
+    Seq(
+      (0L, vec(0, 1.0f), 0),
+      (1L, vec(0, 1.0f), 0),
+      (2L, vec(0, 1.0f), 0),
+      (3L, vec(0, -1.0f), 0), // outlier: anti-aligned with its centroid
+      (10L, vec(1, 1.0f), 1),
+      (11L, vec(1, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val rows = SimilarityOps.queries("ss06_embedding_outliers")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(rows(3L)._2 == 1, s"outlier not flagged: ${rows(3L)}")
+    assert(rows(3L)._1 < 0, "anti-aligned vector must have negative cosine")
+    Seq(0L, 1L, 2L, 10L, 11L).foreach { id =>
+      assert(rows(id)._2 == 0, s"inlier $id flagged: ${rows(id)}")
+      assert(rows(id)._1 > 0.5)
+    }
+  }
 }

@@ -50,4 +50,30 @@ class SessionizeSpec extends AnyFunSuite {
       assert(afterLate == after)
     } finally q.stop()
   }
+
+  test("st07 emits exactly the batch q29 sessions the final watermark closed") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val streamed = EventsStream.queries("st07_stream_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val batch = graft.operators.Relational2
+      .queries("q29_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // the watermark the stream ends with: max event time − 10 min delay
+    val maxTs = graft.Tables(spark, sf, "events")
+      .agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    val closed = batch.filter { case (_, _, end, _) =>
+      java.sql.Timestamp.valueOf(end).getTime / 1000 + 1800 < maxTs - 600
+    }
+    assert(streamed == closed,
+      s"streamed ${streamed.size} vs closed-by-watermark ${closed.size}")
+    // the withheld tail is small but nonempty: open sessions stay in state
+    assert(batch.size > streamed.size)
+  }
 }
