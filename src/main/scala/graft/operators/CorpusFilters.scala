@@ -228,20 +228,23 @@ object CorpusFilters {
     // floor division) rather than a float logarithm: tf·(N/df) ranks terms
     // identically to tf·log-idf within a document's tied-tf groups, and
     // integer math is bit-equal across engines where libm's log is not.
-    // Shape at scale: tf is one (doc, word) shuffle with map-side combine;
-    // df reuses tf's output (already distinct per doc) so the second
-    // aggregate shuffles ONE row per (doc, word), not the corpus; the
-    // top-3 window partitions by doc — bounded by a document's vocabulary,
-    // no stratum skew.
+    // Shape at scale: tf is one (doc, word) shuffle with map-side combine.
+    // df is a COUNT WINDOW over tf's rows keyed by word — NOT a groupBy +
+    // join back, which would make tf a two-consumer subtree and re-explode
+    // the whole corpus twice (the same double-scan disease dd09 had). The
+    // window shuffles exactly the rows the join's build side would have
+    // (one per (doc, word)), partition size = a word's df ≤ corpus docs;
+    // the top-3 window partitions by doc — bounded by a document's
+    // vocabulary, no stratum skew.
     "tx15_tfidf" -> ((s, dir) => {
       val words = docs(s, dir).select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("word"))
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).select(countDistinct("doc_id").as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(desc("score_fp"), asc("word"))
-      tf.join(dfreq, "word").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+        .crossJoin(broadcast(n))
         .withColumn("score_fp", expr("tf * 1000000 * n_docs div df"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)

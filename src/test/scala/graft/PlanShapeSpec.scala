@@ -167,6 +167,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("tx15 tf-idf explodes the corpus ONCE — df via window, no join-back") {
+    // df-as-groupBy+join makes the tf subtree two-consumer: Spark would
+    // re-explode and re-hash the whole corpus for each side. One scan and
+    // no join proves single-pass; the df window's partition is a word's
+    // document frequency (<= corpus docs), the top-3 window a doc's
+    // vocabulary — bounded both ways.
+    val df = SparkEntry.queries("tx15_tfidf")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    // exactly one scan may read the text; the n_docs scalar's scan must be
+    // column-pruned to doc_id only (counting never hauls the corpus text)
+    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
+    assert(textScans.length == 1, s"expected one text scan:\n$plan")
+    scans.filterNot(_.schema.fieldNames.contains("text")).foreach { s =>
+      assert(s.schema.fieldNames.sameElements(Array("doc_id")),
+        s"count scan must be pruned to doc_id:\n$s")
+    }
+    val joins = plan.toString
+    assert(!joins.contains("SortMergeJoin") && !joins.contains("ShuffledHashJoin"),
+      s"df must come from a window, not a shuffled join-back:\n$plan")
+  }
+
+  test("ss06 centroids broadcast back to the corpus scan") {
+    // the centroid table is labels x dim (tiny); a shuffled join here
+    // would re-shuffle the whole embeddings table at 100 TB
+    val plan = SparkEntry.queries("ss06_embedding_outliers")(
+      spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("ts04 OHLC bars aggregate in one shuffle — no per-key window") {
+    val plan = SparkEntry.queries("ts04_ohlc_bars")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"first/last must ride the aggregate:\n$plan")
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected agg + presentation sort only:\n$plan")
+  }
+
+  test("dd09 explodes the corpus once; duplicate test is a gram-key window") {
+    val df = SparkEntry.queries("dd09_substring_spans")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected one documents scan:\n$plan")
+    val joins = plan.toString
+    assert(!joins.contains("Join"), s"no join-back of the dup set:\n$plan")
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
