@@ -210,6 +210,23 @@ object Relational4 {
           asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority"))
     }),
+
+    // Salted equi-join, RESULT-gated: the hot-key mitigation (probe rows
+    // salted deterministically, build side replicated per salt, join on
+    // (key, salt)) must produce exactly the unsalted join's multiset —
+    // the oracle runs the plain join, so the equivalence the Scaladoc
+    // promises is hash-checked, not just spec-asserted. This is the path
+    // for skew AQE can't split (replicated build sides, pre-AQE engines).
+    "q50_salted_join" -> ((s, dir) => {
+      val probe = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val build = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(probe, build, "user_id", "c_custkey", 8)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -327,5 +344,12 @@ object Relational4 {
         | (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
         |ORDER BY g_status, g_priority,
         | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // The UNSALTED join — the equivalence contract of the salting rewrite.
+    "q50_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
   )
 }
