@@ -197,24 +197,32 @@ object SimilarityOps {
       val centDot = GraftFunctions.dot_product(col("v"), col("cv")) /
         (col("nrm") * col("cn"))
       // assign every vector to its 2 nearest cells (multi-assignment on the
-      // corpus side doubles storage but lets queries probe a single list)
+      // corpus side doubles the assignment table but lets queries probe a
+      // single list). The assignment is IDS ONLY — (vec_id, cid) — and is
+      // MATERIALIZED once (the lake's persisted IVF index): consuming it
+      // from both the probe and corpus sides of the cell join must not
+      // re-run the centroid scoring pass twice, and vectors join back per
+      // candidate, never traveling with the assignment.
       val wCell = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          centDot.as("csim"))
-        .withColumn("crk", row_number().over(wCell))
-        .filter(col("crk") <= 2)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-      val q = assigned.filter(col("vec_id") < 10 && col("cid").isNotNull)
-        .select(col("vec_id").as("qid"), col("v").as("v1"),
-          col("nrm").as("n1"), col("cid"))
-      val c = assigned.select(col("vec_id"), col("v").as("v2"),
-        col("nrm").as("n2"), col("cid"))
+      val asg = MinHashDedup.materialized(
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"), centDot.as("csim"))
+          .withColumn("crk", row_number().over(wCell))
+          .filter(col("crk") <= 2)
+          .select(col("vec_id"), col("cid")),
+        "ss04_asg", dir)
+      val q = asg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cands = broadcast(q).join(asg, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val qv = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      val cv = e.select(col("vec_id"), col("v").as("v2"), col("nrm").as("n2"))
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-      broadcast(q).join(c, Seq("cid")).filter(col("vec_id") =!= col("qid"))
+      cands.join(cv, "vec_id").join(broadcast(qv), "qid")
         .select(col("qid"), col("vec_id"),
           (dot12 / (col("n1") * col("n2"))).as("cos"))
-        .distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
@@ -262,12 +270,17 @@ object SimilarityOps {
       embeddingNearDupPairs(s, dir).orderBy("id1", "id2")),
 
     // Embedding near-dup: bounded candidate window, rounded-cosine flag.
+    // Candidates come from an offset EXPLODE (ids only) + equi-joins, not
+    // a range-predicate nested loop; the vectors join back per pair.
     "dd05_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
+      val candidates = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id1"),
+          explode(sequence(lit(1), lit(20))).as("k"))
+        .select(col("id1"), (col("id1") + col("k")).as("id2"))
       val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
       val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + 20)
-        .filter(col("id1") < 100)
+      candidates.join(b, "id2").join(a, "id1")
         .select(col("id1"), col("id2"),
           round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
         .withColumn("near_dup", (col("cosine") >= 0.3).cast("int"))

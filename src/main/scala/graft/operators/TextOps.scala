@@ -72,15 +72,24 @@ object TextOps {
     }),
 
     // Word-set Jaccard over a bounded candidate window (oracle-checkable
-    // flavor of n-gram Jaccard; the LSH-scaled variant is dd02).
+    // flavor of n-gram Jaccard; the LSH-scaled variant is dd02). The
+    // window join is EQUI, not a nested loop: each id emits its 20
+    // candidate partner ids (offset explode — ids only, never the word
+    // arrays), the pair list equi-joins existence, and the word sets join
+    // back per surviving pair. A range-predicate join here plans as a
+    // BroadcastNestedLoopJoin — broadcast of a whole table side, the thing
+    // that cannot scale.
     "dd04_word_jaccard" -> ((s, dir) => {
       val w = docs(s, dir).filter(col("doc_id") < 100)
         .select(col("doc_id"),
           array_distinct(split(lower(col("text")), " ")).as("w"))
+      val candidates = w.select(col("doc_id").as("id1"),
+        explode(sequence(lit(1), lit(20))).as("k"))
+        .select(col("id1"), (col("id1") + col("k")).as("id2"))
       val a = w.select(col("doc_id").as("id1"), col("w").as("w1"))
       val b = w.select(col("doc_id").as("id2"), col("w").as("w2"))
       val inter = size(array_intersect(col("w1"), col("w2")))
-      a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + 20)
+      candidates.join(b, "id2").join(a, "id1")
         .select(col("id1"), col("id2"),
           round(inter.cast("double")
             / (size(col("w1")) + size(col("w2")) - inter), 6).as("jaccard"))

@@ -218,6 +218,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!joins.contains("Join"), s"no join-back of the dup set:\n$plan")
   }
 
+  test("dd04/dd05 bounded-window candidates are equi-joins, not nested loops") {
+    // a range-predicate join (id1 < id2 <= id1+20) plans as a
+    // BroadcastNestedLoopJoin — broadcasting a whole table side; the
+    // offset-explode formulation emits candidate ids and equi-joins them
+    for (q <- Seq("dd04_word_jaccard", "dd05_embedding_neardup")) {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("ss04 probe plan is nested-loop-free; assignment is ids-only scratch") {
+    // the 16-centroid cross join lives in the one-time materialized
+    // assignment pass; the QUERY plan reads the (vec_id, cid) scratch
+    // table and equi-joins — at scale the index is built once, probed many
+    val plan = SparkEntry.queries("ss04_ann_ivf")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    graft.operators.MinHashDedup.clearScratch()
+  }
+
   test("q38 result is unchanged by the single-pass rewrite") {
     val rows = SparkEntry.queries("q38_column_profile")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
