@@ -72,6 +72,32 @@ object Multimodal {
     StructField("resized_len", IntegerType),
     StructField("resized", ArrayType(FloatType))))
 
+  /** STUB audio framing: overlapping 50-sample windows at stride 25 (the
+    * STFT framing shape) over the byte stream as fake PCM; per-window
+    * sum-of-squares energy. Integer-only — the rms conversion happens in
+    * the SQL layer with IEEE-exact ops (sqrt is correctly rounded, unlike
+    * log/exp, so it is safe cross-engine). Trailing samples short of a
+    * full window are dropped, as a real framer does.
+    */
+  def fakeAudioWindows(docId: Long, bytes: Array[Byte]): Iterator[Row] = {
+    val win = 50
+    val stride = 25
+    val n = bytes.length
+    val nWin = if (n <= win) 1 else (n - win) / stride + 1
+    (0 until nWin).iterator.map { s =>
+      val sl = bytes.slice(s * stride, math.min(s * stride + win, n))
+      Row(docId, s, sl.length,
+        sl.foldLeft(0L)((a, b) => a + b.toInt * b.toInt))
+    }
+  }
+
+  /** Schema produced by the audio framing step. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("win_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy", LongType)))
+
   val queries: Map[String, Q] = ListMap(
     // Binary metadata via pure expressions (oracle-checked).
     "mm01_binary_meta" -> ((s, dir) => {
@@ -134,6 +160,25 @@ object Multimodal {
           round(element_at(col("resized"), 1).cast("double"), 4).as("r_first"),
           round(element_at(col("resized"), -1).cast("double"), 4).as("r_last"))
         .orderBy("doc_id")
+    }),
+
+    // Audio windowed energy: overlapping frames (stride < window — the
+    // STFT shape mm03's back-to-back frames don't exercise), flat rows out
+    // of the same narrow mapPartitions contract. The kernel is integer
+    // arithmetic end to end; rms is one codegen'd sqrt at the SQL layer.
+    "mm05_audio_windows" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(audioSchema)
+      src.mapPartitions { it =>
+        it.flatMap(r => fakeAudioWindows(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+        .select(col("doc_id"), col("win_idx"), col("n_samples"), col("energy"),
+          round(sqrt(col("energy").cast("double") / col("n_samples")), 4)
+            .as("rms"))
+        .orderBy("doc_id", "win_idx")
     }),
   )
 
@@ -217,5 +262,26 @@ object Multimodal {
         | ROUND(CAST(CAST(list_sum(lb) AS FLOAT) / len(lb) AS DOUBLE), 4)
         |   AS r_last
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // ASCII text: unicode(substr(..)) == the byte the Spark kernel squares.
+    "mm05_audio_windows" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
+        |  FROM documents WHERE doc_id < 100),
+        | w AS (SELECT doc_id, n, text,
+        |    unnest(range(0, CASE WHEN n <= 50 THEN 1
+        |      ELSE CAST((n - 50) // 25 AS INT) + 1 END)) AS win_idx
+        |   FROM b),
+        | f AS (SELECT doc_id, win_idx,
+        |    substr(text, win_idx * 25 + 1, 50) AS fr FROM w),
+        | e AS (SELECT doc_id, win_idx, length(fr) AS n_samples,
+        |    list_sum(list_transform(range(1, length(fr) + 1),
+        |      i -> CAST(unicode(substr(fr, i, 1)) AS BIGINT)
+        |           * unicode(substr(fr, i, 1)))) AS energy
+        |  FROM f)
+        |SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+        | CAST(n_samples AS INT) AS n_samples,
+        | CAST(energy AS BIGINT) AS energy,
+        | ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples), 4) AS rms
+        |FROM e ORDER BY doc_id, win_idx""".stripMargin,
   )
 }
