@@ -51,6 +51,35 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("timeout boundary: a session whose end+gap EQUALS the watermark stays open") {
+    // st07's oracle uses STRICT closure (end + gap < watermark); this pins
+    // Spark's event-time-timeout semantics to that predicate so an engine
+    // upgrade that flips the boundary fails loudly here, not as a silent
+    // oracle drift. Sessionize gap = 30 min, watermark delay = 10 min.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Sessionize.sessionize(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_boundary").start()
+    try {
+      ms.addData(Event(1L, t("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // watermark = 10:40:00 - 10 min = 10:30:00 == session end (10:00) +
+      // 30-min gap exactly → NOT timed out (strictly-greater semantics)
+      ms.addData(Event(99L, t("2024-01-01 10:40:00"), 0.0))
+      q.processAllAvailable()
+      val atBoundary = spark.table("sess_boundary").collect()
+      assert(atBoundary.isEmpty,
+        s"boundary-equal session closed early: ${atBoundary.mkString}")
+      // one second past the boundary → closed
+      ms.addData(Event(99L, t("2024-01-01 10:40:01"), 0.0))
+      q.processAllAvailable()
+      val past = spark.table("sess_boundary").as[Sessionize.Session].collect()
+      assert(past.map(s => (s.user_id, s.n_events)).toSet == Set((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("st07 emits exactly the batch q29 sessions the final watermark closed") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
