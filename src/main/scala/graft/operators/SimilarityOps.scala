@@ -318,6 +318,49 @@ object SimilarityOps {
         .withColumn("is_outlier", (col("centroid_cos") < 0.5).cast("int"))
         .orderBy("vec_id")
     }),
+
+    // K-means clustering, 2 Lloyd iterations — the ML primitive the IVF
+    // scaladoc defers to ("k-means over a sample, persisted as a broadcast
+    // table"), in EXACT integer arithmetic so the iteration is bit-stable
+    // across engines and partial-agg orders: vectors and centroids live in
+    // fixed-point BIGINT (floor(x·10⁴)); assignment maximizes the integer
+    // dot product (deterministic ties → smaller centroid id); the update
+    // step is exact BIGINT element sums with truncating integer division
+    // (Spark `div` == DuckDB `//` semantics, verified for negatives).
+    // Scale shape: assignment is the canonical n·k broadcast (k centroid
+    // rows, one corpus scan per iteration, top-1 via a k-row-bounded
+    // window); the update shuffles (cid, idx, q) triples — never vectors
+    // with payloads — and the centroid table is k × dim, always broadcast.
+    "ss07_kmeans" -> ((s, dir) => {
+      val k = 8
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
+          .as("vq"))
+      val init = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(k).select(col("vec_id").as("cid"), col("vq").as("cq"))
+      val idot =
+        expr("aggregate(zip_with(vq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cid"))
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("vq"), col("cid"), idot.as("dot"))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("vq"), col("cid"))
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid"), posexplode(col("vq")).as(Seq("idx", "q")))
+          .groupBy("cid", "idx").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+          .select(col("cid"), col("idx"), expr("sq div n").as("cq_e"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("idx"), col("cq_e")))).as("cs"))
+          .select(col("cid"), expr("transform(cs, s -> s.cq_e)").as("cq"))
+      val a2 = assign(update(assign(init)))
+      val sizes = a2.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      a2.join(broadcast(sizes), "cid")
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("n_members"))
+        .orderBy("vec_id")
+    }),
   )
 
   private val oWith =
@@ -472,5 +515,38 @@ object SimilarityOps {
          |SELECT vec_id, label, centroid_cos,
          | CAST(centroid_cos < 0.5 AS INT) AS is_outlier
          |FROM sc ORDER BY vec_id""".stripMargin,
+
+    // Both Lloyd iterations unrolled; all arithmetic integer (fixed-point
+    // vectors, HUGEINT sums truncation-divided), so every assignment and
+    // centroid is bit-equal to the Spark path.
+    "ss07_kmeans" ->
+      """WITH v AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        | c0 AS (SELECT vec_id AS cid, vq AS cq FROM v
+        |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        | d1 AS (SELECT v.vec_id, v.vq, c.cid,
+        |    list_sum(list_transform(range(1, len(v.vq) + 1),
+        |      i -> v.vq[i] * c.cq[i])) AS dot
+        |   FROM v CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, vq, cid FROM d1
+        |   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY dot DESC, cid) = 1),
+        | s1 AS (SELECT cid, t.i AS idx, SUM(vq[t.i]) AS sq, COUNT(*) AS n
+        |   FROM a1 CROSS JOIN UNNEST(range(1, len(vq) + 1)) t(i)
+        |   GROUP BY cid, t.i),
+        | c1 AS (SELECT cid, list(CAST(sq // n AS BIGINT) ORDER BY idx) AS cq
+        |   FROM s1 GROUP BY cid),
+        | d2 AS (SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(v.vq) + 1),
+        |      i -> v.vq[i] * c.cq[i])) AS dot
+        |   FROM v CROSS JOIN c1 c),
+        | a2 AS (SELECT vec_id, cid FROM d2
+        |   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY dot DESC, cid) = 1),
+        | sz AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
+        |SELECT a2.vec_id, a2.cid AS cluster_id, sz.n_members
+        |FROM a2 JOIN sz USING (cid) ORDER BY a2.vec_id""".stripMargin,
   )
 }

@@ -24,4 +24,26 @@ class SimilarityScaleSpec extends AnyFunSuite {
         s"n=$n p=$p occupancy=$expectedOccupancy")
     }
   }
+
+  test("ss07 k-means converges planted groups to shared clusters") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss07").toString
+    // two groups of identical vectors along orthogonal axes: every member
+    // must land in its group's cluster after the Lloyd iterations, with
+    // deterministic min-id tie-breaks on identical dot products
+    def vec(axis: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    (Seq.tabulate(4)(i => (i.toLong, vec(0), 0)) ++
+      Seq.tabulate(4)(i => ((10 + i).toLong, vec(1), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val rows = SimilarityOps.queries("ss07_kmeans")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 8)
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.values.toSet === Set(Set(0L, 1L, 2L, 3L),
+      Set(10L, 11L, 12L, 13L)), byCluster.toString)
+    assert(rows.forall(_._3 === 4L)) // both clusters report 4 members
+  }
 }
