@@ -135,6 +135,28 @@ object DedupClusters {
         .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
         .orderBy(asc("vec_id"))
     }),
+
+    // Leakage-free train/val/test split: the split is a hash of the
+    // near-dup CLUSTER id, not the document id, so every member of a
+    // duplicate group lands in the same split — assigning near-identical
+    // docs to train AND eval is the classic contamination bug this
+    // operator exists to prevent. 90/5/5 by the first 16 bits of
+    // md5(cluster_id); the invariant (same cluster ⇒ same split) holds by
+    // construction, and the whole thing rides dd06's CC output — one hash
+    // + one broadcast-free projection on top.
+    "tx16_leakage_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val pairs = MinHashDedup.lshPairs(s, dir)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      connectedComponents(docs, pairs, ("dd06_cc", dir))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(cast(cluster_id as string)), 1, 4), 16, 10) as int) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .orderBy(asc("doc_id"))
+    }),
   )
 
   /** Oracle: exact all-pairs Jaccard pairs (the proven dd02 equivalent) +
@@ -183,5 +205,36 @@ object DedupClusters {
          |  CAST(id = MIN(r) AS INT) AS keep
          |FROM walk GROUP BY id
          |ORDER BY vec_id""".stripMargin,
+
+    // dd06's reachability CTE, then the same md5-of-cluster split rule.
+    "tx16_leakage_split" ->
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |       FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(words) - 2, 1) + 1),
+        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+        |   FROM w),
+        | pairs AS (
+        |   SELECT a.doc_id AS id1, b.doc_id AS id2
+        |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |     >= 0.8),
+        | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |           UNION ALL SELECT id2, id1 FROM pairs),
+        | walk(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.a, walk.r FROM edges e JOIN walk ON walk.id = e.b),
+        | cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+        |   FROM walk GROUP BY id),
+        | bk AS (SELECT doc_id, cluster_id,
+        |   CAST(CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+        |     AS INT) % 100 AS INT) AS bucket FROM cl)
+        |SELECT doc_id, cluster_id, bucket,
+        | CASE WHEN bucket < 90 THEN 'train'
+        |   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
   )
 }

@@ -135,6 +135,48 @@ object TemporalJoins {
         .orderBy(asc("event_id"))
     }),
 
+    // NEAREST-event as-of join (both directions, ties → backward — the
+    // merge_asof direction='nearest' contract): for each purchase, the
+    // signup closest in time either way. Same one-shuffle union shape as
+    // asOf, but TWO window passes over the one sorted partition — a
+    // running last() for the backward candidate and a first() over the
+    // following frame for the forward one — then a row-local integer
+    // seconds comparison picks the winner. No join, no per-key pair space.
+    "aj04_asof_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("_side"),
+          col("event_id"), lit(null).cast("long").as("signup_id"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("signup_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("_side"),
+          lit(null).cast("long").as("event_id"), col("signup_id"))
+      val order = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("_side").asc)
+      val wB = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val packed = struct(col("ts").as("_ts"), col("signup_id").as("_id"))
+      val u = l.unionByName(r)
+        .withColumn("_b",
+          last(when(col("_side") === 0, packed), ignoreNulls = true).over(wB))
+        .withColumn("_f",
+          first(when(col("_side") === 0, packed), ignoreNulls = true).over(wF))
+        .filter(col("_side") === 1)
+      val bd = unix_timestamp(col("ts")) - unix_timestamp(col("_b._ts"))
+      val fd = unix_timestamp(col("_f._ts")) - unix_timestamp(col("ts"))
+      val useB = col("_f").isNull || (col("_b").isNotNull && bd <= fd)
+      u.select(col("event_id"), col("user_id"),
+        date_format(col("ts"), TsFmt).as("ts"),
+        date_format(when(useB, col("_b._ts")).otherwise(col("_f._ts")), TsFmt)
+          .as("nearest_signup_ts"),
+        when(useB, col("_b._id")).otherwise(col("_f._id")).as("signup_id"),
+        when(col("_b").isNull && col("_f").isNull, lit(null).cast("string"))
+          .when(useB, lit("backward")).otherwise(lit("forward"))
+          .as("direction"))
+        .orderBy(asc("event_id"))
+    }),
+
     // Time-series RESAMPLE + GAP FILL: per-user hourly grid from first to
     // last purchase, carrying the last observed hourly max forward through
     // empty hours. Scale shape: events collapse to (user, hour) partials
@@ -235,6 +277,41 @@ object TemporalJoins {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // Mirrors the two-window construction (DuckDB ASOF is backward-only,
+    // so 'nearest' is expressed the same way the Spark plan computes it).
+    "aj04_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+        |       WHERE event_type = 'signup' GROUP BY user_id, ts),
+        | u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id,
+        |         NULL::BIGINT AS signup_id FROM p
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, signup_id FROM s),
+        | wn AS (SELECT *,
+        |   last_value(CASE WHEN side = 0
+        |       THEN {'t': ts, 'i': signup_id} END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, side
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |   first_value(CASE WHEN side = 0
+        |       THEN {'t': ts, 'i': signup_id} END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, side
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM u),
+        | x AS (SELECT *,
+        |   (f IS NULL OR (b IS NOT NULL
+        |     AND date_diff('second', b.t, ts) <= date_diff('second', ts, f.t)))
+        |     AS useb
+        |  FROM wn WHERE side = 1)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | strftime(CASE WHEN useb THEN b.t ELSE f.t END,
+        |   '%Y-%m-%d %H:%M:%S') AS nearest_signup_ts,
+        | CASE WHEN useb THEN b.i ELSE f.i END AS signup_id,
+        | CASE WHEN b IS NULL AND f IS NULL THEN NULL
+        |   WHEN useb THEN 'backward' ELSE 'forward' END AS direction
+        |FROM x ORDER BY event_id""".stripMargin,
 
     "ts01_gap_fill" ->
       """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value

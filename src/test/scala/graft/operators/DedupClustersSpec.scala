@@ -106,4 +106,22 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) => assert(label(a) === label(b)) }
   }
+
+  test("tx16 split is leakage-free: every cluster lives in exactly one split") {
+    val rows = DedupClusters.queries("tx16_leakage_split")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.length > 0)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $cid split across ${members.map(_._3).distinct.toSeq}")
+    }
+    // every near-dup pair's endpoints share a split (the contamination bug
+    // this operator prevents)
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val pairs = MinHashDedup.lshPairs(spark, TestSpark.sf0001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) => assert(split(a) === split(b)) }
+    MinHashDedup.clearScratch()
+  }
 }

@@ -153,4 +153,35 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .filter($"event_type" === "error").count()
     assert(out.count() === errs)
   }
+
+  test("aj04 nearest: direction consistent with timestamps, ties backward") {
+    val rows = TemporalJoins.queries("aj04_asof_nearest")(
+      spark, graft.TestSpark.sf0001).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val t = r.getString(2)
+      Option(r.getString(5)) match {
+        case Some("backward") => assert(r.getString(3) <= t)
+        case Some("forward")  => assert(r.getString(3) > t)
+        case Some(other)      => fail(s"unexpected direction $other")
+        case None => assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+    // a backward pick at distance d implies no forward signup closer than d
+    // and vice versa — verified against the raw signup set per user
+    val signups = graft.Tables(spark, graft.TestSpark.sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val t = fmt.parse(r.getString(2)).getTime / 1000
+      val n = fmt.parse(r.getString(3)).getTime / 1000
+      val best = signups(r.getLong(1)).map(s => math.abs(s - t)).min
+      assert(math.abs(n - t) === best,
+        s"picked distance ${math.abs(n - t)} but best is $best")
+    }
+  }
 }
