@@ -96,6 +96,29 @@ object TextOps {
         .orderBy("id1", "id2")
     }),
 
+    // Asymmetric CONTAINMENT |A∩B| / |A| over the bounded candidate window
+    // — near-dup Jaccard (dd04) misses partial copies: a short doc quoted
+    // verbatim inside a long one has low Jaccard but containment ≈ 1.
+    // Emitted when either direction clears 0.5; same offset-explode
+    // equi-join shape as dd04 (ids only, word sets join back per pair).
+    "dd12_containment" -> ((s, dir) => {
+      val w = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("w"))
+      val candidates = w.select(col("doc_id").as("id1"),
+        explode(sequence(lit(1), lit(20))).as("k"))
+        .select(col("id1"), (col("id1") + col("k")).as("id2"))
+      val a = w.select(col("doc_id").as("id1"), col("w").as("w1"))
+      val b = w.select(col("doc_id").as("id2"), col("w").as("w2"))
+      val inter = size(array_intersect(col("w1"), col("w2")))
+      candidates.join(b, "id2").join(a, "id1")
+        .select(col("id1"), col("id2"),
+          round(inter.cast("double") / size(col("w1")), 6).as("contain_1in2"),
+          round(inter.cast("double") / size(col("w2")), 6).as("contain_2in1"))
+        .filter(col("contain_1in2") >= 0.5 || col("contain_2in1") >= 0.5)
+        .orderBy("id1", "id2")
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
     "tx01_token_counts" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -286,6 +309,21 @@ object TextOps {
         | ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
         |   / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
         |FROM t a JOIN t b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dd12_containment" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(a.w), 6)
+        |   AS contain_1in2,
+        | ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(b.w), 6)
+        |   AS contain_2in1
+        |FROM t a JOIN t b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+        |WHERE ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(a.w), 6)
+        |   >= 0.5
+        |   OR ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(b.w), 6)
+        |   >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
     "tx01_token_counts" ->

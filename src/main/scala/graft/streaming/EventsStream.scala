@@ -92,6 +92,25 @@ object EventsStream {
       }.orderBy("event_id")
     }),
 
+    // Streaming OHLC bars — the complete-mode twin of batch ts04, same
+    // struct-extremes-in-one-aggregation shape running incrementally over
+    // the stream; complete output == the batch oracle ts04 already uses.
+    "st08_stream_ohlc" -> ((s, dir) => {
+      runCompleteStream(s, dir, "st08_mem") { df =>
+        df.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+            max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+            max(col("value")).as("high"), min(col("value")).as("low"),
+            count(lit(1)).as("n"))
+      }
+        .select(
+          date_format(col("hb"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+          col("event_type"), col("o.value").as("open"), col("high"),
+          col("low"), col("c.value").as("close"), col("n"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+
     // Custom-state sessionization (flatMapGroupsWithState, event-time
     // timeout) driven over the real file stream. Append mode emits a
     // session only once the WATERMARK closes it (watermark = max event
@@ -211,6 +230,23 @@ object EventsStream {
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+
+    // Streaming complete-mode OHLC == the batch downsample (ts04's oracle).
+    "st08_stream_ohlc" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,
+        |   event_id, value FROM events),
+        | r AS (SELECT *,
+        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
+        |     ORDER BY ts, event_id) AS rf,
+        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
+        |     ORDER BY ts DESC, event_id DESC) AS rl FROM b)
+        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
+        | MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        | COUNT(*) AS n
+        |FROM r GROUP BY hb, event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin,
 
     // Streaming custom-state sessionization == the batch q29 sessions the
     // final watermark (max ts − 10 min) has CLOSED (end + 30-min gap
