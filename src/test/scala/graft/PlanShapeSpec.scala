@@ -222,7 +222,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // a range-predicate join (id1 < id2 <= id1+20) plans as a
     // BroadcastNestedLoopJoin — broadcasting a whole table side; the
     // offset-explode formulation emits candidate ids and equi-joins them
-    for (q <- Seq("dd04_word_jaccard", "dd05_embedding_neardup")) {
+    for (q <- Seq("dd04_word_jaccard", "dd05_embedding_neardup",
+        "dd12_containment")) {
       val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n${plan.take(2000)}")
