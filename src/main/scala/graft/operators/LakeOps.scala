@@ -31,7 +31,7 @@ import graft.Tables
 object LakeOps {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = ListMap(
+  val queries: Map[String, Q] = ListMap[String, Q](
     // MERGE INTO semantics over the orders snapshot: a derived changeset
     // (keys %10==0 update status+price, %10==3 delete, %10==7 insert under
     // a fresh key) applied in one full-outer join — the engine-level shape
@@ -41,7 +41,41 @@ object LakeOps {
     // strictly positive at every TPC-H scale factor, so the insert range is
     // disjoint by construction (an additive offset would collide once
     // o_orderkey outgrows it — at SF≈17 for +1e8).
-    "md01_merge_upsert" -> ((s, dir) => {
+    "md01_merge_upsert" -> ((s, dir) =>
+      mergedOrders(s, dir).orderBy("o_orderkey")),
+
+    // Snapshot DIFF — the row-level change feed between two table states
+    // (time-travel compare): the orders base vs md01's merged output.
+    // One full-outer join on the key classifies every row: added (insert
+    // keys), removed (deleted keys), changed (value drift), with same
+    // rows dropped. At 100 TB both sides are key-bucketed snapshots, so
+    // the join co-locates without a shuffle; the classification is
+    // row-local.
+    "md02_snapshot_diff" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("a_status"),
+        col("o_totalprice").as("a_total"))
+      val b = mergedOrders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus").as("b_status"), col("o_totalprice").as("b_total"))
+      a.join(b, col("k") === col("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("k").isNull, "added")
+            .when(col("o_orderkey").isNull, "removed")
+            .when(col("a_status") =!= col("b_status")
+              || col("a_total") =!= col("b_total"), "changed"))
+        .filter(col("change_type").isNotNull)
+        .select(coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+          col("change_type"), col("a_status").as("old_status"),
+          col("b_status").as("new_status"), col("a_total").as("old_total"),
+          col("b_total").as("new_total"))
+        .orderBy("o_orderkey")
+    }),
+  ) ++ more
+
+  /** md01's MERGE result without the presentation sort — shared by the
+    * merge query itself and the snapshot-diff operator.
+    */
+  private def mergedOrders(s: SparkSession, dir: String): DataFrame = {
       val base = Tables(s, dir, "orders")
       val upd = base.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("k"), lit("U").as("op"),
@@ -71,9 +105,9 @@ object LakeOps {
             .otherwise(col("o_totalprice")).as("o_totalprice"),
           date_format(when(col("op").isNotNull, col("c_date"))
             .otherwise(col("o_orderdate")), "yyyy-MM-dd").as("order_date"))
-        .orderBy("o_orderkey")
-    }),
+  }
 
+  private def more: Map[String, Q] = ListMap(
     // CDC compaction: the LATEST event per (user_id, event_type) — SCD
     // type-1 read of a change stream. Deterministic via lexicographic
     // struct max on (ts, event_id): event_id breaks ts ties.
@@ -186,6 +220,34 @@ object LakeOps {
         | value
         |FROM events
         |ORDER BY user_id, event_type, event_id""".stripMargin,
+
+    // The diff restated set-wise: survivors that changed, deletions,
+    // insertions — the same classification the full-outer join computes.
+    "md02_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |     AS b_status,
+        |   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+        |     ELSE o_totalprice END AS b_total
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N', o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 7),
+        | a AS (SELECT o_orderkey AS k, o_orderstatus AS a_status,
+        |   o_totalprice AS a_total FROM orders),
+        | j AS (SELECT a.k, b.o_orderkey, a.a_status, a.a_total,
+        |   b.b_status, b.b_total
+        |  FROM a FULL JOIN b ON b.o_orderkey = a.k),
+        | c AS (SELECT *, CASE WHEN k IS NULL THEN 'added'
+        |    WHEN o_orderkey IS NULL THEN 'removed'
+        |    WHEN a_status <> b_status OR a_total <> b_total THEN 'changed'
+        |    END AS change_type FROM j)
+        |SELECT COALESCE(k, o_orderkey) AS o_orderkey, change_type,
+        | a_status AS old_status, b_status AS new_status,
+        | a_total AS old_total, b_total AS new_total
+        |FROM c WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ts04_ohlc_bars" ->
       """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,

@@ -211,6 +211,23 @@ object Relational4 {
           asc_nulls_first("o_orderpriority"))
     }),
 
+    // Approximate percentile (GK/QuantileSummaries sketch) beside the
+    // exact answer, q45's sketch-gating pattern: the gated output is the
+    // exact percentile plus a 5%-accuracy CONTRACT column (the sketch
+    // value itself is merge-order-sensitive, so it is asserted, not
+    // emitted). At 100 TB the sketch is the only viable path — single
+    // pass, bounded memory — and this query keeps it honest against the
+    // exact computation at gate scale.
+    "q51_approx_percentile" -> ((s, dir) => {
+      Tables(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+          expr("percentile_approx(o_totalprice, 0.5, 1000)").as("ap"))
+        .select(col("o_orderpriority"), col("exact_p50"),
+          ((abs(col("ap") - col("exact_p50")) / col("exact_p50")) <= lit(0.05))
+            .cast("int").as("within_5pct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Salted equi-join, RESULT-gated: the hot-key mitigation (probe rows
     // salted deterministically, build side replicated per salt, join on
     // (key, salt)) must produce exactly the unsalted join's multiset —
@@ -344,6 +361,15 @@ object Relational4 {
         | (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
         |ORDER BY g_status, g_priority,
         | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // The exact percentile + the contract asserted true: if the Spark
+    // sketch ever drifts past 5%, the flag flips and the hash breaks.
+    "q51_approx_percentile" ->
+      """SELECT o_orderpriority,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        | CAST(1 AS INT) AS within_5pct
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // The UNSALTED join — the equivalence contract of the salting rewrite.
     "q50_salted_join" ->
