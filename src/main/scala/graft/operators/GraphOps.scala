@@ -32,6 +32,7 @@ object GraphOps {
   private val Iters = 5
   private val Scale = 1000000000L // rank fixed-point: 1.0 == 10^9
   private val Base = 150000000L   // (1 - d) × Scale with d = 0.85
+  private val MaxHops = 8         // gr03 bounded-BFS horizon
 
   val queries: Map[String, Q] = ListMap(
     // PageRank over the undirected embedding near-dup graph (dd07's pairs).
@@ -67,6 +68,42 @@ object GraphOps {
       val out = MinHashDedup.materialized(
         ranks.select(col("node"), col("r").as("rank_scaled")),
         "gr01_ranks", dir)
+      lastCp.foreach(DedupClusters.unpersistCheckpoint)
+      out.orderBy("node")
+    }),
+
+    // Bounded-hop BFS: hop distance (≤ 8) from the graph's canonical
+    // (minimum-id) node — "how far is each doc from the cluster anchor",
+    // the k-hop-neighborhood primitive. Iterative min-relaxation, k fixed:
+    // each round is one edge⋈frontier join + a min-aggregate (2 shuffles,
+    // frames ≤ |edges|), lineage truncated per round like gr01/dd06; extra
+    // rounds past convergence are idempotent, so fixed-k needs no
+    // convergence count. Unreached nodes are excluded (null distance).
+    "gr03_bfs_hops" -> ((s, dir) => {
+      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1"), col("id2"))
+      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val edges = MinHashDedup.materialized(sym, "gr03_edges", dir)
+      val srcDf = pairs.agg(min(col("id1")).as("s"))
+      var dist = edges.select(col("src").as("node")).distinct()
+        .crossJoin(broadcast(srcDf))
+        .select(col("node"),
+          when(col("node") === col("s"), 0L).as("h"))
+      var lastCp: Option[DataFrame] = None
+      for (_ <- 1 to MaxHops) {
+        val prop = edges.join(dist, edges("src") === dist("node"))
+          .filter(col("h").isNotNull)
+          .select(col("dst").as("node"), (col("h") + 1).as("h"))
+        dist = dist.union(prop).groupBy("node").agg(min("h").as("h"))
+          .localCheckpoint()
+        lastCp.foreach(DedupClusters.unpersistCheckpoint)
+        lastCp = Some(dist)
+      }
+      val out = MinHashDedup.materialized(
+        dist.filter(col("h").isNotNull)
+          .select(col("node"), col("h").cast("int").as("hops")),
+        "gr03_hops", dir)
       lastCp.foreach(DedupClusters.unpersistCheckpoint)
       out.orderBy("node")
     }),
@@ -113,6 +150,22 @@ object GraphOps {
          | r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS r FROM dg),
          |$iterSql
          |SELECT node, r AS rank_scaled FROM i$Iters ORDER BY node""".stripMargin,
+
+    // Hop-bounded reachability as a recursive CTE: UNION dedups (node, h)
+    // states and h < MaxHops bounds the recursion, so min-per-node equals
+    // the iterative relaxation exactly.
+    "gr03_bfs_hops" ->
+      s"""WITH RECURSIVE ${SimilarityOps.nearDupPairsCteSql},
+         | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |        UNION ALL SELECT id2, id1 FROM pairs),
+         | walk(node, h) AS (
+         |   SELECT (SELECT MIN(id1) FROM pairs), 0
+         |   UNION
+         |   SELECT e.dst, walk.h + 1 FROM ed e
+         |   JOIN walk ON walk.node = e.src WHERE walk.h < $MaxHops)
+         |SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
+         |WHERE node IS NOT NULL
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     "gr02_triangles" ->
       s"""WITH ${SimilarityOps.nearDupPairsCteSql},
