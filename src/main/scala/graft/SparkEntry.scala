@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusFilters, DedupClusters, GraphOps, LakeOps, MinHashDedup, Multimodal, Relational, Relational2, Relational3, Relational4, SimilarityOps, TemporalJoins, TextOps}
+import graft.operators.{CorpusFilters, DedupClusters, GraphOps, LakeOps, MinHashDedup, Multimodal, Relational, Relational2, Relational3, Relational4, Relational5, SimilarityOps, TemporalJoins, TextOps}
 import graft.streaming.{CorpusStream, EventsStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,14 +18,14 @@ object SparkEntry {
     Relational.queries("q05_nation_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ TextOps.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ Relational5.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ MinHashDedup.queries ++ Multimodal.queries ++
       TemporalJoins.queries ++ DedupClusters.queries ++ EventsStream.queries ++
       CorpusFilters.queries ++ CorpusStream.queries ++ GraphOps.queries ++
       LakeOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++ TextOps.oracle ++
+    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++ Relational5.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ MinHashDedup.oracle ++ Multimodal.oracle ++
       TemporalJoins.oracle ++ DedupClusters.oracle ++ EventsStream.oracle ++
       CorpusFilters.oracle ++ CorpusStream.oracle ++ GraphOps.oracle ++

@@ -180,6 +180,34 @@ object Multimodal {
             .as("rms"))
         .orderBy("doc_id", "win_idx")
     }),
+
+    // Contrastive training-pair construction (the CLIP-style doc↔embedding
+    // pairing stage): each document gets its positive vector plus 3
+    // DETERMINISTIC hash-drawn negatives (Knuth multiplicative hash mod
+    // corpus size — reproducible across runs/engines, unlike rand()).
+    // Scale shape: negatives are generated as (doc_id, vec_id) IDS ONLY —
+    // a 4-row explode per doc, no vector payload until the single hash
+    // join that attaches labels; n_vecs is a broadcast scalar, never a
+    // driver collect.
+    "mm06_pair_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val pos = docs.select(col("doc_id"), col("doc_id").as("vec_id"),
+        lit(1).as("is_positive"))
+      val neg = docs.crossJoin(broadcast(nVecs))
+        .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("j"),
+          col("n_vecs"))
+        .select(col("doc_id"),
+          ((col("doc_id") * lit(2654435761L) + col("j") * lit(40503L))
+            % col("n_vecs")).as("vec_id"),
+          lit(0).as("is_positive"))
+      pos.unionByName(neg)
+        .join(emb, Seq("vec_id"))
+        .select(col("doc_id"), col("vec_id"), col("is_positive"), col("label"))
+        .orderBy(col("doc_id"), col("is_positive").desc, col("vec_id"))
+    }),
   )
 
   /** The fake-codec arithmetic ([[fakeDecode]]) re-expressed in DuckDB SQL.
@@ -283,5 +311,19 @@ object Multimodal {
         | CAST(energy AS BIGINT) AS energy,
         | ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples), 4) AS rms
         |FROM e ORDER BY doc_id, win_idx""".stripMargin,
+
+    "mm06_pair_negatives" ->
+      """WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+        | pos AS (SELECT doc_id, doc_id AS vec_id, 1 AS is_positive
+        |   FROM documents),
+        | neg AS (SELECT doc_id,
+        |    (doc_id * 2654435761 + j * 40503) % (SELECT n_vecs FROM n)
+        |      AS vec_id,
+        |    0 AS is_positive
+        |  FROM documents, (VALUES (1), (2), (3)) t(j)),
+        | pairs AS (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |SELECT p.doc_id, p.vec_id, p.is_positive, e.label
+        |FROM pairs p JOIN embeddings e ON p.vec_id = e.vec_id
+        |ORDER BY p.doc_id, p.is_positive DESC, p.vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fifth tranche: array higher-order functions, bitmap-style bit
+  * aggregates, exact median + deterministic mode, and Spark 4 VARIANT
+  * ingestion of semi-structured JSON.
+  *
+  * All four stay order-free / integer-exact so the DuckDB oracle hash
+  * cannot move under partial-aggregation reordering (the house
+  * determinism policy, DESIGN.md).
+  */
+object Relational5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = ListMap(
+    // Array higher-order functions (transform / filter / aggregate /
+    // exists / forall) over per-order quantity lists. Scale shape: ONE
+    // shuffle builds the per-key array (collect_list rides the regular
+    // aggregation path); every lambda after that is row-local codegen'd
+    // work — no second shuffle, no explode-and-regroup round trip.
+    // Quantities cast to BIGINT so the folds are integer-exact.
+    "q52_higher_order" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          aggregate(col("qs"), lit(0L), (a, x) => a + x).as("total_qty"),
+          aggregate(filter(col("qs"), x => x % 2 === 0), lit(0L),
+            (a, x) => a + x).as("even_qty"),
+          aggregate(transform(col("qs"), x => x * x), lit(0L),
+            (a, x) => a + x).as("sum_sq"),
+          exists(col("qs"), _ >= 45).cast("int").as("has_large"),
+          forall(col("qs"), _ > 0).cast("int").as("all_positive"))
+        .orderBy("l_orderkey")
+    }),
+
+    // Bitmap-index shape: per (hour, event_type), a presence bitmask of
+    // user buckets via bit_or(1 << (user_id % 32)) plus bit_and/bit_xor.
+    // Bitwise aggregates are commutative and associative, so partial
+    // aggregation on the map side is free and order can't change a bit —
+    // the same property that makes roaring-bitmap rollups work at lake
+    // scale. One shuffle, no distinct.
+    "q53_bit_aggs" -> ((s, dir) => {
+      val mask = expr("shiftleft(1L, cast(user_id % 32 as int))")
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+        .agg(
+          bit_or(mask).as("user_mask"),
+          bit_and(col("user_id")).as("and_users"),
+          bit_xor(col("user_id")).as("xor_users"),
+          count(lit(1)).as("n"))
+        .select(
+          date_format(col("hb"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+          col("event_type"), col("user_mask"),
+          bit_count(col("user_mask")).as("n_buckets"),
+          col("and_users"), col("xor_users"), col("n"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+
+    // Exact median (integer cents, so the 0.5-interpolation is the IEEE-
+    // exact midpoint of two BIGINTs in both engines) plus a DETERMINISTIC
+    // mode: most-frequent market segment per nation, ties to the
+    // lexicographically smallest. Mode is two ordinary aggregations —
+    // count per (nation, segment), then min(struct(-cnt, segment)) per
+    // nation — never a per-key window, so no stratum lands on one task.
+    "q54_median_mode" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        col("c_mktsegment"))
+      val med = c.groupBy("c_nationkey")
+        .agg(median(col("cents")).as("median_cents"),
+          count(lit(1)).as("n_cust"))
+      val mode = c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("c_nationkey")
+        .agg(min(struct((-col("cnt")).as("neg"), col("c_mktsegment").as("seg")))
+          .as("m"))
+        .select(col("c_nationkey"), col("m.seg").as("mode_segment"),
+          (-col("m.neg")).as("mode_count"))
+      med.join(mode, Seq("c_nationkey"))
+        .select(col("c_nationkey").as("nationkey"), col("n_cust"),
+          col("median_cents"), col("mode_segment"), col("mode_count"))
+        .orderBy("nationkey")
+    }),
+
+    // Spark 4 VARIANT ingestion: parse_json once into the binary VARIANT
+    // encoding, then typed path extraction (variant_get) — the
+    // shred-on-read pattern for semi-structured columns. try_variant_get
+    // on an absent path returns NULL instead of failing, proving row-level
+    // error containment on the semi-structured axis (q47's contract).
+    "vr01_variant" -> ((s, dir) => {
+      val v = parse_json(col("props"))
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(v, "$.k", "int").as("k"),
+          try_variant_get(v, "$.missing", "int").as("m"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          (count(lit(1)) - count(col("m"))).as("n_missing"))
+        .orderBy("event_type")
+    }),
+
+    // K-anonymity audit over the (nationkey, mktsegment) quasi-identifier
+    // — the privacy gate a training-data release runs beside tx11's PII
+    // redaction: any equivalence class smaller than k re-identifies its
+    // members. One aggregation, integer re-identification risk in micros
+    // (1e6 / class size, truncating), suppression flag per class.
+    "pa01_k_anonymity" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+          (col("class_size") >= 15L).cast("int").as("k_anonymous"),
+          expr("1000000 div class_size").as("risk_micro"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // Join-key skew profile: the diagnostic that decides whether a join
+    // needs `Skew.saltedJoin` (q50). Per-key counts partial-aggregate
+    // map-side; the top-10 cut is TakeOrdered (a bounded heap per
+    // partition + one tiny merge, never a full sort); corpus totals ride
+    // a broadcast 1-row scalar. share_micro = key share of all rows,
+    // skew_x_micro = that share relative to uniform (share × n_keys).
+    "q55_skew_profile" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_suppkey"))
+      val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val totals = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+        .crossJoin(broadcast(totals))
+        .select(col("l_suppkey"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("share_micro"),
+          expr("(cnt * n_keys * 1000000) div total").as("skew_x_micro"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+    }),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "q52_higher_order" ->
+      """WITH g AS (SELECT l_orderkey,
+        |   list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)) AS qs
+        | FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(qs) AS n_items,
+        | CAST(COALESCE(list_sum(qs), 0) AS BIGINT) AS total_qty,
+        | CAST(COALESCE(list_sum(list_filter(qs, x -> x % 2 = 0)), 0) AS BIGINT)
+        |   AS even_qty,
+        | CAST(COALESCE(list_sum(list_transform(qs, x -> x * x)), 0) AS BIGINT)
+        |   AS sum_sq,
+        | CAST(list_bool_or(list_transform(qs, x -> x >= 45)) AS INT) AS has_large,
+        | CAST(list_bool_and(list_transform(qs, x -> x > 0)) AS INT) AS all_positive
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    "q53_bit_aggs" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type,
+        |   CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT) AS mask,
+        |   CAST(user_id AS BIGINT) AS uid FROM events)
+        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
+        | bit_or(mask) AS user_mask,
+        | CAST(bit_count(bit_or(mask)) AS INT) AS n_buckets,
+        | bit_and(uid) AS and_users, bit_xor(uid) AS xor_users,
+        | COUNT(*) AS n
+        |FROM b GROUP BY hb, event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q54_median_mode" ->
+      """WITH c AS (SELECT c_nationkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment
+        | FROM customer),
+        | med AS (SELECT c_nationkey, median(cents) AS median_cents,
+        |   COUNT(*) AS n_cust FROM c GROUP BY c_nationkey),
+        | seg AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |   FROM c GROUP BY 1, 2),
+        | md AS (SELECT c_nationkey, c_mktsegment AS mode_segment,
+        |   cnt AS mode_count
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cnt DESC, c_mktsegment) AS rn FROM seg)
+        |  WHERE rn = 1)
+        |SELECT med.c_nationkey AS nationkey, n_cust, median_cents,
+        | mode_segment, mode_count
+        |FROM med JOIN md ON med.c_nationkey = md.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "vr01_variant" ->
+      """SELECT event_type,
+        | COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_k,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k,
+        | MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+        | COUNT(*) - COUNT(CAST(json_extract(props, '$.missing') AS INT))
+        |   AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pa01_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+        | CAST(COUNT(*) >= 15 AS INT) AS k_anonymous,
+        | 1000000 // COUNT(*) AS risk_micro
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q55_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+        |   GROUP BY l_suppkey),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |   COUNT(*) AS n_keys FROM c),
+        | top AS (SELECT * FROM c ORDER BY cnt DESC, l_suppkey LIMIT 10)
+        |SELECT l_suppkey, cnt,
+        | (cnt * 1000000) // total AS share_micro,
+        | (cnt * n_keys * 1000000) // total AS skew_x_micro
+        |FROM top, t ORDER BY cnt DESC, l_suppkey""".stripMargin,
+  )
+}

@@ -234,6 +234,32 @@ object TemporalJoins {
             .cast("double").as("purchase_value"))
         .orderBy(asc("event_id"))
     }),
+
+    // Integer EWMA (α = 1/2) per user — a SEQUENTIAL recurrence
+    // s ← (s + x) >> 1 over the user's (ts, event_id)-ordered history,
+    // which no window frame can express. Scale shape: ONE shuffle groups
+    // each user's history into an array (state per key == that key's
+    // history, the same bound flatMapGroupsWithState carries), then the
+    // fold runs row-locally inside codegen. Truncating shift on positive
+    // cents keeps every step integer-exact, so the oracle's left fold
+    // reproduces it bit-for-bit — keys stay data-parallel, only the
+    // intra-key recurrence is sequential (as it must be).
+    "ts05_ewma" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("user_id"),
+          transform(col("es"), e => e.getField("cents")).as("cs"))
+        .select(col("user_id"),
+          size(col("cs")).as("n_events"),
+          element_at(col("cs"), -1).as("last_cents"),
+          aggregate(expr("slice(cs, 2, size(cs) - 1)"),
+            element_at(col("cs"), 1),
+            (a, x) => shiftright(a + x, 1)).as("ewma_cents"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -346,5 +372,18 @@ object TemporalJoins {
         |  AND p.pts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
         |GROUP BY e.event_id, e.user_id, e.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // DuckDB list_reduce seeds with the first element and folds left —
+    // exactly the Spark-side aggregate(slice(2..), first, ...) shape.
+    // `//` on positive BIGINTs == shiftright by 1.
+    "ts05_ewma" ->
+      """WITH e AS (SELECT user_id,
+        |   list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)
+        |     AS cs
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, len(cs) AS n_events,
+        | cs[len(cs)] AS last_cents,
+        | list_reduce(cs, (a, b) -> (a + b) // 2) AS ewma_cents
+        |FROM e ORDER BY user_id""".stripMargin,
   )
 }

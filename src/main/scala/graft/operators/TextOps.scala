@@ -277,6 +277,33 @@ object TextOps {
           round(avg(length(col("text"))), 4).as("avg_measured"))
         .orderBy("bucket")
     }),
+
+    // Model-based quality filter: the fasttext-classifier stage of a
+    // training-data pipeline, with the trained weights pinned as integer
+    // constants. Features (stopword density, punctuation density, capped
+    // length) are scaled to exact integer micros and the linear score is a
+    // fixed-point dot product — row-local, one scan, zero shuffles before
+    // the presentation sort, and bit-identical in any engine (the float
+    // sigmoid is monotone, so thresholding the integer logit IS
+    // thresholding the probability).
+    "tx17_quality_model" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nw = size(words).cast("long")
+      val ns = hitCount(words, enWords).cast("long")
+      val np = length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), nw.as("nw"), ns.as("ns"), np.as("np"),
+          col("n_chars"))
+        .select(col("doc_id"),
+          expr("(ns * 1000000) div nw").as("stop_micro"),
+          expr("(np * 1000000) div n_chars").as("punct_micro"),
+          least(col("nw"), lit(500L)).as("len_cap"))
+        .withColumn("logit",
+          lit(-800000L) + lit(3L) * col("stop_micro")
+            - lit(2L) * col("punct_micro") + lit(1000L) * col("len_cap"))
+        .withColumn("keep", (col("logit") > 0L).cast("int"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB form of [[scoredEnglish]]'s scoring stage (before the gates) —
@@ -418,5 +445,28 @@ object TextOps {
         | COUNT(*) AS n_docs,
         | ROUND(AVG(LENGTH(text)), 4) AS avg_measured
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Same fixed-point dot product; `//` floor == Spark `div` truncation
+    // on the (all-positive) feature micros.
+    "tx17_quality_model" -> {
+      val stop = sqlList(enWords)
+      s"""WITH f AS (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |   CAST(len(list_filter(string_split(text, ' '),
+         |     w -> list_contains($stop, w))) AS BIGINT) AS ns,
+         |   CAST(LENGTH(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT)
+         |     AS np,
+         |   n_chars FROM documents),
+         | m AS (SELECT doc_id,
+         |   (ns * 1000000) // nw AS stop_micro,
+         |   (np * 1000000) // n_chars AS punct_micro,
+         |   LEAST(nw, 500) AS len_cap FROM f)
+         |SELECT doc_id, stop_micro, punct_micro, len_cap,
+         | -800000 + 3 * stop_micro - 2 * punct_micro + 1000 * len_cap
+         |   AS logit,
+         | CAST((-800000 + 3 * stop_micro - 2 * punct_micro
+         |   + 1000 * len_cap) > 0 AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -131,6 +131,21 @@ object EventsStream {
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     }),
+
+    // Streaming leaderboard: complete-mode per-type counters (counts +
+    // integer-cents totals — commutative, so incremental micro-batch
+    // merges can't move a bit), with the top-5 cut applied on the sink
+    // table. The running-aggregate state is one row per event type —
+    // O(cardinality), not O(stream) — the canonical live-dashboard shape.
+    "st09_stream_topk" -> ((s, dir) => {
+      runCompleteStream(s, dir, "st09_mem") { df =>
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      }
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(5)
+    }),
   )
 
   /** Shared driver for the streaming queries: file source → `xform` →
@@ -272,5 +287,13 @@ object EventsStream {
         | n_events, session_value
         |FROM sess, wm WHERE en + INTERVAL 30 MINUTE < w
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Streaming complete-mode leaderboard == the batch top-5 by count.
+    "st09_stream_topk" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
   )
 }

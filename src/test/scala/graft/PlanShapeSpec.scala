@@ -248,4 +248,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.head.contains("l_linenumber"))
   }
+
+  test("ts05 EWMA is one grouping shuffle, no window") {
+    // the recurrence folds row-locally inside the array; a WindowExec or a
+    // second data shuffle would mean the per-key history was re-shuffled
+    val plan = SparkEntry.queries("ts05_ewma")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"expected no Window node:\n$plan")
+    // one Exchange for the groupBy; the presentation orderBy may add one
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected <=2 exchanges:\n$plan")
+  }
+
+  test("q52/q53/q54 aggregate without windows — lambda folds and struct-min stay row-local") {
+    for (q <- Seq("q52_higher_order", "q53_bit_aggs", "q54_median_mode")) {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+        .queryExecution.sparkPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$q: expected no Window node:\n$plan")
+    }
+  }
+
+  test("mm06 pairing: label join is an equi-join; only the 1-row scalar broadcasts") {
+    val plan = SparkEntry.queries("mm06_pair_negatives")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the n_vecs scalar (1 row) may ride a BroadcastNestedLoopJoin; the
+    // label attachment must be a hash/sort-merge equi-join on vec_id
+    val bnl = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnl <= 1, s"expected at most the scalar BNL:\n${plan.take(2000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
 }
