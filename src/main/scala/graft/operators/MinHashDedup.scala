@@ -205,6 +205,27 @@ object MinHashDedup {
       lshPairs(s, dir)
         .orderBy(desc("jaccard"), asc("id1"), asc("id2"))),
 
+    // Cross-corpus near-dup: the "is this incoming crawl already in my
+    // curated set" audit — dd02's pair space restricted to documents from
+    // DIFFERENT source groups (src0-9 = curated, src10-19 = incoming).
+    // Shares dd02's materialized shingle/band scratch pass; the group
+    // predicate joins a (doc_id, group) dimension onto the ids-only
+    // candidate output, so conditioning the dedup costs two tiny hash
+    // joins, never a re-shingle of either corpus.
+    "dd11_cross_corpus_neardup" -> ((s, dir) => {
+      val grp = Tables(s, dir, "documents").select(col("doc_id"),
+        (regexp_extract(col("source"), "\\d+", 0).cast("int") < 10)
+          .as("curated"))
+      lshPairs(s, dir)
+        .join(grp.select(col("doc_id").as("id1"), col("curated").as("g1")),
+          "id1")
+        .join(grp.select(col("doc_id").as("id2"), col("curated").as("g2")),
+          "id2")
+        .filter(col("g1") =!= col("g2"))
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(desc("jaccard"), asc("id1"), asc("id2"))
+    }),
+
     // SimHash: one-pass row-local signature, candidates by 16-bit chunk
     // equality, output = exact pairs at hamming ≤ 3 (recall 100% by
     // pigeonhole — oracle: all-pairs exact Hamming).
@@ -252,6 +273,29 @@ object MinHashDedup {
         |   AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |ORDER BY jaccard DESC, id1, id2""".stripMargin,
+
+    // dd02's exact all-pairs oracle with the cross-group predicate.
+    "dd11_cross_corpus_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |    FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(words) - 2, 1) + 1),
+        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+        |   FROM w),
+        | g AS (SELECT doc_id,
+        |     CAST(regexp_extract(source, '[0-9]+') AS INT) < 10 AS curated
+        |   FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        |   AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        | JOIN g ga ON ga.doc_id = a.doc_id
+        | JOIN g gb ON gb.doc_id = b.doc_id
+        |WHERE ga.curated <> gb.curated
+        | AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
         |ORDER BY jaccard DESC, id1, id2""".stripMargin,
 

@@ -144,6 +144,46 @@ object Relational5 {
           expr("(cnt * n_keys * 1000000) div total").as("skew_x_micro"))
         .orderBy(col("cnt").desc, col("l_suppkey"))
     }),
+
+    // Ordered string aggregation — Spark 4's LISTAGG ... WITHIN GROUP
+    // (ORDER BY ...), which pins the concatenation order so the result is
+    // deterministic under any partial-aggregation schedule (bare listagg /
+    // collect_list order is partition-arrival nondeterminism).
+    "q56_listagg" -> ((s, dir) => {
+      Tables(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+          expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
+            .as("names"),
+          count(lit(1)).as("n_supp"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Map higher-order functions: build an integer metric map per line
+    // item, transform_values (×2), map_zip_with against the original
+    // (original + doubled = tripled), map_filter (keep even), then explode
+    // to scalar (key, value) rows — all row-local after the scan; the map
+    // never crosses a shuffle. The oracle computes the same rows
+    // relationally (maps stay an engine-internal shape, not an output
+    // contract).
+    "q57_map_higher_order" -> ((s, dir) => {
+      val m = map_from_arrays(
+        array(lit("disc"), lit("price"), lit("qty")),
+        array(round(col("l_discount") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          round(col("l_quantity")).cast("long")))
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"), m.as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          map_filter(
+            map_zip_with(col("m"),
+              transform_values(col("m"), (_, v) => v * 2L),
+              (_, a, b) => a + b),
+            (_, v) => v % 2L === 0L).as("f"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(col("f")).as(Seq("k", "v")))
+        .orderBy("l_orderkey", "l_linenumber", "k")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -218,5 +258,27 @@ object Relational5 {
         | (cnt * 1000000) // total AS share_micro,
         | (cnt * n_keys * 1000000) // total AS skew_x_micro
         |FROM top, t ORDER BY cnt DESC, l_suppkey""".stripMargin,
+
+    "q56_listagg" ->
+      """SELECT s_nationkey,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names,
+        | COUNT(*) AS n_supp
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q57_map_higher_order" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |   CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+        |   CAST(round(l_quantity) AS BIGINT) AS qty
+        | FROM lineitem WHERE l_orderkey <= 200),
+        | e AS (
+        |  SELECT l_orderkey, l_linenumber, 'disc' AS k, 3 * disc AS v FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', 3 * price FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'qty', 3 * qty FROM li)
+        |SELECT l_orderkey, l_linenumber, k, v FROM e
+        |WHERE v % 2 = 0
+        |ORDER BY l_orderkey, l_linenumber, k""".stripMargin,
   )
 }
