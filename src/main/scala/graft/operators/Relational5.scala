@@ -184,6 +184,25 @@ object Relational5 {
           explode(col("f")).as(Seq("k", "v")))
         .orderBy("l_orderkey", "l_linenumber", "k")
     }),
+
+    // Calendar arithmetic battery: month-offset with end-of-month clamping
+    // (add_months), last_day, quarter truncation, ISO week, day-of-week,
+    // day deltas — all row-local, and every derived date leaves as a
+    // formatted string (raw DATE columns drift dtypes across engines).
+    "q58_date_arith" -> ((s, dir) => {
+      val d = col("o_orderdate")
+      Tables(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          date_format(d, "yyyy-MM-dd").as("d"),
+          date_format(add_months(d, 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("quarter", d), "yyyy-MM-dd").as("q_start"),
+          quarter(d).as("qtr"),
+          dayofweek(d).as("dow"),
+          weekofyear(d).as("iso_week"),
+          datediff(lit("1998-01-01").cast("date"), d).as("days_to_98"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -280,5 +299,21 @@ object Relational5 {
         |SELECT l_orderkey, l_linenumber, k, v FROM e
         |WHERE v % 2 = 0
         |ORDER BY l_orderkey, l_linenumber, k""".stripMargin,
+
+    // DuckDB's +INTERVAL clamps to month end exactly like add_months;
+    // dow is 0=Sunday there vs Spark's 1=Sunday, hence the +1.
+    "q58_date_arith" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS d,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+        |   AS month_end,
+        | strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+        | CAST(week(o_orderdate) AS INT) AS iso_week,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+        |   AS INT) AS days_to_98
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
   )
 }

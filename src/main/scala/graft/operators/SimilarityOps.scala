@@ -183,6 +183,41 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
+    // FILTERED vector search: ss03's LSH with a metadata predicate (same
+    // label) folded INTO the bucket key — the candidate join runs on
+    // (sig, label), so the filter narrows each bucket instead of
+    // post-filtering candidates (post-filter ANN starves top-k recall when
+    // the predicate is selective; key composition is the index-level fix).
+    "ss08_filtered_ann" -> ((s, dir) => {
+      val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
+      val pl = planes(nPlanes, 64)
+      val sigCol = (0 until nPlanes).map { p =>
+        val dotP = GraftFunctions.dot_product(col("v"), col(s"pl$p"))
+        when(dotP > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+      val e0 = emb(s, dir)
+      val withPl = (0 until nPlanes).foldLeft(e0) { (df, p) =>
+        df.withColumn(s"pl$p", array(pl(p).toIndexedSeq.map(lit): _*))
+      }
+      val sig = withPl.withColumn("sig", sigCol)
+        .select("vec_id", "label", "v", "nrm", "sig")
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label"), col("v").as("v1"),
+          col("nrm").as("n1"), col("sig"))
+      val c = sig.select(col("vec_id"), col("label"), col("v").as("v2"),
+        col("nrm").as("n2"), col("sig"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      broadcast(q).join(c, Seq("sig", "label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("label"), col("vec_id"),
+          (dot12 / (col("n1") * col("n2"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("label"), col("vec_id"),
+          round(col("cos"), 6).as("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // IVF-style ANN: coarse quantization to deterministic centroids, probe
     // the nearest 2 cells. Complements ss03's LSH path — IVF work scales
     // with cell population, and nprobe trades recall for cost. Centroids
@@ -436,6 +471,25 @@ object SimilarityOps {
          |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
          |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // ss03's oracle with the label folded into the bucket join.
+    "ss08_filtered_ann" ->
+      s"""WITH d AS (SELECT vec_id, label,
+         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         | n AS (SELECT vec_id, label, v,
+         |   sqrt(list_inner_product(v, v)) AS nrm FROM d),
+         | s AS (SELECT vec_id, label, v, nrm, $ss03SigSql AS sig FROM n),
+         | j AS (SELECT q.vec_id AS qid, q.label, c.vec_id,
+         |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM s q JOIN s c ON c.sig = q.sig AND c.label = q.label
+         |   AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         | r AS (SELECT qid, label, vec_id, cos, ROW_NUMBER() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
+         |SELECT qid, label, vec_id, ROUND(cos, 6) AS cosine,
+         | CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "ss04_ann_ivf" ->
       s"""$oWith,
