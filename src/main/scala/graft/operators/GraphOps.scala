@@ -128,6 +128,34 @@ object GraphOps {
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy("node")
     }),
+
+    // gr03's BFS through Spark 4's NATIVE recursive CTE (`WITH RECURSIVE`
+    // → `UnionLoopExec`) — the declarative twin of gr03's hand-driven
+    // loop, over the same near-dup graph, same hop horizon, same answer.
+    // Contrast documented: the native path re-joins the FULL accumulated
+    // walk each step (its frontier is the UNION ALL running set, deduped
+    // only at the final MIN), while gr03's explicit loop checkpoints a
+    // min-distance frontier per round — at lake scale the explicit loop
+    // bounds state, the native form buys planner integration. Both belong
+    // in the library; the oracle is the same recursive CTE DuckDB runs.
+    "rec01_recursive_cte" -> ((s, dir) => {
+      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1"), col("id2"))
+      pairs.createOrReplaceTempView("rec01_pairs")
+      s.sql(
+        s"""WITH RECURSIVE walk(node, h) AS (
+           |  SELECT MIN(id1) AS node, 0 AS h FROM rec01_pairs
+           |  UNION ALL
+           |  SELECT e.dst, walk.h + 1
+           |  FROM (SELECT id1 AS src, id2 AS dst FROM rec01_pairs
+           |        UNION ALL
+           |        SELECT id2, id1 FROM rec01_pairs) e
+           |  JOIN walk ON walk.node = e.src
+           |  WHERE walk.h < $MaxHops
+           |) SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
+           |WHERE node IS NOT NULL
+           |GROUP BY node ORDER BY node""".stripMargin)
+    }),
   )
 
   /** The five iterations unrolled as chained CTEs over the spliced dd07
@@ -155,6 +183,21 @@ object GraphOps {
     // states and h < MaxHops bounds the recursion, so min-per-node equals
     // the iterative relaxation exactly.
     "gr03_bfs_hops" ->
+      s"""WITH RECURSIVE ${SimilarityOps.nearDupPairsCteSql},
+         | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |        UNION ALL SELECT id2, id1 FROM pairs),
+         | walk(node, h) AS (
+         |   SELECT (SELECT MIN(id1) FROM pairs), 0
+         |   UNION
+         |   SELECT e.dst, walk.h + 1 FROM ed e
+         |   JOIN walk ON walk.node = e.src WHERE walk.h < $MaxHops)
+         |SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
+         |WHERE node IS NOT NULL
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // Same recursive walk (UNION-dedup in DuckDB keeps its state small;
+    // min-per-node is identical to the UNION ALL enumeration's).
+    "rec01_recursive_cte" ->
       s"""WITH RECURSIVE ${SimilarityOps.nearDupPairsCteSql},
          | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
          |        UNION ALL SELECT id2, id1 FROM pairs),

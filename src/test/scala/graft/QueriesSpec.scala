@@ -14,7 +14,8 @@ class QueriesSpec extends AnyFunSuite {
   // legitimately zero at smoke scale — the oracle gate still compares the
   // (possibly empty) result exactly, so emptiness is not a silent skip.
   private val mayBeEmpty =
-    Set("dd02_minhash_lsh", "dd03_simhash", "gr02_triangles", "gr03_bfs_hops")
+    Set("dd02_minhash_lsh", "dd03_simhash", "gr02_triangles", "gr03_bfs_hops",
+      "rec01_recursive_cte")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
