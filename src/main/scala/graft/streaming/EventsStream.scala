@@ -146,6 +146,30 @@ object EventsStream {
         .orderBy(col("n").desc, col("event_type"))
         .limit(5)
     }),
+
+    // Spark 4's transformWithState — the arbitrary-state API that
+    // supersedes flatMapGroupsWithState: typed ValueState per key behind a
+    // StatefulProcessor, RocksDB state store required (set on the cloned
+    // per-query session). Running per-user totals in integer cents; the
+    // corpus arrives as one micro-batch (one file, no maxFilesPerTrigger),
+    // so update-mode output is one row per user == the batch aggregate
+    // the oracle computes.
+    "st10_stream_transform_state" -> ((s, dir) => {
+      runStream(s, dir, "st10_mem", "update", Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { df =>
+        val sp = df.sparkSession
+        import sp.implicits._
+        df.select(col("user_id").cast("long"),
+          round(col("value") * 100).cast("long")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+          .toDF("user_id", "n_events", "sum_cents")
+      }.orderBy("user_id")
+    }),
   )
 
   /** Shared driver for the streaming queries: file source → `xform` →
@@ -159,10 +183,12 @@ object EventsStream {
     * session-global.
     */
   private def runStream(
-      s: SparkSession, dir: String, sinkPrefix: String, mode: String)(
+      s: SparkSession, dir: String, sinkPrefix: String, mode: String,
+      extraConfs: Map[String, String] = Map.empty)(
       xform: DataFrame => DataFrame): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    extraConfs.foreach { case (k, v) => ss.conf.set(k, v) }
     val rawSchema = Tables.rawEvents(ss, dir).schema
     val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
     val stream = Tables.normalizeEvents(
@@ -295,5 +321,42 @@ object EventsStream {
         |   AS sum_cents
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
+
+    // transformWithState running totals == the batch per-user aggregate.
+    "st10_stream_transform_state" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
+}
+
+/** Running per-user (count, cents) totals behind Spark 4's
+  * `transformWithState`: typed `ValueState` keyed by user, updated per
+  * input batch, emitting the post-batch totals. State is two longs per
+  * key — O(keys), TTL-free here (the batch corpus is finite; a production
+  * stream would pass a TTLConfig).
+  */
+private[streaming] class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (c, sum) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => c += 1; sum += r._2 }
+    totals.update((c, sum))
+    Iterator.single((key, c, sum))
+  }
 }
