@@ -274,6 +274,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rec01 actually runs Spark's native recursion (UnionLoop), not a rewrite") {
+    val plan = SparkEntry.queries("rec01_recursive_cte")(spark, TestSpark.sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), plan.take(2000))
+    graft.operators.MinHashDedup.clearScratch()
+  }
+
+  test("ss08 filtered ANN joins on the composed (sig, label) key — no nested loop") {
+    val plan = SparkEntry.queries("ss08_filtered_ann")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("mm06 pairing: label join is an equi-join; only the 1-row scalar broadcasts") {
     val plan = SparkEntry.queries("mm06_pair_negatives")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
