@@ -157,6 +157,32 @@ object DedupClusters {
             .when(col("bucket") < 95, "val").otherwise("test"))
         .orderBy(asc("doc_id"))
     }),
+
+    // Quality-aware survivor selection: keep the HIGHEST-quality member of
+    // each near-dup cluster (ties → smallest id), not the smallest id —
+    // the dedup policy an LLM-data pipeline actually wants (drop the
+    // low-quality near-copy, keep the clean one). Rides dd06's CC output
+    // (shared scratch tag — the clustering is computed once per run) and
+    // tx17's integer logit; the per-cluster argmax is a struct-max
+    // aggregation (map-side partial, one candidate per cluster per task),
+    // never a per-cluster window.
+    "dd13_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val pairs = MinHashDedup.lshPairs(s, dir)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      val cc = connectedComponents(docs, pairs, ("dd06_cc", dir))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val scored = cc.join(
+        TextOps.qualityFeatures(s, dir).select(col("doc_id"), col("logit")),
+        "doc_id")
+      val best = scored.groupBy("cluster_id")
+        .agg(max(struct(col("logit"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster_id"), (-col("b.nid")).as("keep_id"))
+      scored.join(best, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("logit"),
+          (col("doc_id") === col("keep_id")).cast("int").as("keep"))
+        .orderBy(asc("doc_id"))
+    }),
   )
 
   /** Oracle: exact all-pairs Jaccard pairs (the proven dd02 equivalent) +
@@ -236,5 +262,40 @@ object DedupClusters {
         | CASE WHEN bucket < 90 THEN 'train'
         |   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM bk ORDER BY doc_id""".stripMargin,
+
+    // dd06's reachability CTE + tx17's logit CTE; the keep rule restated
+    // as a deterministic ROW_NUMBER pick (logit DESC, doc_id).
+    "dd13_keep_best" ->
+      s"""WITH RECURSIVE
+         | w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |       FROM documents),
+         | sh AS (SELECT doc_id, list_distinct(list_transform(
+         |     range(1, greatest(len(words) - 2, 1) + 1),
+         |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+         |   FROM w),
+         | pairs AS (
+         |   SELECT a.doc_id AS id1, b.doc_id AS id2
+         |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+         |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |     >= 0.8),
+         | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |           UNION ALL SELECT id2, id1 FROM pairs),
+         | walk(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.a, walk.r FROM edges e JOIN walk ON walk.id = e.b),
+         | cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |   FROM walk GROUP BY id),
+         | ${graft.operators.TextOps.qualityLogitCteSql},
+         | j AS (SELECT cl.doc_id, cl.cluster_id, ql.logit
+         |   FROM cl JOIN ql USING (doc_id)),
+         | best AS (SELECT cluster_id, doc_id AS keep_id FROM j
+         |   QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |     ORDER BY logit DESC, doc_id) = 1)
+         |SELECT j.doc_id, j.cluster_id, j.logit,
+         | CAST(j.doc_id = best.keep_id AS INT) AS keep
+         |FROM j JOIN best USING (cluster_id)
+         |ORDER BY j.doc_id""".stripMargin,
   )
 }

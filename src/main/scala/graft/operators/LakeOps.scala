@@ -183,6 +183,66 @@ object LakeOps {
           col("canonical_id").isNull.cast("int").as("is_new"))
         .orderBy("doc_id")
     }),
+
+    // GDPR/right-to-be-forgotten purge cascade: a delete-key list
+    // (customers with c_custkey % 97 == 0 — the "erasure request" set)
+    // propagated through the foreign-key chain customer → orders →
+    // lineitem, with a per-nation audit of what each level would purge.
+    // Scale shape: the delete set is a small fraction of one dimension, so
+    // AQE broadcasts it into the orders join; the lineitem join keys on
+    // o_orderkey where Spark's runtime bloom filter (RuntimeFilterSpec)
+    // prunes probe rows before the exchange. Audit counts partial-agg to
+    // ~25 nation rows — nothing corpus-sized ever reaches the driver.
+    "md03_purge_cascade" -> ((s, dir) => {
+      val delCust = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val delOrders = Tables(s, dir, "orders")
+        .join(delCust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      val delLines = Tables(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(delOrders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("c_nationkey"))
+      val nc = delCust.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("purged_customers"))
+      val no = delOrders.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("purged_orders"))
+      val nl = delLines.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("purged_lineitems"))
+      nc.join(no, Seq("c_nationkey"), "left")
+        .join(nl, Seq("c_nationkey"), "left")
+        .select(col("c_nationkey").as("nationkey"),
+          col("purged_customers"),
+          coalesce(col("purged_orders"), lit(0L)).as("purged_orders"),
+          coalesce(col("purged_lineitems"), lit(0L)).as("purged_lineitems"))
+        .orderBy("nationkey")
+    }),
+
+    // Incremental materialized-view refresh — the aggregate-merge algebra
+    // that avoids rescanning history: the monthly revenue rollup is
+    // computed as history partials (orders before 1998) MERGED with a new
+    // batch's partials (1998 onward) by re-aggregating (sum of sums, sum
+    // of counts), never by recomputing over history. The oracle IS the
+    // full recompute, so the gate proves merged-partials == recompute.
+    // At 100 TB the history partials are a stored table a fraction of the
+    // fact table's size; each refresh costs one scan of the NEW batch
+    // plus a rollup-sized merge.
+    "md04_incremental_agg" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      val split = lit("1998-01-01").cast("timestamp")
+      def partial(df: DataFrame): DataFrame = df.groupBy("month")
+        .agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+      partial(o.filter(col("o_orderdate") < split))
+        .unionByName(partial(o.filter(col("o_orderdate") >= split)))
+        .groupBy("month")
+        .agg(sum("n").as("n_orders"), sum("tc").as("total_cents"))
+        .select(col("month"), col("n_orders"), col("total_cents"),
+          expr("total_cents div n_orders").as("avg_cents"))
+        .orderBy("month")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -275,5 +335,36 @@ object LakeOps {
         | CAST(h.canonical_id IS NULL AS INT) AS is_new
         |FROM f b LEFT JOIN hist h USING (fp)
         |WHERE b.doc_id % 5 = 4 ORDER BY b.doc_id""".stripMargin,
+
+    "md03_purge_cascade" ->
+      """WITH dc AS (SELECT c_custkey, c_nationkey FROM customer
+        |   WHERE c_custkey % 97 = 0),
+        | do_ AS (SELECT o.o_orderkey, dc.c_nationkey FROM orders o
+        |   JOIN dc ON o.o_custkey = dc.c_custkey),
+        | dl AS (SELECT do_.c_nationkey FROM lineitem l
+        |   JOIN do_ ON l.l_orderkey = do_.o_orderkey),
+        | nc AS (SELECT c_nationkey, COUNT(*) AS purged_customers FROM dc
+        |   GROUP BY 1),
+        | no_ AS (SELECT c_nationkey, COUNT(*) AS purged_orders FROM do_
+        |   GROUP BY 1),
+        | nl AS (SELECT c_nationkey, COUNT(*) AS purged_lineitems FROM dl
+        |   GROUP BY 1)
+        |SELECT nc.c_nationkey AS nationkey, purged_customers,
+        | COALESCE(purged_orders, 0) AS purged_orders,
+        | COALESCE(purged_lineitems, 0) AS purged_lineitems
+        |FROM nc LEFT JOIN no_ USING (c_nationkey)
+        | LEFT JOIN nl USING (c_nationkey)
+        |ORDER BY nationkey""".stripMargin,
+
+    // The full recompute — the Spark side must make its merged history +
+    // delta partials equal this.
+    "md04_incremental_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents,
+        | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   // COUNT(*) AS avg_cents
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
   )
 }

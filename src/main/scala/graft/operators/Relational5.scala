@@ -203,6 +203,68 @@ object Relational5 {
           datediff(lit("1998-01-01").cast("date"), d).as("days_to_98"))
         .orderBy("o_orderkey")
     }),
+
+    // Equi-depth histogram — the NDV/statistics-build shape (optimizer
+    // column stats, equi-height histograms). Boundaries are RANK-BASED
+    // (type-1 discrete) quartiles: boundary_p = the value at 0-based rank
+    // ⌊p·(n−1)⌋ — pure BIGINT arithmetic, so both engines agree by
+    // construction (and both state the same cum>idx lookup, no quantile
+    // builtin to reconcile). Pipeline: parallel hash-agg to (value, freq)
+    // [NDV-sized], ONE single-partition cumulative sum over the NDV rows
+    // (bounded by NDV, never by row count — exact `percentile` here
+    // benched ~5 s at sf0.1 against ~1 s for this shape), three rank
+    // lookups folded into one tiny aggregate, broadcast back into a
+    // row-local bucket assignment + weighted 4-group count. At lake scale
+    // with unbounded NDV the boundaries would come from approx_percentile
+    // under q51's accuracy contract — the bucket pass is unchanged.
+    "q59_equidepth_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("cents").agg(count(lit(1)).as("freq"))
+      val wcum = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val bounds = counts
+        .select(col("cents"), sum(col("freq")).over(wcum).as("cum"),
+          sum(col("freq")).over(wAll).as("n"))
+        .agg(
+          min(when(col("cum") > expr("(n - 1) div 4"), col("cents"))).as("b1"),
+          min(when(col("cum") > expr("(n - 1) div 2"), col("cents"))).as("b2"),
+          min(when(col("cum") > expr("((n - 1) * 3) div 4"), col("cents")))
+            .as("b3"))
+      counts.crossJoin(broadcast(bounds))
+        .select(col("cents"), col("freq"),
+          (lit(1) + (col("cents") > col("b1")).cast("int")
+            + (col("cents") > col("b2")).cast("int")
+            + (col("cents") > col("b3")).cast("int")).as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(col("freq")).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy("bucket")
+    }),
+
+    // l-diversity audit — pa01's k-anonymity sibling: a quasi-identifier
+    // class can be large (k-anonymous) yet still leak if every member
+    // shares the same SENSITIVE value (here: whether the account is in
+    // debt). l = distinct sensitive values per class; classes with l = 1
+    // disclose the attribute for every member. One aggregation with an
+    // exact distinct over a 2-value domain (the Expand is bounded), no
+    // window.
+    "pa02_l_diversity" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (col("c_acctbal") < 0).cast("int").as("in_debt"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("in_debt")).as("l_diversity"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+          col("l_diversity"),
+          (col("l_diversity") >= 2L).cast("int").as("diverse"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -315,5 +377,32 @@ object Relational5 {
         | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
         |   AS INT) AS days_to_98
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    // The same rank lookup stated directly: value at 0-based rank
+    // ⌊p·(n−1)⌋ = min value whose cumulative count exceeds the rank.
+    "q59_equidepth_hist" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   AS cents FROM lineitem),
+        | f AS (SELECT cents, COUNT(*) AS freq FROM c GROUP BY cents),
+        | t AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM f),
+        | cm AS (SELECT cents, freq, SUM(freq) OVER (ORDER BY cents
+        |   ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        | q AS (SELECT
+        |   MIN(CASE WHEN cum > (n - 1) // 4 THEN cents END) AS b1,
+        |   MIN(CASE WHEN cum > (n - 1) // 2 THEN cents END) AS b2,
+        |   MIN(CASE WHEN cum > ((n - 1) * 3) // 4 THEN cents END) AS b3
+        |  FROM cm, t)
+        |SELECT 1 + CAST(cents > b1 AS INT) + CAST(cents > b2 AS INT)
+        |   + CAST(cents > b3 AS INT) AS bucket,
+        | COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM c, q GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "pa02_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+        | COUNT(DISTINCT CAST(c_acctbal < 0 AS INT)) AS l_diversity,
+        | CAST(COUNT(DISTINCT CAST(c_acctbal < 0 AS INT)) >= 2 AS INT)
+        |   AS diverse
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }

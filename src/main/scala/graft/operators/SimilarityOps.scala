@@ -396,6 +396,54 @@ object SimilarityOps {
         .select(col("vec_id"), col("cid").as("cluster_id"), col("n_members"))
         .orderBy("vec_id")
     }),
+
+    // Product-quantization ANN — the memory-compression scale path for
+    // vector search: each 64-dim vector is encoded as M=4 sub-space codes
+    // (argmin-L2 against a K=4-entry codebook per sub-space), shrinking a
+    // vector to 4 small ints; queries score candidates via asymmetric
+    // distance computation (ADC) — per-(sub-space, code) distance tables
+    // summed over M, never touching the original vectors at probe time.
+    // Everything is exact BIGINT arithmetic on fixed-point (×10⁴)
+    // components, and the codebook is a PINNED deterministic integer grid
+    // (a trained codebook would come from ss07's integer k-means; pinning
+    // keeps the oracle closed-form). Scale shape: encode = one corpus scan
+    // × a 16-row broadcast codebook, codes-only (vec_id, m, code) through
+    // every shuffle; probe = a 48-row broadcast distance table joined to
+    // the codes, one partial-agg sum per (query, vector), and the top-3
+    // rank filter is a WindowGroupLimit (map-side partial top-k).
+    "ss09_pq_ann" -> ((s, dir) => {
+      val M = 4; val K = 4; val sub = 16
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
+          .as("vq"))
+      val cb = s.range(M).select(col("id").cast("int").as("m"))
+        .crossJoin(s.range(K).select(col("id").cast("int").as("c")))
+        .select(col("m"), col("c"), expr(
+          s"transform(sequence(0, ${sub - 1}), " +
+            "d -> cast((((m*31 + c*13 + d*7) % 7) - 3) * 2500 as bigint))")
+          .as("cq"))
+      val sqDist = expr(s"aggregate(zip_with(slice(vq, m * $sub + 1, $sub), " +
+        "cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val codes = e.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("m"), sqDist.as("dist"), col("c"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("c"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.c").as("code"))
+      val dtab = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("vq"))
+        .crossJoin(broadcast(cb))
+        .select(col("qid"), col("m"), col("c"), sqDist.as("qd"))
+      val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
+      codes.join(broadcast(dtab), Seq("m"))
+        .where(col("code") === col("c"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("qd")).as("adist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), col("adist"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("qid", "rk")
+    }),
   )
 
   private val oWith =
@@ -602,5 +650,38 @@ object SimilarityOps {
         | sz AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
         |SELECT a2.vec_id, a2.cid AS cluster_id, sz.n_members
         |FROM a2 JOIN sz USING (cid) ORDER BY a2.vec_id""".stripMargin,
+
+    // The PQ contract restated: same ×10⁴ fixed-point, same pinned
+    // codebook grid, same argmin encode (ties → smallest code), same ADC
+    // sum — all BIGINT, so the hash cannot drift.
+    "ss09_pq_ann" ->
+      """WITH v AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        | cb AS (SELECT t1.m, t2.c,
+        |   list_transform(range(0, 16),
+        |     d -> CAST(((t1.m*31 + t2.c*13 + d*7) % 7 - 3) * 2500 AS BIGINT))
+        |     AS cq
+        |  FROM range(4) t1(m), range(4) t2(c)),
+        | enc AS (SELECT vec_id, m, c,
+        |   list_sum(list_transform(range(1, 17),
+        |     i -> (vq[m*16 + i] - cq[i]) * (vq[m*16 + i] - cq[i]))) AS dist
+        |  FROM v CROSS JOIN cb),
+        | codes AS (SELECT vec_id, m, c AS code FROM enc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |    ORDER BY dist, c) = 1),
+        | dt AS (SELECT v.vec_id AS qid, cb.m, cb.c,
+        |   CAST(list_sum(list_transform(range(1, 17),
+        |     i -> (vq[cb.m*16 + i] - cq[i]) * (vq[cb.m*16 + i] - cq[i])))
+        |     AS BIGINT) AS qd
+        |  FROM v CROSS JOIN cb WHERE v.vec_id < 3),
+        | ad AS (SELECT qid, vec_id, CAST(SUM(qd) AS BIGINT) AS adist
+        |  FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.c
+        |  GROUP BY qid, vec_id)
+        |SELECT qid, vec_id, adist, CAST(rk AS INT) AS rk FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |   ORDER BY adist, vec_id) AS rk FROM ad)
+        |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
   )
 }

@@ -260,6 +260,32 @@ object TemporalJoins {
             (a, x) => shiftright(a + x, 1)).as("ewma_cents"))
         .orderBy("user_id")
     }),
+
+    // Rolling exact median over the trailing 11 events per user — the
+    // robust smoother a metrics pipeline runs where a mean would chase
+    // outliers. No Spark aggregate computes an exact windowed median, so
+    // the frame is collected per row (≤ 11 BIGINTs — bounded by the frame,
+    // not the stream) and the midpoint computed row-locally; integer cents
+    // make the even-count interpolation the IEEE-exact midpoint of two
+    // BIGINTs in both engines. One shuffle on user_id; partition count
+    // scales with key cardinality, not stratum count.
+    "ts06_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id")).rowsBetween(-10, 0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("xs", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("cents"), size(col("xs")).as("n_win"),
+          when(size(col("xs")) % 2 === 1,
+            expr("cast(element_at(xs, cast((size(xs) + 1) div 2 as int)) as double)"))
+            .otherwise(expr("(element_at(xs, cast(size(xs) div 2 as int)) " +
+              "+ element_at(xs, cast(size(xs) div 2 as int) + 1)) / 2.0"))
+            .as("roll_median"))
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -385,5 +411,19 @@ object TemporalJoins {
         | cs[len(cs)] AS last_cents,
         | list_reduce(cs, (a, b) -> (a + b) // 2) AS ewma_cents
         |FROM e ORDER BY user_id""".stripMargin,
+
+    // DuckDB's windowed median on BIGINT interpolates even counts as the
+    // same IEEE midpoint the Spark side computes explicitly.
+    "ts06_rolling_median" ->
+      """SELECT user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | CAST(round(value * 100) AS BIGINT) AS cents,
+        | CAST(COUNT(*) OVER w AS INT) AS n_win,
+        | CAST(median(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |   AS roll_median
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

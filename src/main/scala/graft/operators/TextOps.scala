@@ -286,25 +286,81 @@ object TextOps {
     // the presentation sort, and bit-identical in any engine (the float
     // sigmoid is monotone, so thresholding the integer logit IS
     // thresholding the probability).
-    "tx17_quality_model" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val nw = size(words).cast("long")
-      val ns = hitCount(words, enWords).cast("long")
-      val np = length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("long")
-      docs(s, dir)
-        .select(col("doc_id"), nw.as("nw"), ns.as("ns"), np.as("np"),
-          col("n_chars"))
-        .select(col("doc_id"),
-          expr("(ns * 1000000) div nw").as("stop_micro"),
-          expr("(np * 1000000) div n_chars").as("punct_micro"),
-          least(col("nw"), lit(500L)).as("len_cap"))
-        .withColumn("logit",
-          lit(-800000L) + lit(3L) * col("stop_micro")
-            - lit(2L) * col("punct_micro") + lit(1000L) * col("len_cap"))
+    "tx17_quality_model" -> ((s, dir) =>
+      qualityFeatures(s, dir)
         .withColumn("keep", (col("logit") > 0L).cast("int"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // Inverted-index build — the search-index / corpus-lookup artifact:
+    // term → document frequency + a BOUNDED posting sample (the 20
+    // smallest doc_ids). df comes from an ordinary count over distinct
+    // (term, doc) pairs; the sample rides [[graft.functions.BottomKPerKey]]
+    // so each map task ships ≤ 20 postings per term — a hot stopword's
+    // full posting list (millions of docs at corpus scale) is never
+    // collected or co-located. Emitted terms are bounded to df ≥ 50 (the
+    // index head); doc_ids are zero-padded so the aggregator's string
+    // order IS numeric order.
+    "tx18_inverted_index" -> ((s, dir) => {
+      val sample = graft.functions.BottomKPerKey.bottomK(20)
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .distinct()
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"),
+          sample(format_string("%012d", col("doc_id")), col("doc_id"))
+            .as("picks"))
+        .filter(col("df") >= 50L)
+        .select(col("w"), col("df"),
+          array_join(transform(col("picks"), e => e.getField("_2")), ",")
+            .as("sample_postings"))
+        .orderBy("w")
     }),
   )
+
+  /** tx17's integer-micros feature frame + fixed-point logit —
+    * (doc_id, stop_micro, punct_micro, len_cap, logit), all row-local.
+    * Shared by the tx17 query and the quality-based dedup survivor pick
+    * (dd13), which keeps the HIGHEST-logit member of each near-dup
+    * cluster instead of the smallest id.
+    */
+  private[operators] def qualityFeatures(
+      s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nw = size(words).cast("long")
+    val ns = hitCount(words, enWords).cast("long")
+    val np = length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), nw.as("nw"), ns.as("ns"), np.as("np"),
+        col("n_chars"))
+      .select(col("doc_id"),
+        expr("(ns * 1000000) div nw").as("stop_micro"),
+        expr("(np * 1000000) div n_chars").as("punct_micro"),
+        least(col("nw"), lit(500L)).as("len_cap"))
+      .withColumn("logit",
+        lit(-800000L) + lit(3L) * col("stop_micro")
+          - lit(2L) * col("punct_micro") + lit(1000L) * col("len_cap"))
+  }
+
+  /** The same logit as DuckDB CTEs ending in `ql(doc_id, logit)` — spliced
+    * into the dd13 oracle exactly as [[scoredCteSql]] is into tx07/st05's.
+    */
+  private[graft] val qualityLogitCteSql: String = {
+    val stop = sqlList(enWords)
+    s"""qf AS (SELECT doc_id,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+       |   CAST(len(list_filter(string_split(text, ' '),
+       |     w -> list_contains($stop, w))) AS BIGINT) AS ns,
+       |   CAST(LENGTH(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT)
+       |     AS np,
+       |   n_chars FROM documents),
+       | qm AS (SELECT doc_id,
+       |   (ns * 1000000) // nw AS stop_micro,
+       |   (np * 1000000) // n_chars AS punct_micro,
+       |   LEAST(nw, 500) AS len_cap FROM qf),
+       | ql AS (SELECT doc_id,
+       |   -800000 + 3 * stop_micro - 2 * punct_micro + 1000 * len_cap
+       |     AS logit FROM qm)""".stripMargin
+  }
 
   /** DuckDB form of [[scoredEnglish]]'s scoring stage (before the gates) —
     * shared by the tx07 oracle and the streaming st05 oracle.
@@ -468,5 +524,16 @@ object TextOps {
          |   + 1000 * len_cap) > 0 AS INT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "tx18_inverted_index" ->
+      """WITH e AS (SELECT doc_id,
+        |   unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        | p AS (SELECT DISTINCT w, doc_id FROM e),
+        | g AS (SELECT w, COUNT(*) AS df,
+        |   array_to_string(list_sort(list(doc_id))[1:20], ',')
+        |     AS sample_postings
+        |  FROM p GROUP BY w)
+        |SELECT w, df, sample_postings FROM g WHERE df >= 50
+        |ORDER BY w""".stripMargin,
   )
 }

@@ -76,6 +76,33 @@ object EventsStream {
           .select(col("purchase_id"), col("signup_id"), col("user_id"))
       }.orderBy("purchase_id", "signup_id")
     }),
+
+    // Stream-stream LEFT OUTER join: like st04, but a purchase with no
+    // signup in its preceding hour still emits — null-padded — once the
+    // watermark PROVES no matching signup can arrive (signup ts can reach
+    // up to pts, so the verdict closes when the watermark passes pts).
+    // Matched rows emit immediately; at end-of-stream the final watermark
+    // (max ts − 10 min) leaves the youngest unmatched purchases withheld
+    // in state, and the oracle states that same closure predicate —
+    // st07's watermark-closure pattern on the join axis.
+    "st11_stream_outer_join" -> ((s, dir) => {
+      runAppendStream(s, dir, "st11_mem") { df =>
+        val p = df.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"), col("ts").as("pts"))
+          .withWatermark("pts", "10 minutes")
+        val sg = df
+          .filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            col("user_id").as("s_user"), col("ts").as("sts"))
+          .withWatermark("sts", "10 minutes")
+        p.join(sg, expr(
+          """user_id = s_user AND
+            |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin),
+          "left_outer")
+          .select(col("purchase_id"), col("signup_id"), col("user_id"))
+      }.orderBy("purchase_id", "signup_id")
+    }),
     // Stream-static enrichment: the streaming fact (purchases) joined to a
     // STATIC broadcast dimension (customer) — the canonical streaming
     // enrichment shape. The dim is re-planned per micro-batch (picking up
@@ -262,6 +289,40 @@ object EventsStream {
         |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
         |  AND p.user_id = s.user_id
         |  AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY purchase_id, signup_id""".stripMargin,
+
+    // Left-outer = the inner matches (emitted eagerly) plus the unmatched
+    // purchases whose verdict the FINAL watermark closed. Each side's
+    // `withWatermark` tracks its own max event time, and the query-global
+    // watermark is their MINIMUM (Spark's default multiple-watermark
+    // policy), so wm = least(max purchase ts, max signup ts) − 10 min; a
+    // null row emits only once that watermark passes pts (no signup with
+    // sts ≤ pts can still arrive). Verified empirically at both gate
+    // scales: the emitted/withheld boundary tracks the min-policy
+    // watermark, not the overall max ts.
+    "st11_stream_outer_join" ->
+      """WITH m AS (
+        |  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+        |    p.user_id
+        |  FROM events p JOIN events s
+        |   ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        |   AND p.user_id = s.user_id
+        |   AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
+        | wm AS (SELECT least(
+        |    max(ts) FILTER (event_type = 'purchase'),
+        |    max(ts) FILTER (event_type = 'signup'))
+        |   - INTERVAL 10 MINUTE AS w FROM events),
+        | un AS (
+        |  SELECT p.event_id AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS signup_id, p.user_id
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+        |   AND NOT EXISTS (SELECT 1 FROM events s
+        |     WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |      AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts))
+        |SELECT purchase_id, signup_id, user_id FROM m
+        |UNION ALL
+        |SELECT purchase_id, signup_id, user_id FROM un
         |ORDER BY purchase_id, signup_id""".stripMargin,
 
     // Stream-static enrichment == the batch left join.

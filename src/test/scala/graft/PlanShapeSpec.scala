@@ -281,6 +281,35 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.operators.MinHashDedup.clearScratch()
   }
 
+  test("md03 purge cascade: equi-join chain, no nested loop") {
+    val plan = SparkEntry.queries("md03_purge_cascade")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("tx18 inverted index: bounded-aggregator sampling, no per-term window") {
+    val plan = SparkEntry.queries("tx18_inverted_index")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"expected no Window node:\n$plan")
+    // the posting sample must ride the ObjectHashAggregate partial path
+    // (≤ k rows per term per map task), never a full collect per term
+    assert(plan.toString.contains("ObjectHashAggregate"), plan.toString.take(2000))
+  }
+
+  test("ss09 PQ: every join side is a broadcast table — nothing corpus-sized shuffles to a join") {
+    val plan = SparkEntry.queries("ss09_pq_ann")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // the 16-row codebook and 48-row distance table broadcast; a
+    // SortMergeJoin/ShuffledHashJoin would mean an embeddings-sized side
+    // reached a shuffle boundary for the join
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("ss08 filtered ANN joins on the composed (sig, label) key — no nested loop") {
     val plan = SparkEntry.queries("ss08_filtered_ann")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString

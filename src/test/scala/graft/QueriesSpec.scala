@@ -44,6 +44,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("st11 outer join: matched subset == st04's inner join, plus real null rows") {
+    import org.apache.spark.sql.functions.col
+    val outer = SparkEntry.queries("st11_stream_outer_join")(spark, dir)
+    val inner = SparkEntry.queries("st04_stream_stream_join")(spark, dir)
+    val matched = outer.filter(col("signup_id").isNotNull)
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty)
+    // the watermark closed at least one unmatched purchase into a null row
+    assert(outer.filter(col("signup_id").isNull).count() > 0)
+  }
+
   test("ss05 multi-table candidates dominate ss03's single table per rank") {
     // ss05's table 0 uses ss03's seed, so its candidate set is a superset;
     // at every (qid, rank) the re-ranked cosine can only be >= ss03's.

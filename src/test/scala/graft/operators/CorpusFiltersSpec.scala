@@ -221,4 +221,32 @@ class CorpusFiltersSpec extends AnyFunSuite {
       assert(rows(id)._1 > 0.5)
     }
   }
+
+  test("tx18 inverted index: df is the true doc frequency, postings sorted and bounded") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = TextOps.queries("tx18_inverted_index")(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      val rows = out.collect()
+      rows.foreach { r =>
+        val df = r.getLong(r.fieldIndex("df"))
+        val posting = r.getString(r.fieldIndex("sample_postings"))
+          .split(",").map(_.toLong).toSeq
+        assert(df >= 50L)
+        assert(posting.length === math.min(df, 20L).toInt)
+        assert(posting === posting.sorted, s"unsorted postings for ${r.getString(0)}")
+      }
+      // spot-check one term's df and smallest postings against the corpus
+      val w = rows.head.getString(0)
+      val truth = graft.Tables(spark, sf, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") === w).select("doc_id").distinct()
+      val ids = truth.collect().map(_.getLong(0)).sorted
+      assert(rows.head.getLong(1) === ids.length.toLong)
+      assert(rows.head.getString(2) ===
+        ids.take(20).mkString(","))
+    } finally out.unpersist()
+  }
 }

@@ -124,4 +124,20 @@ class DedupClustersSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(split(a) === split(b)) }
     MinHashDedup.clearScratch()
   }
+
+  test("dd13 keeps exactly the max-logit member of every cluster (ties to min id)") {
+    val rows = DedupClusters.queries("dd13_keep_best")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.length === 1, s"cluster $cid kept ${kept.length}")
+      // the keeper is the best (logit desc, id asc) member
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 === best._1,
+        s"cluster $cid kept ${kept.head} over $best")
+    }
+    MinHashDedup.clearScratch()
+  }
 }

@@ -125,4 +125,42 @@ class LakeOpsSpec extends AnyFunSuite {
       assert(planted === Seq((0, 40), (1, 40), (2, 40)))
     } finally out.unpersist()
   }
+
+  test("md03 purge cascade totals equal independently derived counts") {
+    import spark.implicits._
+    val out = LakeOps.queries("md03_purge_cascade")(spark, dir).cache()
+    try {
+      val cust = Tables(spark, dir, "customer")
+      val del = cust.filter(col("c_custkey") % 97 === 0)
+      val delOrders = Tables(spark, dir, "orders")
+        .join(del.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+      val delLines = Tables(spark, dir, "lineitem")
+        .join(delOrders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val totals = out.agg(sum("purged_customers"), sum("purged_orders"),
+        sum("purged_lineitems")).as[(Long, Long, Long)].head()
+      assert(totals === ((del.count(), delOrders.count(), delLines.count())))
+      // only nations that actually host an erasure request appear
+      assert(out.count() ===
+        del.select("c_nationkey").distinct().count())
+      assert(out.filter(col("purged_customers") <= 0).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("md04 merged history+delta partials equal the one-pass rollup") {
+    val direct = Tables(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .select(col("month"), col("n_orders"), col("total_cents"),
+        expr("total_cents div n_orders").as("avg_cents"))
+    val merged = LakeOps.queries("md04_incremental_agg")(spark, dir)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // both eras contribute (the split date cuts the data non-trivially)
+    val split = lit("1998-01-01").cast("timestamp")
+    val o = Tables(spark, dir, "orders")
+    assert(o.filter(col("o_orderdate") < split).count() > 0)
+    assert(o.filter(col("o_orderdate") >= split).count() > 0)
+  }
 }

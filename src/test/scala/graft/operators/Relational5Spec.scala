@@ -88,4 +88,60 @@ class Relational5Spec extends AnyFunSuite {
       assert(nK === nMissing)
     }
   }
+
+  test("q59 equi-depth buckets: full cover, near-equal depth, disjoint ranges") {
+    val r = Relational5.queries("q59_equidepth_hist")(spark, dir)
+      .orderBy("bucket").collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    val total = graft.Tables(spark, dir, "lineitem").count()
+    assert(r.map(_.getLong(1)).sum === total)
+    // equi-depth: each quartile bucket holds 25% ± the tie mass at a
+    // boundary (cents are near-unique, so ±1% of the corpus is generous)
+    r.foreach { row =>
+      assert(math.abs(row.getLong(1) - total / 4) <= total / 100,
+        s"bucket ${row.getInt(0)} depth ${row.getLong(1)} vs n/4=${total / 4}")
+    }
+    // value ranges are ordered and disjoint
+    val ranges = r.map(row => (row.getLong(2), row.getLong(3)))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping buckets: $hi > $lo")
+    }
+  }
+
+  test("pa02 l-diversity: l bounded by the sensitive domain, flag consistent") {
+    val r = Relational5.queries("pa02_l_diversity")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val size = row.getLong(row.fieldIndex("class_size"))
+      val l = row.getLong(row.fieldIndex("l_diversity"))
+      val diverse = row.getInt(row.fieldIndex("diverse"))
+      assert(l >= 1L && l <= 2L) // binary sensitive attribute
+      assert(l <= size)
+      assert(diverse === (if (l >= 2L) 1 else 0))
+    }
+  }
+
+  test("ts06 rolling median matches a sequential reference on every row") {
+    val rows = TemporalJoins.queries("ts06_rolling_median")(spark, dir)
+      .select("user_id", "event_id", "cents", "roll_median")
+      .as[(Long, Long, Long, Double)].collect()
+    val byUser = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2.getTime, e._3))).toMap
+    val expect = byUser.toSeq.flatMap { case (u, es) =>
+      es.zipWithIndex.map { case (e, i) =>
+        val win = es.slice(math.max(0, i - 10), i + 1).map(_._4).sorted
+        val m = if (win.length % 2 == 1) win(win.length / 2).toDouble
+        else (win(win.length / 2 - 1) + win(win.length / 2)) / 2.0
+        (u, e._3) -> m
+      }
+    }.toMap
+    assert(rows.length === expect.size)
+    rows.foreach { case (u, eid, _, m) =>
+      assert(m === expect((u, eid)), s"user $u event $eid")
+    }
+  }
 }

@@ -46,4 +46,35 @@ class SimilarityScaleSpec extends AnyFunSuite {
       Set(10L, 11L, 12L, 13L)), byCluster.toString)
     assert(rows.forall(_._3 === 4L)) // both clusters report 4 members
   }
+
+  test("ss09 PQ: a query and its duplicate hold the ADC floor, query first") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss09").toString
+    // each fixture vector sits exactly ON codebook entry c=i in every
+    // sub-space (×0.25 values are float-exact, so the ×10⁴ fixed-point
+    // floor reproduces the grid integers): codes(vec i) = (i,i,i,i) with
+    // zero quantization error, ADC(q, q) = 0, and any other vector's
+    // distinct codes score strictly positive — so {q, q+3 (its exact
+    // duplicate)} must occupy the top two ranks, the query first by the
+    // id tie-break.
+    def vec(i: Int): Seq[Float] =
+      Seq.tabulate(64) { dd =>
+        val m = dd / 16; val d = dd % 16
+        ((m * 31 + i * 13 + d * 7) % 7 - 3) * 0.25f
+      }
+    Seq((0L, vec(0), 0), (1L, vec(1), 0), (2L, vec(2), 0),
+      (3L, vec(0), 0), (4L, vec(1), 1), (5L, vec(2), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val rows = SimilarityOps.queries("ss09_pq_ann")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    for (q <- 0L to 2L) {
+      val g = rows.filter(_._1 == q).sortBy(_._4)
+      assert(g.map(_._2).take(2).toSeq === Seq(q, q + 3), g.mkString(","))
+      assert(g(0)._3 === g(1)._3, "duplicate vector must tie its query's ADC")
+      val sorted = g.map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
