@@ -300,6 +300,32 @@ object TextOps {
     // collected or co-located. Emitted terms are bounded to df ≥ 50 (the
     // index head); doc_ids are zero-padded so the aggregator's string
     // order IS numeric order.
+    // BPE encoding with a PINNED merge table — the tokenizer-application
+    // stage: lowercase/strip, mark word boundaries with '_', explode to a
+    // space-separated char stream, then apply the 8 merge rules IN RANK
+    // ORDER (each merge rewrites all current occurrences — exactly how a
+    // trained BPE's greedy merge loop applies its table). Every step is a
+    // codegen'd string function, row-local, one scan; a production
+    // tokenizer differs only in merge-table size. Capped to the first 64
+    // clean chars per doc so token strings stay bounded.
+    "tx19_bpe_encode" -> ((s, dir) => {
+      val clean = regexp_replace(
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 64),
+        " +", " ")
+      val marked = translate(trim(clean), " ", "_")
+      val chars = trim(regexp_replace(marked, "(.)", "$1 "))
+      val encoded = bpeMerges.foldLeft(chars) { case (c, (from, to)) =>
+        regexp_replace(c, from, to)
+      }
+      docs(s, dir)
+        .select(col("doc_id"), encoded.as("enc"))
+        .select(col("doc_id"),
+          size(split(col("enc"), " ")).as("n_tokens"),
+          array_join(slice(split(col("enc"), " "), 1, 10), "|")
+            .as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "tx18_inverted_index" -> ((s, dir) => {
       val sample = graft.functions.BottomKPerKey.bottomK(20)
       docs(s, dir)
@@ -316,6 +342,24 @@ object TextOps {
         .orderBy("w")
     }),
   )
+
+  /** tx19's pinned BPE merge table, applied in rank order (first rule =
+    * highest-rank pair, as a trained tokenizer's merges file is ordered).
+    * '_' is the word-boundary marker.
+    *
+    * The table is chosen PREFIX-COLLISION-FREE: for every rule, its
+    * pattern's right char is not the first char of any earlier rule's
+    * output token, and its left char is not the last char of one — so a
+    * flat-string replace over the space-separated stream can only ever
+    * match a genuine (token, token) pair, never reach inside a fused
+    * token (e.g. a "_ t" rule would falsely match the "_ th" pair). That
+    * property makes the SQL-function formulation EXACTLY the token-pair
+    * merge loop; a production-size table without the property needs the
+    * pair loop as a kernel instead.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "i n" -> "in", "a n" -> "an", "e r" -> "er",
+    "o n" -> "on", "e n" -> "en", "o r" -> "or", "_ w" -> "_w")
 
   /** tx17's integer-micros feature frame + fixed-point logit —
     * (doc_id, stop_micro, punct_micro, len_cap, logit), all row-local.
@@ -523,6 +567,26 @@ object TextOps {
          | CAST((-800000 + 3 * stop_micro - 2 * punct_micro
          |   + 1000 * len_cap) > 0 AS INT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // Same chain: clean/cap → '_' boundaries → char stream → the merge
+    // table applied via nested replace() in the same rank order (literal
+    // patterns: regex-global and plain replace share leftmost
+    // non-overlapping semantics).
+    "tx19_bpe_encode" -> {
+      val merged = bpeMerges.foldLeft("chars") { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')"
+      }
+      s"""WITH c AS (SELECT doc_id,
+         |   trim(regexp_replace(translate(trim(regexp_replace(
+         |     substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 64),
+         |     ' +', ' ', 'g')), ' ', '_'), '(.)', '\\1 ', 'g')) AS chars
+         |  FROM documents),
+         | e AS (SELECT doc_id, $merged AS enc FROM c)
+         |SELECT doc_id,
+         | CAST(len(string_split(enc, ' ')) AS INT) AS n_tokens,
+         | array_to_string(string_split(enc, ' ')[1:10], '|') AS head_tokens
+         |FROM e ORDER BY doc_id""".stripMargin
     },
 
     "tx18_inverted_index" ->

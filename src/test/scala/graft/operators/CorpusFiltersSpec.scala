@@ -249,4 +249,19 @@ class CorpusFiltersSpec extends AnyFunSuite {
         ids.take(20).mkString(","))
     } finally out.unpersist()
   }
+
+  test("tx19 BPE applies merges by rank over TOKENS, not raw chars") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("tx19").toString
+    // 'the theory': chars t h e _ t h e o r y; 't h'->'th' fires twice,
+    // then 'o r'->'or' merges the (o, r) pair — and no rule touches the
+    // inside of a fused 'th' token (the collision-free table property)
+    Seq((0L, "the theory", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = TextOps.queries("tx19_bpe_encode")(spark, d).collect()(0)
+    assert(r.getInt(r.fieldIndex("n_tokens")) === 7)
+    assert(r.getString(r.fieldIndex("head_tokens")) === "th|e|_|th|e|or|y")
+  }
 }
