@@ -12,7 +12,7 @@ object Bench {
     * throws lands in the second map (error text) and NEVER as a timing —
     * a crash must not masquerade as a fast run in BENCH_rN deltas.
     */
-  def run(spark: SparkSession, sfDir: String, queries: Map[String, Q])
+  def run(spark: SparkSession, sfDir: String, queries: Seq[(String, Q)])
       : (Map[String, Double], Map[String, String]) = {
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -32,10 +32,10 @@ object Bench {
     // just those queries (driver runs never set it — full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
-    }
+    }).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,11 +68,16 @@ object Bench {
     // whatever GC pause / page-cache eviction / compaction hiccup landed on
     // a query (round 3 showed 10x phantom "regressions" on queries whose
     // isolated time was unchanged); the min of two independent passes is
-    // the operator's cost, not the host's mood. Scratch tables are cleared
-    // between passes so each one computes its own materializations.
+    // the operator's cost, not the host's mood. The second pass runs in
+    // REVERSED order: same-order passes give a query the same neighborhood
+    // twice, so a systematic neighbor effect (a GC-heavy predecessor, a
+    // page-cache-evicting scan) survives the min — reversing gives each
+    // query two different neighborhoods and the min approaches its
+    // isolated time. Scratch tables are cleared between passes so each one
+    // computes its own materializations.
     val (ok1, errMap1) = run(spark, sfDir, selected)
     operators.MinHashDedup.clearScratch()
-    val (ok2, errMap2) = run(spark, sfDir, selected)
+    val (ok2, errMap2) = run(spark, sfDir, selected.reverse)
     val ok = (ok1.keySet ++ ok2.keySet).map { k =>
       k -> math.min(ok1.getOrElse(k, Double.MaxValue),
         ok2.getOrElse(k, Double.MaxValue))
@@ -96,7 +101,7 @@ object Bench {
     // uses the unique short prefix of each query name ("q01_pricing_summary"
     // -> "q01") and millisecond precision; the full-name full-precision
     // detail goes to bench_detail.json beside the build.
-    val ordered = selected.keys.toSeq
+    val ordered = selected.map(_._1)
     def short(name: String): String = name.takeWhile(_ != '_')
     val shortUnique = ordered.groupBy(short).forall(_._2.sizeIs == 1)
     def key(name: String): String = if (shortUnique) short(name) else name

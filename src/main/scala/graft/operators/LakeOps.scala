@@ -218,6 +218,35 @@ object LakeOps {
         .orderBy("nationkey")
     }),
 
+    // SCD Type-2 MERGE — dimension maintenance with history preservation
+    // (ts03 DERIVES intervals from an event log; this APPLIES a change
+    // batch to a versioned dimension): each changed key's current row is
+    // closed (valid_to = effective date, no longer current) and a new
+    // version appended open-ended; unchanged keys pass through. One
+    // left join of the dimension against the (broadcastable) change set
+    // plus a union — no window, no shuffle beyond the join, exactly how a
+    // Delta/Iceberg MERGE expresses SCD2. Change batch: customers with
+    // c_custkey % 7 == 0 move to the 'WEB' segment effective 1999-01-01.
+    "md05_scd2_apply" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val changes = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), lit("WEB").as("new_segment"))
+      val v1 = base.join(changes, col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          lit("1970-01-01").as("valid_from"),
+          when(col("k").isNotNull, lit("1999-01-01"))
+            .otherwise(lit(null).cast("string")).as("valid_to"),
+          col("k").isNull.cast("int").as("is_current"),
+          lit(1).as("version"))
+      val v2 = changes.select(col("k").as("c_custkey"),
+        col("new_segment").as("segment"),
+        lit("1999-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(1).as("is_current"), lit(2).as("version"))
+      v1.unionByName(v2).orderBy("c_custkey", "version")
+    }),
+
     // Incremental materialized-view refresh — the aggregate-merge algebra
     // that avoids rescanning history: the monthly revenue rollup is
     // computed as history partials (orders before 1998) MERGED with a new
@@ -355,6 +384,20 @@ object LakeOps {
         |FROM nc LEFT JOIN no_ USING (c_nationkey)
         | LEFT JOIN nl USING (c_nationkey)
         |ORDER BY nationkey""".stripMargin,
+
+    // The SCD2 contract stated set-wise: closed v1 rows for changed keys,
+    // open v1 rows for the rest, open v2 rows for the changes.
+    "md05_scd2_apply" ->
+      """SELECT c_custkey, c_mktsegment AS segment,
+        | '1970-01-01' AS valid_from,
+        | CASE WHEN c_custkey % 7 = 0 THEN '1999-01-01' END AS valid_to,
+        | CAST(c_custkey % 7 <> 0 AS INT) AS is_current,
+        | 1 AS version
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'WEB', '1999-01-01', NULL, 1, 2
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey, version""".stripMargin,
 
     // The full recompute — the Spark side must make its merged history +
     // delta partials equal this.

@@ -397,6 +397,50 @@ object SimilarityOps {
         .orderBy("vec_id")
     }),
 
+    // Maximum-inner-product search (MIPS) — the retrieval shape for
+    // recommendation scoring, where magnitude matters and cosine's
+    // normalization is wrong. Bucketing uses the norm-augmentation
+    // reduction (Bachrach et al. 2014): corpus vectors grow a 65th
+    // component √(M² − ‖x‖²) (M = max corpus norm, a broadcast 1-row
+    // aggregate), queries grow 0 — every augmented corpus vector then has
+    // norm exactly M, so angular (hyperplane-LSH) proximity to the
+    // augmented query IS inner-product order, and the existing
+    // sign-of-dot bucketing applies unchanged over 65 dims. Candidates =
+    // corpus rows sharing the augmented signature bucket with a query
+    // (ids + 64 floats through the broadcast join, queries are 3 rows);
+    // exact raw-dot re-rank on the candidates. Deterministic: max() is
+    // order-free, the augmented component is IEEE sqrt over doubles both
+    // engines compute identically, and plane dots accumulate
+    // sequentially with the augmented term added last.
+    "ss10_mips" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val mrow = e.agg(max(col("nrm")).as("m"))
+      val aug = e.crossJoin(broadcast(mrow))
+        .select(col("vec_id"), col("v"),
+          sqrt(col("m") * col("m") - col("nrm") * col("nrm")).as("augc"))
+      val pl = planesSeeded(77, MinPlanes, 65)
+      def sigOf(augCol: Column): Column =
+        pl.indices.map { p =>
+          val first64 = array(pl(p).take(64).toIndexedSeq.map(lit): _*)
+          when(GraftFunctions.dot_product(col("v"), first64)
+            + lit(pl(p)(64)) * augCol > 0, 1 << p).otherwise(0)
+        }.reduce(_ + _)
+      val corpus = aug.select(col("vec_id"), col("v"),
+        sigOf(col("augc")).as("sig"))
+      val qs = aug.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          sigOf(lit(0.0)).as("sig"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
+      corpus.join(broadcast(qs), "sig")
+        .select(col("qid"), col("vec_id"),
+          round(GraftFunctions.dot_product(col("qv"), col("v")), 6).as("dot"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), col("dot"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("qid", "rk")
+    }),
+
     // Product-quantization ANN — the memory-compression scale path for
     // vector search: each 64-dim vector is encoded as M=4 sub-space codes
     // (argmin-L2 against a K=4-entry codebook per sub-space), shrinking a
@@ -467,6 +511,18 @@ object SimilarityOps {
     }.mkString(" + ")
 
   private def ss03SigSql: String = sigSqlFor(42, 4)
+
+  /** ss10's augmented-plane signature: the first 64 plane components dot
+    * the raw vector (same sequential accumulation as
+    * [[graft.functions.DotProduct]]), the 65th multiplies the augmented
+    * component expression (`augExpr` — √(M²−‖x‖²) for corpus rows, 0 for
+    * queries), added last — mirroring the Spark side exactly.
+    */
+  private def mipsSigSql(augExpr: String): String =
+    planesSeeded(77, MinPlanes, 65).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeSql(p.take(64))}) + " +
+        s"(${p(64)}) * ($augExpr) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** dd07's pair computation as a CTE chain ending in `pairs(id1, id2,
     * cosine)` — shared by the dd07 oracle and dd08's recursive-CTE oracle
@@ -650,6 +706,25 @@ object SimilarityOps {
         | sz AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
         |SELECT a2.vec_id, a2.cid AS cluster_id, sz.n_members
         |FROM a2 JOIN sz USING (cid) ORDER BY a2.vec_id""".stripMargin,
+
+    // The MIPS reduction restated: same max-norm aggregate, same IEEE
+    // √(M²−‖x‖²) augmentation, same 65-dim plane literals (augmented
+    // term added last), same raw-dot re-rank.
+    "ss10_mips" ->
+      s"""$oWith,
+         | mx AS (SELECT MAX(nrm) AS m FROM n),
+         | a AS (SELECT vec_id, v,
+         |   sqrt(mx.m * mx.m - nrm * nrm) AS augc FROM n, mx),
+         | c AS (SELECT vec_id, v, ${mipsSigSql("augc")} AS sig FROM a),
+         | q AS (SELECT vec_id AS qid, v AS qv, ${mipsSigSql("0.0")} AS sig
+         |   FROM a WHERE vec_id < 3),
+         | j AS (SELECT q.qid, c.vec_id,
+         |   round(list_inner_product(q.qv, c.v), 6) AS dot
+         |  FROM c JOIN q USING (sig))
+         |SELECT qid, vec_id, dot, CAST(rk AS INT) AS rk FROM (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY dot DESC, vec_id) AS rk FROM j)
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     // The PQ contract restated: same ×10⁴ fixed-point, same pinned
     // codebook grid, same argmin encode (ties → smallest code), same ADC

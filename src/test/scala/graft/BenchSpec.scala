@@ -15,7 +15,7 @@ class BenchSpec extends AnyFunSuite {
       "broken_plan" -> ((s, _) =>
         s.range(1).selectExpr("assert_true(id > 0, 'boom')")),
       "broken_build" -> ((_, _) => throw new RuntimeException("constructor")))
-    val (ok, errs) = Bench.run(spark, TestSpark.sf0001, queries)
+    val (ok, errs) = Bench.run(spark, TestSpark.sf0001, queries.toSeq)
     assert(ok.keySet === Set("good"))
     assert(ok("good") > 0.0)
     assert(errs.keySet === Set("broken_plan", "broken_build"))

@@ -148,6 +148,29 @@ class LakeOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("md05 SCD2 apply: one current row per key, contiguous validity on changed keys") {
+    val out = LakeOps.queries("md05_scd2_apply")(spark, dir).cache()
+    try {
+      val cust = Tables(spark, dir, "customer")
+      val nKeys = cust.count()
+      val nChanged = cust.filter(col("c_custkey") % 7 === 0).count()
+      assert(out.count() === nKeys + nChanged)
+      // exactly one open (current) row per key
+      val open = out.filter(col("is_current") === 1)
+      assert(open.count() === nKeys)
+      assert(open.filter(col("valid_to").isNotNull).count() === 0)
+      // changed keys: v1 closed at exactly v2's valid_from
+      val v1 = out.filter(col("version") === 1 && col("is_current") === 0)
+        .select(col("c_custkey"), col("valid_to"))
+      val v2 = out.filter(col("version") === 2)
+        .select(col("c_custkey"), col("valid_from"), col("segment"))
+      assert(v1.count() === nChanged && v2.count() === nChanged)
+      assert(v1.join(v2, "c_custkey")
+        .filter(col("valid_to") =!= col("valid_from")).count() === 0)
+      assert(v2.filter(col("segment") =!= "WEB").count() === 0)
+    } finally out.unpersist()
+  }
+
   test("md04 merged history+delta partials equal the one-pass rollup") {
     val direct = Tables(spark, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
