@@ -208,6 +208,34 @@ object Multimodal {
         .select(col("doc_id"), col("vec_id"), col("is_positive"), col("label"))
         .orderBy(col("doc_id"), col("is_positive").desc, col("vec_id"))
     }),
+
+    // Cross-media duplicate FRAME detection — the video-dedup primitive
+    // (find identical frames shared across different assets, e.g. shared
+    // intro/outro segments): decode each blob's frame-hash sequence
+    // (narrow mapPartitions, blobs never leave executors), explode to
+    // (doc, frame_idx, hash) IDS ONLY, then one hash-keyed aggregation;
+    // emit hashes appearing in ≥ 2 distinct assets. The shuffle carries
+    // (hash, doc_id, idx) triples — never frame bytes — so the cost
+    // scales with frame COUNT, not media size; the same shape as dd09's
+    // text-span dedup, one modality over.
+    "mm07_frame_dup" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(featureSchema)
+      src.mapPartitions { it =>
+        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+        .select(col("doc_id"),
+          posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
+        .groupBy("frame_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") >= 2L)
+        .orderBy("frame_hash")
+    }),
   )
 
   /** The fake-codec arithmetic ([[fakeDecode]]) re-expressed in DuckDB SQL.
@@ -325,5 +353,27 @@ object Multimodal {
         |SELECT p.doc_id, p.vec_id, p.is_positive, e.label
         |FROM pairs p JOIN embeddings e ON p.vec_id = e.vec_id
         |ORDER BY p.doc_id, p.is_positive DESC, p.vec_id""".stripMargin,
+
+    // mm03's frame-hash CTEs over the FULL corpus (no sampling), grouped
+    // by the signed hash.
+    "mm07_frame_dup" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n, text
+         |  FROM documents),
+         | fr AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(FLOOR(n / 100) + 1 AS INT))) AS frame_idx,
+         |    text FROM b),
+         | fh AS (
+         |  SELECT doc_id, frame_idx,
+         |    ${frameHashSql("substr(text, frame_idx * 100 + 1, 100)")} AS fh
+         |  FROM fr),
+         | sg AS (SELECT doc_id, ${signedSql("fh")} AS frame_hash FROM fh)
+         |SELECT frame_hash, COUNT(DISTINCT doc_id) AS n_docs,
+         | COUNT(*) AS n_occurrences,
+         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM sg GROUP BY frame_hash
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY frame_hash""".stripMargin,
   )
 }
