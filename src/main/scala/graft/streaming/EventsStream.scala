@@ -103,6 +103,34 @@ object EventsStream {
           .select(col("purchase_id"), col("signup_id"), col("user_id"))
       }.orderBy("purchase_id", "signup_id")
     }),
+
+    // FULL OUTER stream-stream join — st11's symmetric completion: BOTH
+    // sides emit null-padded rows once their verdict closes, and the two
+    // closure horizons differ. A purchase closes when the watermark
+    // passes pts (no signup with sts ≤ pts can arrive); a signup closes
+    // only when the watermark passes sts + 1 h (a purchase with pts up to
+    // an hour LATER could still match) — the join-interval offset shifts
+    // the state-eviction horizon. The oracle states both predicates
+    // against the min-policy final watermark.
+    "st12_stream_full_outer_join" -> ((s, dir) => {
+      runAppendStream(s, dir, "st12_mem") { df =>
+        val p = df.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"), col("ts").as("pts"))
+          .withWatermark("pts", "10 minutes")
+        val sg = df
+          .filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            col("user_id").as("s_user"), col("ts").as("sts"))
+          .withWatermark("sts", "10 minutes")
+        p.join(sg, expr(
+          """user_id = s_user AND
+            |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin),
+          "full_outer")
+          .select(col("purchase_id"), col("signup_id"),
+            coalesce(col("user_id"), col("s_user")).as("user_id"))
+      }.orderBy("purchase_id", "signup_id", "user_id")
+    }),
     // Stream-static enrichment: the streaming fact (purchases) joined to a
     // STATIC broadcast dimension (customer) — the canonical streaming
     // enrichment shape. The dim is re-planned per micro-batch (picking up
@@ -324,6 +352,42 @@ object EventsStream {
         |UNION ALL
         |SELECT purchase_id, signup_id, user_id FROM un
         |ORDER BY purchase_id, signup_id""".stripMargin,
+
+    // Full outer = matches + both closure sets: purchases close at
+    // pts < wm, signups at sts + 1 h < wm (the interval offset delays the
+    // signup horizon — a later purchase could still match).
+    "st12_stream_full_outer_join" ->
+      """WITH m AS (
+        |  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+        |    p.user_id
+        |  FROM events p JOIN events s
+        |   ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        |   AND p.user_id = s.user_id
+        |   AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
+        | wm AS (SELECT least(
+        |    max(ts) FILTER (event_type = 'purchase'),
+        |    max(ts) FILTER (event_type = 'signup'))
+        |   - INTERVAL 10 MINUTE AS w FROM events),
+        | unp AS (
+        |  SELECT p.event_id AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS signup_id, p.user_id
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+        |   AND NOT EXISTS (SELECT 1 FROM events s
+        |     WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |      AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)),
+        | uns AS (
+        |  SELECT CAST(NULL AS BIGINT) AS purchase_id,
+        |    s.event_id AS signup_id, s.user_id
+        |  FROM events s, wm
+        |  WHERE s.event_type = 'signup' AND s.ts + INTERVAL 1 HOUR < wm.w
+        |   AND NOT EXISTS (SELECT 1 FROM events p
+        |     WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        |      AND p.ts BETWEEN s.ts AND s.ts + INTERVAL 1 HOUR))
+        |SELECT purchase_id, signup_id, user_id FROM m
+        |UNION ALL SELECT purchase_id, signup_id, user_id FROM unp
+        |UNION ALL SELECT purchase_id, signup_id, user_id FROM uns
+        |ORDER BY purchase_id, signup_id, user_id""".stripMargin,
 
     // Stream-static enrichment == the batch left join.
     "st06_stream_enrich" ->

@@ -54,6 +54,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(outer.filter(col("signup_id").isNull).count() > 0)
   }
 
+  test("st12 full outer ⊇ st11 left outer; right-null rows close an hour later") {
+    import org.apache.spark.sql.functions.col
+    val full = SparkEntry.queries("st12_stream_full_outer_join")(spark, dir)
+    val left = SparkEntry.queries("st11_stream_outer_join")(spark, dir)
+    // every left-outer row (matched or purchase-null) appears in the full
+    // outer result; the full result adds only signup-side null rows
+    val fullLeftPart = full.filter(col("purchase_id").isNotNull)
+    assert(fullLeftPart.exceptAll(left).isEmpty
+      && left.exceptAll(fullLeftPart).isEmpty)
+    assert(full.filter(col("purchase_id").isNull).count() > 0)
+  }
+
   test("ss05 multi-table candidates dominate ss03's single table per rank") {
     // ss05's table 0 uses ss03's seed, so its candidate set is a superset;
     // at every (qid, rank) the re-ranked cosine can only be >= ss03's.
