@@ -119,26 +119,29 @@ object CorpusFilters {
     // of the hex form); the span merge is a per-DOCUMENT window — bounded
     // by doc length, embarrassingly parallel across docs, no stratum skew.
     //
-    // The ≥2-distinct-docs test is a WINDOW over the gram key
-    // (min(doc_id) != max(doc_id)), not an aggregate + self-join back:
-    // that formulation explodes + hashes the whole corpus TWICE and
-    // shuffles it twice (agg build + join probe); this one explodes once
-    // and shuffles once. Per-gram partitions are bucket-sized (the gram's
-    // duplicate count), so no stratum skew either.
+    // The ≥2-distinct-docs test is a partial AGGREGATE over the gram key
+    // (min(doc_id) != max(doc_id)) joined back to the gram stream — NOT a
+    // gram-keyed window: a window puts a hot gram's ENTIRE occurrence set
+    // (a boilerplate license header appearing in millions of docs) in one
+    // sorted partition on one task, unsplittable by AQE. The aggregate
+    // map-side-combines to one row per (task, gram) before the shuffle and
+    // the join probe is AQE-skew-splittable. The price is a second narrow
+    // explode pass for the probe side (scans scale out; single hot tasks
+    // do not) — a deliberate trade.
     "dd09_substring_spans" -> ((s, dir) => {
       val k = 8
-      val grams = docs(s, dir)
+      def grams = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= k)
         .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(1, size(w) - ${k - 1}),
              | i -> unhex(md5(concat_ws(' ', slice(w, i, $k)))))""".stripMargin))
           .as(Seq("pos", "g")))
-      val wg = Window.partitionBy("g")
-      val hits = grams
-        .withColumn("dup",
-          min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
-        .filter(col("dup")).select("doc_id", "pos")
+      val dupGrams = grams.groupBy("g")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select("g")
+      val hits = grams.join(dupGrams, "g").select("doc_id", "pos")
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val prevMax = max(col("pos") + (k - 1))
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -229,21 +232,24 @@ object CorpusFilters {
     // identically to tf·log-idf within a document's tied-tf groups, and
     // integer math is bit-equal across engines where libm's log is not.
     // Shape at scale: tf is one (doc, word) shuffle with map-side combine.
-    // df is a COUNT WINDOW over tf's rows keyed by word — NOT a groupBy +
-    // join back, which would make tf a two-consumer subtree and re-explode
-    // the whole corpus twice (the same double-scan disease dd09 had). The
-    // window shuffles exactly the rows the join's build side would have
-    // (one per (doc, word)), partition size = a word's df ≤ corpus docs;
-    // the top-3 window partitions by doc — bounded by a document's
+    // df is a `groupBy(word).count()` over tf's rows JOINED BACK — not a
+    // word-keyed count window: a stopword's window partition is O(corpus
+    // docs) rows on ONE task, unsplittable by AQE, where the aggregate
+    // ships one row per (task, word) and the join probe skew-splits. tf is
+    // already aggregated (one row per (doc, word)), so the two-consumer
+    // subtree re-explodes NOTHING — both df's build and the probe hang off
+    // tf's own exchange, which Spark's exchange/stage reuse materializes
+    // once. The top-3 window partitions by doc — bounded by a document's
     // vocabulary, no stratum skew.
     "tx15_tfidf" -> ((s, dir) => {
       val words = docs(s, dir).select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("word"))
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).select(countDistinct("doc_id").as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(desc("score_fp"), asc("word"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      tf.join(dfreq, "word")
         .crossJoin(broadcast(n))
         .withColumn("score_fp", expr("tf * 1000000 * n_docs div df"))
         .withColumn("rk", row_number().over(w))

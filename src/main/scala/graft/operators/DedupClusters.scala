@@ -3,7 +3,6 @@ package graft.operators
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -108,15 +107,21 @@ object DedupClusters {
     // Every document with its duplicate-cluster id (min doc_id of the
     // component over J >= 0.8 LSH pairs) and the cluster's size. Singletons
     // keep their own id — downstream "keep one per cluster" is then a
-    // filter on doc_id = cluster_id.
+    // filter on doc_id = cluster_id. cluster_size is a partial AGGREGATE
+    // joined back, never a cluster-keyed count window: a mega-cluster
+    // (boilerplate/total-dup corpus) would put its whole membership in one
+    // window partition on one task, where the aggregate map-side-combines
+    // and the join probe AQE-skew-splits. Both consumers read the tiny
+    // materialized CC scratch table, so nothing recomputes.
     "dd06_dedup_clusters" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select(col("doc_id").as("id"))
       val pairs = MinHashDedup.lshPairs(s, dir)
         .select(col("id1").as("a"), col("id2").as("b"))
-      connectedComponents(docs, pairs, ("dd06_cc", dir))
+      val cc = connectedComponents(docs, pairs, ("dd06_cc", dir))
         .select(col("id").as("doc_id"), col("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(asc("doc_id"))
     }),
 
@@ -124,15 +129,18 @@ object DedupClusters {
     // near-dup pairs (dd07's multi-table LSH path) instead of text-LSH
     // pairs — "keep one per semantic duplicate group", the
     // embedding-space twin of dd06. `keep` marks the representative.
+    // cluster_size via aggregate + join-back (see dd06 — no cluster-keyed
+    // window; a mega-cluster must never land on one task).
     "dd08_semantic_clusters" -> ((s, dir) => {
       val nodes = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
       val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
         .select(col("id1").as("a"), col("id2").as("b"))
-      connectedComponents(nodes, pairs, ("dd08_cc", dir))
+      val cc = connectedComponents(nodes, pairs, ("dd08_cc", dir))
         .select(col("id").as("vec_id"), col("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-        .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          (col("vec_id") === col("cluster_id")).cast("int").as("keep"))
         .orderBy(asc("vec_id"))
     }),
 

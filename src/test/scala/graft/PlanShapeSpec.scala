@@ -167,26 +167,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
-  test("tx15 tf-idf explodes the corpus ONCE — df via window, no join-back") {
-    // df-as-groupBy+join makes the tf subtree two-consumer: Spark would
-    // re-explode and re-hash the whole corpus for each side. One scan and
-    // no join proves single-pass; the df window's partition is a word's
-    // document frequency (<= corpus docs), the top-3 window a doc's
-    // vocabulary — bounded both ways.
+  test("tx15 tf-idf: df is an aggregate + join-back — no word-keyed window") {
+    // a count window partitioned by word puts a stopword's whole (doc,
+    // word) set on ONE task (unsplittable by AQE); the groupBy(word) +
+    // join-back ships one row per (task, word) and skew-splits the probe.
+    // Only the per-doc top-3 window (bounded by a doc's vocabulary) may
+    // remain, and the n_docs scalar's scan must stay pruned to doc_id.
     val df = SparkEntry.queries("tx15_tfidf")(spark, TestSpark.sf0001)
     val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the per-doc top-3 window:\n$plan")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(keys == Seq("doc_id"),
+        s"window must partition by doc_id only, got $keys:\n$plan")
+    }
     val scans = plan.collect { case s: FileSourceScanExec => s }
-    // exactly one scan may read the text; the n_docs scalar's scan must be
-    // column-pruned to doc_id only (counting never hauls the corpus text)
-    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
-    assert(textScans.length == 1, s"expected one text scan:\n$plan")
     scans.filterNot(_.schema.fieldNames.contains("text")).foreach { s =>
       assert(s.schema.fieldNames.sameElements(Array("doc_id")),
         s"count scan must be pruned to doc_id:\n$s")
     }
-    val joins = plan.toString
-    assert(!joins.contains("SortMergeJoin") && !joins.contains("ShuffledHashJoin"),
-      s"df must come from a window, not a shuffled join-back:\n$plan")
   }
 
   test("ss06 centroids broadcast back to the corpus scan") {
@@ -209,13 +211,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected agg + presentation sort only:\n$plan")
   }
 
-  test("dd09 explodes the corpus once; duplicate test is a gram-key window") {
+  test("dd09 duplicate test is a gram aggregate + join-back — no gram-key window") {
+    // a hot gram (boilerplate header) must never own a whole window
+    // partition; only the per-doc span-merge window (bounded by doc
+    // length) may appear
     val df = SparkEntry.queries("dd09_substring_spans")(spark, TestSpark.sf0001)
     val plan = df.queryExecution.sparkPlan
-    val scans = plan.collect { case s: FileSourceScanExec => s }
-    assert(scans.length == 1, s"expected one documents scan:\n$plan")
-    val joins = plan.toString
-    assert(!joins.contains("Join"), s"no join-back of the dup set:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(keys == Seq("doc_id"),
+        s"window must partition by doc_id only, got $keys:\n$plan")
+    }
+    val txt = df.queryExecution.executedPlan.toString
+    assert(!txt.contains("BroadcastNestedLoopJoin"), txt.take(2000))
+    assert(!txt.contains("CartesianProduct"), txt.take(2000))
+  }
+
+  test("dd06/dd08 cluster_size is an aggregate + join-back — no cluster-keyed window") {
+    // a mega-cluster (total-dup corpus) must never land on one task
+    for (q <- Seq("dd06_dedup_clusters", "dd08_semantic_clusters")) {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+        .queryExecution.sparkPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$q: expected no Window node:\n$plan")
+    }
+    graft.operators.MinHashDedup.clearScratch()
   }
 
   test("dd04/dd05 bounded-window candidates are equi-joins, not nested loops") {
