@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON out of the raw process output
+// tail; the default forked-run strategy routes the child's stdout through
+// sbt's logger, which prefixes every line with "[info] " and breaks the
+// parse (BENCH_r04 "parsed": null). StdoutOutput inherits sbt's own
+// streams, so program output lands at column 0 unmodified.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

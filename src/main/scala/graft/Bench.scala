@@ -8,6 +8,29 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
+  /** Scratch-group OWNERS: the query charged with building its group's
+    * shared scratch tables (tag prefix → owner). Before timing an owner,
+    * [[run]] clears just that group's scratch tags, so the build cost is
+    * paid by the owner in BOTH timed passes — deterministic attribution
+    * regardless of pass order. (Round 4's reversed second pass otherwise
+    * let every shared-scratch query take one free-ride pass, and the
+    * min-of-passes silently excluded the build cost from the whole
+    * report — the round-4 ADVICE finding.) Non-owner sharers measure the
+    * marginal cost with the group's scratch in place, which is the
+    * pipeline-use shape; owners measure build + query.
+    */
+  private val scratchOwner: Map[String, String] = Map(
+    "dd02_minhash_lsh" -> "dd02_",
+    "dd03_simhash" -> "dd03_",
+    "dd07_embedding_lsh_neardup" -> "dd07_",
+    "ss04_ann_ivf" -> "ss04_",
+    "gr01_pagerank" -> "gr01_",
+    "gr03_bfs_hops" -> "gr03_",
+    "dd06_dedup_clusters" -> "dd06_",
+    "dd08_semantic_clusters" -> "dd08_",
+    "md01_merge_upsert" -> "md01_",
+  )
+
   /** Times each query against the materializing noop sink. A query that
     * throws lands in the second map (error text) and NEVER as a timing —
     * a crash must not masquerade as a fast run in BENCH_rN deltas.
@@ -15,6 +38,8 @@ object Bench {
   def run(spark: SparkSession, sfDir: String, queries: Seq[(String, Q)])
       : (Map[String, Double], Map[String, String]) = {
     val results = queries.map { case (name, fn) =>
+      scratchOwner.get(name).foreach(prefix =>
+        operators.MinHashDedup.clearScratch(_.startsWith(prefix)))
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -94,13 +119,15 @@ object Bench {
       } + "\""
     // Double.toString is locale-independent ('.' decimal point always);
     // String.format would honor the JVM default locale and could emit ','.
-    def num(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def num(v: Double): String = (math.round(v * 100) / 100.0).toString
     // The harness captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; full query names at nanosecond precision
     // overflow it (~3.5 KB) and the line never parses. So the printed line
     // uses the unique short prefix of each query name ("q01_pricing_summary"
-    // -> "q01") and millisecond precision; the full-name full-precision
-    // detail goes to bench_detail.json beside the build.
+    // -> "q01"), centisecond precision, and the sf dir's basename — at 144
+    // queries that is ~1.75 KB, leaving tail room for sbt's trailing
+    // "[success]" line; the full-name full-precision detail goes to
+    // bench_detail.json beside the build.
     val ordered = selected.map(_._1)
     def short(name: String): String = name.takeWhile(_ != '_')
     val shortUnique = ordered.groupBy(short).forall(_._2.sizeIs == 1)
@@ -120,8 +147,18 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
     operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
+    // Emitted LAST — after spark.stop() — so no shutdown logging lands
+    // between the line and sbt's "[success]" trailer inside the driver's
+    // 2000-char tail. build.sbt sets run/outputStrategy := StdoutOutput, so
+    // this reaches the raw process stdout at column 0 (the default forked
+    // strategy routed it through sbt's logger, whose "[info] " prefix is
+    // what kept BENCH_r04 from parsing).
+    println(line)
+    System.out.flush()
   }
 }

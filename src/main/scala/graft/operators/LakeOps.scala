@@ -73,9 +73,17 @@ object LakeOps {
   ) ++ more
 
   /** md01's MERGE result without the presentation sort — shared by the
-    * merge query itself and the snapshot-diff operator.
+    * merge query itself and the snapshot-diff operator. MATERIALIZED to the
+    * scratch lake (content-fingerprint keyed, [[MinHashDedup.materialized]])
+    * so chained lake queries (md01 upsert → md02 diff) read ONE computed
+    * MERGE instead of each recomputing the full-outer join — the same
+    * pattern the dedup signature tables use; a rewritten orders snapshot
+    * invalidates the entry via the fingerprint.
     */
-  private def mergedOrders(s: SparkSession, dir: String): DataFrame = {
+  private def mergedOrders(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.materialized(mergedOrdersPlan(s, dir), "md01_merge", dir)
+
+  private def mergedOrdersPlan(s: SparkSession, dir: String): DataFrame = {
       val base = Tables(s, dir, "orders")
       val upd = base.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("k"), lit("U").as("op"),

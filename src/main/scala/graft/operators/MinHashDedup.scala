@@ -148,6 +148,30 @@ object MinHashDedup {
     scratchDirs.clear()
   }
 
+  /** Selective variant: drop only the entries whose TAG satisfies `pred`.
+    * Bench uses this to charge each scratch group's build cost to the
+    * group's owning query — clearing just that group's tags right before
+    * timing the owner, in both passes, so attribution is deterministic
+    * regardless of pass order and other groups' scratch stays shared.
+    */
+  def clearScratch(pred: String => Boolean): Unit = {
+    val hc = Option(hadoopConf.get())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val it = scratchCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (pred(e.getKey._1)) {
+        val p = e.getValue
+        it.remove()
+        scratchDirs.remove(p)
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(hc).delete(path, true)
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     try clearScratch() catch { case _: Exception => () }))
 
