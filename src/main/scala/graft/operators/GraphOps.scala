@@ -134,29 +134,65 @@ object GraphOps {
     // loop, over the same near-dup graph, same hop horizon, same answer.
     // Contrast documented: the native path re-joins the FULL accumulated
     // walk each step (its frontier is the UNION ALL running set, deduped
-    // only at the final MIN), while gr03's explicit loop checkpoints a
-    // min-distance frontier per round — at lake scale the explicit loop
-    // bounds state, the native form buys planner integration. Both belong
-    // in the library; the oracle is the same recursive CTE DuckDB runs.
-    "rec01_recursive_cte" -> ((s, dir) => {
-      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
-        .select(col("id1"), col("id2"))
-      pairs.createOrReplaceTempView("rec01_pairs")
-      s.sql(
-        s"""WITH RECURSIVE walk(node, h) AS (
-           |  SELECT MIN(id1) AS node, 0 AS h FROM rec01_pairs
-           |  UNION ALL
-           |  SELECT e.dst, walk.h + 1
-           |  FROM (SELECT id1 AS src, id2 AS dst FROM rec01_pairs
-           |        UNION ALL
-           |        SELECT id2, id1 FROM rec01_pairs) e
-           |  JOIN walk ON walk.node = e.src
-           |  WHERE walk.h < $MaxHops
-           |) SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
-           |WHERE node IS NOT NULL
-           |GROUP BY node ORDER BY node""".stripMargin)
-    }),
+    // only at the final MIN) — WALK ENUMERATION, exponential in hops on a
+    // dense duplicate-clique graph — while gr03's explicit loop
+    // checkpoints a min-distance frontier per round (state bounded by
+    // |nodes| — the PRODUCTION path at lake scale; the native form buys
+    // planner integration on provably sparse graphs). [[recursiveWalk]]
+    // refuses to detonate: a one-aggregate branching-factor estimate
+    // rejects dense graphs before the loop runs.
+    "rec01_recursive_cte" -> ((s, dir) =>
+      recursiveWalk(s, SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1"), col("id2")), MaxHops)),
   )
+
+  /** Estimated enumerated-path budget for [[recursiveWalk]]: the walk's
+    * running UNION ALL set must stay far below shuffle-spill scale, since
+    * every step re-joins ALL of it.
+    */
+  private[operators] val WalkRowBudget = 50L * 1000 * 1000
+
+  /** Min-hop reachability from the graph's minimum-id node via the native
+    * recursive CTE, GUARDED by a row budget: path count under walk
+    * enumeration grows like m·B^(h−1) with B = Σdeg²/Σdeg (the mean
+    * branching factor — the degree a random edge endpoint has). One tiny
+    * degree aggregate estimates it up front; a graph estimated past
+    * [[WalkRowBudget]] throws instead of detonating, and the error points
+    * at gr03_bfs_hops (the checkpointed min-frontier loop, state ≤ |nodes|
+    * per round) as the path for dense graphs.
+    */
+  private[graft] def recursiveWalk(
+      s: SparkSession, pairs: DataFrame, hops: Int): DataFrame = {
+    val deg = pairs.select(col("id1").as("n"))
+      .union(pairs.select(col("id2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * col("d")).as("m2"), sum(col("d")).as("m1"))
+      .head()
+    if (!deg.isNullAt(1) && deg.getLong(1) > 0) {
+      val m1 = deg.getLong(1)
+      val b = math.max(1.0, deg.getLong(0).toDouble / m1.toDouble)
+      val est = m1.toDouble * math.pow(b, (hops - 1).toDouble)
+      if (est > WalkRowBudget.toDouble) throw new IllegalStateException(
+        f"recursive walk refused: ~$est%.3g enumerated paths estimated " +
+          f"(branching factor $b%.1f over $m1 directed edges, budget " +
+          s"$WalkRowBudget); this graph is too dense for walk enumeration " +
+          "— use gr03_bfs_hops' checkpointed min-frontier loop instead")
+    }
+    pairs.createOrReplaceTempView("rec01_pairs")
+    s.sql(
+      s"""WITH RECURSIVE walk(node, h) AS (
+         |  SELECT MIN(id1) AS node, 0 AS h FROM rec01_pairs
+         |  UNION ALL
+         |  SELECT e.dst, walk.h + 1
+         |  FROM (SELECT id1 AS src, id2 AS dst FROM rec01_pairs
+         |        UNION ALL
+         |        SELECT id2, id1 FROM rec01_pairs) e
+         |  JOIN walk ON walk.node = e.src
+         |  WHERE walk.h < $hops
+         |) SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
+         |WHERE node IS NOT NULL
+         |GROUP BY node ORDER BY node""".stripMargin)
+  }
 
   /** The five iterations unrolled as chained CTEs over the spliced dd07
     * pair chain — same integer math (`//` = Spark's `div` on positives).

@@ -36,6 +36,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 150000000L))
   }
 
+  test("recursiveWalk refuses a planted duplicate-clique blowup") {
+    // K40: branching factor ≈ 39, estimated paths 1560 · 39⁷ ≈ 2·10¹⁴ —
+    // walk enumeration would detonate; the guard must trip BEFORE the
+    // recursion runs, and the message must route users to gr03
+    val s = spark
+    import s.implicits._
+    val clique = (for {
+      i <- 0 until 40; j <- (i + 1) until 40
+    } yield (i.toLong, j.toLong)).toDF("id1", "id2")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.recursiveWalk(spark, clique, 8)
+    }
+    assert(ex.getMessage.contains("gr03_bfs_hops"))
+  }
+
+  test("recursiveWalk runs sparse graphs and returns exact min-hops") {
+    // path graph 0-1-2-...-9: well under budget; hops = node index
+    val s = spark
+    import s.implicits._
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = GraphOps.recursiveWalk(spark, path, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == (0L until 10L).map(i => i -> i.toInt).toMap)
+  }
+
   test("gr02 equals a driver-side brute-force triangle count") {
     val pairs = SimilarityOps.embeddingNearDupPairs(spark, dir)
       .select("id1", "id2").collect()
