@@ -314,8 +314,12 @@ object TextOps {
         " +", " ")
       val marked = translate(trim(clean), " ", "_")
       val chars = trim(regexp_replace(marked, "(.)", "$1 "))
+      // merge rules are literal token pairs, never regexes: quote both
+      // sides so a future rule containing a metacharacter ('.', '+', '$')
+      // behaves identically to the oracle's literal replace()
       val encoded = bpeMerges.foldLeft(chars) { case (c, (from, to)) =>
-        regexp_replace(c, from, to)
+        regexp_replace(c, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
       }
       docs(s, dir)
         .select(col("doc_id"), encoded.as("enc"))
@@ -333,8 +337,14 @@ object TextOps {
         .distinct()
         .groupBy("w")
         .agg(count(lit(1)).as("df"),
-          sample(format_string("%012d", col("doc_id")), col("doc_id"))
-            .as("picks"))
+          // 19-digit pad covers the FULL positive Long range, so the
+          // aggregator's string order is numeric order for every legal id
+          // (a 12-digit pad silently mis-sorts ids >= 10^12); negative ids
+          // would break any zero-pad scheme, so they fail loudly
+          sample(
+            when(col("doc_id") >= 0, format_string("%019d", col("doc_id")))
+              .otherwise(raise_error(lit("tx18: negative doc_id"))),
+            col("doc_id")).as("picks"))
         .filter(col("df") >= 50L)
         .select(col("w"), col("df"),
           array_join(transform(col("picks"), e => e.getField("_2")), ",")

@@ -61,18 +61,7 @@ object EventsStream {
     // interval + watermark, not the stream length.
     "st04_stream_stream_join" -> ((s, dir) => {
       runAppendStream(s, dir, "st04_mem") { df =>
-        val p = df.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id"), col("ts").as("pts"))
-          .withWatermark("pts", "10 minutes")
-        val sg = df
-          .filter(col("event_type") === "signup")
-          .select(col("event_id").as("signup_id"),
-            col("user_id").as("s_user"), col("ts").as("sts"))
-          .withWatermark("sts", "10 minutes")
-        p.join(sg, expr(
-          """user_id = s_user AND
-            |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin))
+        intervalJoin(df, "inner")
           .select(col("purchase_id"), col("signup_id"), col("user_id"))
       }.orderBy("purchase_id", "signup_id")
     }),
@@ -87,19 +76,7 @@ object EventsStream {
     // st07's watermark-closure pattern on the join axis.
     "st11_stream_outer_join" -> ((s, dir) => {
       runAppendStream(s, dir, "st11_mem") { df =>
-        val p = df.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id"), col("ts").as("pts"))
-          .withWatermark("pts", "10 minutes")
-        val sg = df
-          .filter(col("event_type") === "signup")
-          .select(col("event_id").as("signup_id"),
-            col("user_id").as("s_user"), col("ts").as("sts"))
-          .withWatermark("sts", "10 minutes")
-        p.join(sg, expr(
-          """user_id = s_user AND
-            |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin),
-          "left_outer")
+        intervalJoin(df, "left_outer")
           .select(col("purchase_id"), col("signup_id"), col("user_id"))
       }.orderBy("purchase_id", "signup_id")
     }),
@@ -114,19 +91,7 @@ object EventsStream {
     // against the min-policy final watermark.
     "st12_stream_full_outer_join" -> ((s, dir) => {
       runAppendStream(s, dir, "st12_mem") { df =>
-        val p = df.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id"), col("ts").as("pts"))
-          .withWatermark("pts", "10 minutes")
-        val sg = df
-          .filter(col("event_type") === "signup")
-          .select(col("event_id").as("signup_id"),
-            col("user_id").as("s_user"), col("ts").as("sts"))
-          .withWatermark("sts", "10 minutes")
-        p.join(sg, expr(
-          """user_id = s_user AND
-            |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin),
-          "full_outer")
+        intervalJoin(df, "full_outer")
           .select(col("purchase_id"), col("signup_id"),
             coalesce(col("user_id"), col("s_user")).as("user_id"))
       }.orderBy("purchase_id", "signup_id", "user_id")
@@ -226,6 +191,32 @@ object EventsStream {
       }.orderBy("user_id")
     }),
   )
+
+  /** The purchase↔signup interval join shared by st04/st11/st12 (and
+    * exercised on crafted fixtures by OuterJoinBoundarySpec): both sides
+    * watermarked 10 min, signup within the hour preceding the purchase.
+    * Outer variants emit null-padded rows when a side's closure horizon
+    * passes — a purchase closes once the query watermark STRICTLY exceeds
+    * pts, a signup once it strictly exceeds sts + 1 h; rows exactly ON the
+    * final watermark stay withheld in state (the `<` the oracle predicates
+    * state, pinned at the boundary by the spec).
+    */
+  private[streaming] def intervalJoin(
+      df: DataFrame, joinType: String): DataFrame = {
+    val p = df.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val sg = df
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user"), col("ts").as("sts"))
+      .withWatermark("sts", "10 minutes")
+    p.join(sg, expr(
+      """user_id = s_user AND
+        |sts BETWEEN pts - INTERVAL 1 HOUR AND pts""".stripMargin),
+      joinType)
+  }
 
   /** Shared driver for the streaming queries: file source → `xform` →
     * memory sink, driven to completion synchronously.
