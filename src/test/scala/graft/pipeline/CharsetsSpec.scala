@@ -63,6 +63,39 @@ class CharsetsSpec extends AnyFunSuite {
     }
   }
 
+  test("detects BOM-less UTF-16 of NON-Latin text (CJK + Cyrillic) both ways") {
+    // both bytes of most code units are nonzero — no NUL pattern for the
+    // zero-parity heuristic; the decode-validity scan must catch these
+    val cjk = "01;東京都港区虎ノ門\n02;大阪市北区梅田\n03;名古屋市中村区\n" +
+      "04;福岡市博多区駅前\n05;札幌市中央区北一条\n"
+    val ru = "01;Москва, Тверская улица\n02;Санкт-Петербург\n"
+    for {
+      text <- Seq(cjk, ru)
+      cs <- Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)
+    } {
+      val src = tmpFile(text.getBytes(cs))
+      assert(Charsets.detect(src) == cs, s"misdetected $cs for $text")
+      val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+      val (orig, fixed) = Charsets.transcode(src, cs, dest)
+      assert(orig == fixed && orig == text.count(_ == '\n'))
+      val out = new String(Files.readAllBytes(dest), StandardCharsets.UTF_8)
+      assert(out == text)
+    }
+  }
+
+  test("validity scan does not steal single-byte or UTF-8 text") {
+    // high-Latin-1 bytes (Ø=0xD8 etc.) read as UTF-16BE would form lone
+    // surrogates; ASCII/UTF-8 text fuses pairs and shows no aligned
+    // newline — every single-byte fixture must keep its original verdict
+    val utf8 = "01;Ação do imposto\n02;café\n".getBytes(StandardCharsets.UTF_8)
+    assert(Charsets.detectBytes(utf8) == StandardCharsets.UTF_8)
+    val latin = "01;ØSTERGAARD Ração\n02;Ùltimo\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Charsets.detectBytes(latin) == StandardCharsets.ISO_8859_1)
+    val ascii = ("a" * 40 + "\n").getBytes(StandardCharsets.US_ASCII)
+    assert(Charsets.detectBytes(ascii) == StandardCharsets.UTF_8)
+  }
+
   test("zero-interleaved binary is NOT misrouted as BOM-less UTF-16") {
     // same NUL-parity pattern as UTF-16LE, but the non-zero half is control
     // bytes, not text — the printable-ASCII requirement must reject it
