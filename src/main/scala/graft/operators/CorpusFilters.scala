@@ -258,6 +258,37 @@ object CorpusFilters {
           col("score_fp"), col("rk").cast("int").as("rk"))
         .orderBy("doc_id", "rk")
     }),
+
+    // Collocation mining: top-50 bigrams by pointwise mutual information —
+    // corpus phrase discovery (tokenizer-vocab candidates, multi-word
+    // entity signals). PMI's exponent is ranked in EXACT fixed point:
+    // pmi_fp = c_ab·N·10⁶ div (c_a·c_b), BIGINT floor division (log is
+    // monotone, so the ranking equals PMI's; integer math is bit-equal
+    // across engines where libm's log is not). Shape at scale: bigram and
+    // unigram counts are each one explode + one map-side-combined
+    // shuffle; the two unigram joins attach vocab-sized AGGREGATE outputs
+    // (broadcast-able, AQE-skew-splittable) — no window anywhere, and the
+    // c_ab ≥ 5 support floor prunes the bigram table before the joins.
+    "tx20_pmi_bigrams" -> ((s, dir) => {
+      val toks = docs(s, dir).select(split(lower(col("text")), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val n = toks.select(sum(size(col("w"))).as("n_tokens"))
+      val bg = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      bg.join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("c_ab * n_tokens * 1000000L div (c_a * c_b)").as("pmi_fp"))
+        .orderBy(desc("pmi_fp"), asc("a"), asc("b"))
+        .limit(50)
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -368,5 +399,27 @@ object CorpusFilters {
         |    ORDER BY score_fp DESC, word) AS rk FROM sc)
         |SELECT doc_id, word, tf, df, score_fp, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // Same exact-integer PMI ranking; DuckDB lists are 1-based and
+    // range() is end-exclusive, so i ∈ [1, len) pairs w[i] with w[i+1] —
+    // the same size-1 bigram set as Spark's 0-based formulation. SUM is
+    // cast back to BIGINT (DuckDB widens to HUGEINT).
+    "tx20_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        | uni AS (SELECT t, COUNT(*) AS c FROM
+        |   (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        | n AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM w),
+        | bg0 AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i + 1]})) AS p
+        |   FROM w WHERE len(w) >= 2),
+        | bg AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg0
+        |   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT bg.a, bg.b, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
+        | (bg.c_ab * n.n_tokens * 1000000) // (ua.c * ub.c) AS pmi_fp
+        |FROM bg CROSS JOIN n
+        | JOIN uni ua ON ua.t = bg.a
+        | JOIN uni ub ON ub.t = bg.b
+        |ORDER BY pmi_fp DESC, a, b LIMIT 50""".stripMargin,
   )
 }

@@ -280,7 +280,43 @@ object LakeOps {
           expr("total_cents div n_orders").as("avg_cents"))
         .orderBy("month")
     }),
+
+    // Z-order clustering key — the 2-D data-skipping sort key a lake
+    // compaction writes (Delta OPTIMIZE ZORDER BY / Iceberg sort orders):
+    // bit-interleave of (o_custkey & 0xFFFF, epoch-day(o_orderdate) &
+    // 0xFFFF) via the standard mask-doubling spread. Pure 64-bit integer
+    // ops, ROW-LOCAL — zero data shuffle; the single Exchange is the
+    // final range sort on zkey, which at lake scale IS the clustered
+    // write. Engine-exact by construction (no floats anywhere), so the
+    // oracle runs the identical bit algebra with `<<` in place of
+    // `shiftleft`.
+    "md06_zorder_key" -> ((s, dir) => {
+      def shl(e: String, n: Int) = s"shiftleft($e, $n)"
+      val x = "(o_custkey & 65535)"
+      val y = "(cast(datediff(to_date(o_orderdate), date'1970-01-01') " +
+        "as bigint) & 65535)"
+      val z = s"(${spreadSql(x, shl)} | ${shl(spreadSql(y, shl), 1)})"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), expr(x).as("zx"), expr(y).as("zy"),
+          expr(z).as("zkey"))
+        .orderBy("zkey", "o_orderkey")
+    }),
   )
+
+  /** 16→32-bit bit spread (the z-order/Morton building block) as
+    * engine-neutral integer SQL: every other bit of the result carries one
+    * input bit. `shl` abstracts the shift syntax (Spark `shiftleft(x, n)`,
+    * DuckDB `x << n`); masks are the mask-doubling constants
+    * 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555. Inputs MUST be
+    * 64-bit: a 32-bit lane overflows at the final shift.
+    */
+  private[operators] def spreadSql(
+      v: String, shl: (String, Int) => String): String = {
+    val s1 = s"(($v | ${shl(v, 8)}) & 16711935)"
+    val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
+    val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
+    s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+  }
 
   val oracle: Map[String, String] = ListMap(
     // The MERGE contract stated directly: updated survivors + inserts.
@@ -417,5 +453,19 @@ object LakeOps {
         | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   // COUNT(*) AS avg_cents
         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    // The identical bit algebra, DuckDB shift syntax.
+    "md06_zorder_key" -> {
+      def shl(e: String, n: Int) = s"($e << $n)"
+      val sx = spreadSql("zx", shl)
+      val sy = spreadSql("zy", shl)
+      s"""WITH b AS (SELECT o_orderkey,
+         |  (o_custkey & 65535) AS zx,
+         |  (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |    & 65535) AS zy
+         | FROM orders)
+         |SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
+         |FROM b ORDER BY zkey, o_orderkey""".stripMargin
+    },
   )
 }

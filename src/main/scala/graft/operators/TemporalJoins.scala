@@ -286,6 +286,53 @@ object TemporalJoins {
             .as("roll_median"))
         .orderBy("user_id", "event_id")
     }),
+
+    // Touch attribution — every purchase credits the user's `view` events
+    // in the preceding 24 h: linear weights (10⁶ div n, exact integers)
+    // plus a deterministic last-touch flag (max (ts, event_id)). The
+    // interval join is the rj01 day-bucket shape: each purchase explodes
+    // into its 2 covering calendar days and EQUI-joins views on
+    // (user_id, day) — no nested loop; the per-purchase touch count and
+    // last-touch argmax ride ONE partial aggregation joined back (never a
+    // per-purchase window — the de-skew shape), and purchases with no
+    // touches arrive via an anti join with weight 0.
+    "ts07_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val epochDay = (c: String) =>
+        s"cast(datediff(to_date($c), date'1970-01-01') as bigint)"
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("touch_id"),
+          col("user_id").as("v_user"), col("ts").as("vts"),
+          expr(epochDay("ts")).as("vday"))
+      val px = p.select(col("purchase_id"), col("user_id"), col("pts"),
+        explode(expr(s"array(${epochDay("pts")} - 1, ${epochDay("pts")})"))
+          .as("pday"))
+      val touches = px
+        .join(v, px("user_id") === v("v_user") && px("pday") === v("vday"))
+        .filter(col("vts") >= col("pts") - expr("INTERVAL 24 HOURS")
+          && col("vts") < col("pts"))
+        .select(col("purchase_id"), col("user_id"), col("touch_id"),
+          col("vts"))
+      val per = touches.groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_touches"),
+          max(struct(col("vts"), col("touch_id"))).as("lt"))
+        .select(col("purchase_id"), col("n_touches"),
+          col("lt.touch_id").as("last_id"))
+      val credited = touches.join(per, "purchase_id")
+        .select(col("purchase_id"), col("user_id"), col("touch_id"),
+          expr("1000000L div n_touches").as("weight_fp"),
+          (col("touch_id") === col("last_id")).cast("int").as("is_last"))
+      val unmatched = p
+        .join(per.select("purchase_id"), Seq("purchase_id"), "left_anti")
+        .select(col("purchase_id"), col("user_id"),
+          lit(null).cast("bigint").as("touch_id"),
+          lit(0L).as("weight_fp"), lit(0).as("is_last"))
+      credited.unionByName(unmatched)
+        .orderBy("purchase_id", "touch_id")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -425,5 +472,35 @@ object TemporalJoins {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // The 24 h interval join stated directly; last-touch restated as a
+    // deterministic ROW_NUMBER pick, linear weight as BIGINT floor
+    // division. NULLS FIRST matches Spark's ascending default.
+    "ts07_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT event_id AS touch_id, user_id, ts AS vts
+        |  FROM events WHERE event_type = 'view'),
+        | t AS (SELECT p.purchase_id, p.user_id, v.touch_id, v.vts
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.vts >= p.pts - INTERVAL 24 HOUR AND v.vts < p.pts),
+        | per AS (SELECT purchase_id, COUNT(*) AS n FROM t
+        |  GROUP BY purchase_id),
+        | lastt AS (SELECT purchase_id, touch_id AS last_id FROM t
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |    ORDER BY vts DESC, touch_id DESC) = 1),
+        | credited AS (SELECT t.purchase_id, t.user_id, t.touch_id,
+        |   CAST(1000000 AS BIGINT) // per.n AS weight_fp,
+        |   CAST(t.touch_id = lastt.last_id AS INT) AS is_last
+        |  FROM t JOIN per USING (purchase_id)
+        |   JOIN lastt USING (purchase_id)),
+        | unmatched AS (SELECT p.purchase_id, p.user_id,
+        |   CAST(NULL AS BIGINT) AS touch_id,
+        |   CAST(0 AS BIGINT) AS weight_fp, 0 AS is_last
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM t
+        |    WHERE t.purchase_id = p.purchase_id))
+        |SELECT * FROM credited
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY purchase_id, touch_id NULLS FIRST""".stripMargin,
   )
 }

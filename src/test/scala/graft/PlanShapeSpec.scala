@@ -342,6 +342,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("md06 z-order key is row-local: one scan, only the final sort exchanges") {
+    val df = SparkEntry.queries("md06_zorder_key")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected one orders scan:\n$plan")
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 1, s"bit interleave must not shuffle:\n$plan")
+  }
+
+  test("tx20 PMI collocations aggregate without windows") {
+    val plan = SparkEntry.queries("tx20_pmi_bigrams")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"expected no Window node:\n$plan")
+  }
+
+  test("ts07 attribution: equi-join chain, no nested loop, no per-purchase window") {
+    val df = SparkEntry.queries("ts07_attribution")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"argmax must ride the aggregate:\n$plan")
+  }
+
   test("mm06 pairing: label join is an equi-join; only the 1-row scalar broadcasts") {
     val plan = SparkEntry.queries("mm06_pair_negatives")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString

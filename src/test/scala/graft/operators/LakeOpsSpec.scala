@@ -186,4 +186,21 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(o.filter(col("o_orderdate") < split).count() > 0)
     assert(o.filter(col("o_orderdate") >= split).count() > 0)
   }
+
+  test("z-order spread interleaves bits exactly (hand-computed Morton codes)") {
+    // interleave(x=5, y=3): spread(101b)=10001b, spread(11b)=101b →
+    // 10001 | 1010 = 11011b = 27. Also the axis extremes.
+    def shl(e: String, n: Int) = s"shiftleft($e, $n)"
+    def z(x: Long, y: Long): Long = spark.sql(
+      s"SELECT (${LakeOps.spreadSql(s"${x}L", shl)} | " +
+        s"${shl(LakeOps.spreadSql(s"${y}L", shl), 1)}) AS z")
+      .head().getLong(0)
+    assert(z(5, 3) == 27)
+    assert(z(0, 0) == 0)
+    assert(z(65535, 0) == 0x55555555L)
+    assert(z(0, 65535) == 0xAAAAAAAAL)
+    assert(z(65535, 65535) == 0xFFFFFFFFL)
+    // locality sanity: neighbors in x differ only in low interleaved bits
+    assert(z(1, 0) == 1 && z(0, 1) == 2 && z(1, 1) == 3)
+  }
 }
