@@ -265,6 +265,48 @@ object Relational5 {
           (col("l_diversity") >= 2L).cast("int").as("diverse"))
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+
+    // Blocked fuzzy entity matching — the record-linkage kernel: block on
+    // (name prefix, nation) so candidate pairs come from an EQUI-join,
+    // then exact Levenshtein ≤ 1 decides. Blocking trades recall for a
+    // 100 TB-viable pair space (pairs ~ Σ block², block count scales with
+    // data — never all-pairs); the oracle states the SAME blocked
+    // algorithm, so the gate checks the contract including its blocking.
+    "er01_fuzzy_match" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_name"),
+        substring(col("c_name"), 1, 12).as("blk"))
+      val a = c.select(col("c_custkey").as("id1"),
+        col("c_nationkey").as("n1"), col("c_name").as("name1"),
+        col("blk").as("blk1"))
+      val b = c.select(col("c_custkey").as("id2"),
+        col("c_nationkey").as("n2"), col("c_name").as("name2"),
+        col("blk").as("blk2"))
+      a.join(b, col("blk1") === col("blk2") && col("n1") === col("n2")
+          && col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .filter(col("dist") <= 1)
+        .select(col("id1"), col("id2"), col("name1"), col("name2"),
+          col("dist"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Distribution ranks per CUSTOMER history (ntile quartile,
+    // percent_rank, cume_dist): the windows partition by a key whose
+    // cardinality scales with the data — per-customer order counts are
+    // bounded — never by a fixed stratum. The rank ratios are integer
+    // divisions evaluated identically in IEEE double by both engines.
+    "q60_distribution_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -404,5 +446,28 @@ object Relational5 {
         |   AS diverse
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // The same blocked algorithm (blocking is part of the contract).
+    "er01_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_name,
+        |   substr(c_name, 1, 12) AS blk FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        | a.c_name AS name1, b.c_name AS name2,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM c a JOIN c b
+        | ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+        |  AND b.c_custkey > a.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q60_distribution_ranks" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        | ROUND(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

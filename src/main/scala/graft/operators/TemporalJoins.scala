@@ -333,6 +333,35 @@ object TemporalJoins {
       credited.unionByName(unmatched)
         .orderBy("purchase_id", "touch_id")
     }),
+
+    // Interval union — total DISTINCT active time per user when every
+    // event opens a 5-minute activity interval and overlaps must not
+    // double-count (dwell-time/coverage accounting; also the SLA-uptime
+    // merge). The island pass is dd09's span-merge shape on the time
+    // axis: a running-max window PARTITIONED BY USER (key cardinality
+    // scales with data — bounded per-user history, no fixed-stratum
+    // skew), then one aggregation per island and one per user. Integer
+    // epoch seconds end-to-end.
+    "ts08_interval_union" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("st"), asc("event_id"))
+      val prevMax = max(col("en"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("cast(unix_timestamp(ts) as bigint)").as("st"))
+        .withColumn("en", col("st") + 300L)
+        .withColumn("ni",
+          (prevMax.isNull || col("st") > prevMax).cast("int"))
+        .withColumn("isl", sum(col("ni")).over(w))
+        .groupBy("user_id", "isl")
+        .agg(min("st").as("ist"), max("en").as("ien"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ien") - col("ist")).as("covered_seconds"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -502,5 +531,26 @@ object TemporalJoins {
         |SELECT * FROM credited
         |UNION ALL SELECT * FROM unmatched
         |ORDER BY purchase_id, touch_id NULLS FIRST""".stripMargin,
+
+    // The same island construction; SUMs cast back from HUGEINT. Seconds
+    // via epoch_ms // 1000 — integer FLOOR like Spark's unix_timestamp
+    // (CAST(epoch(...)) would ROUND fractional seconds and drift by 1).
+    "ts08_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_ms(ts) // 1000 AS st,
+        |   epoch_ms(ts) // 1000 + 300 AS en FROM events),
+        | g AS (SELECT *, MAX(en) OVER (PARTITION BY user_id
+        |    ORDER BY st, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |   FROM e),
+        | f AS (SELECT *, CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END
+        |    AS ni FROM g),
+        | il AS (SELECT *, SUM(ni) OVER (PARTITION BY user_id
+        |    ORDER BY st, event_id ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+        | m AS (SELECT user_id, isl, MIN(st) AS ist, MAX(en) AS ien
+        |   FROM il GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        | CAST(SUM(ien - ist) AS BIGINT) AS covered_seconds
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

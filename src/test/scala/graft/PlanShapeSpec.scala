@@ -371,6 +371,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.isEmpty, s"argmax must ride the aggregate:\n$plan")
   }
 
+  test("er01 fuzzy match candidates come from the blocked equi-join — no all-pairs") {
+    val plan = SparkEntry.queries("er01_fuzzy_match")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("ts08 interval union windows partition by user only — no global sort pass") {
+    val plan = SparkEntry.queries("ts08_interval_union")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(keys == Seq("user_id"),
+        s"island windows must partition by user_id, got $keys:\n$plan")
+    }
+  }
+
   test("mm06 pairing: label join is an equi-join; only the 1-row scalar broadcasts") {
     val plan = SparkEntry.queries("mm06_pair_negatives")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
