@@ -266,28 +266,38 @@ object Relational5 {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
-    // Blocked fuzzy entity matching — the record-linkage kernel: block on
-    // (name prefix, nation) so candidate pairs come from an EQUI-join,
-    // then exact Levenshtein ≤ 1 decides. Blocking trades recall for a
-    // 100 TB-viable pair space (pairs ~ Σ block², block count scales with
-    // data — never all-pairs); the oracle states the SAME blocked
-    // algorithm, so the gate checks the contract including its blocking.
+    // Fuzzy entity matching — the record-linkage kernel with DELETION-
+    // NEIGHBORHOOD candidate generation (the SymSpell/symmetric-delete
+    // idea): each name emits itself plus every single-character deletion,
+    // and any pair at edit distance ≤ 1 PROVABLY shares a variant (equal
+    // length ⇒ one substitution ⇒ the deletion at the differing position
+    // coincides; length ±1 ⇒ one side IS a deletion of the other). So the
+    // candidate equi-join on (nation, variant) is recall-COMPLETE for the
+    // emitted threshold — the contract is pure edit-distance semantics,
+    // no blocking recall trade — and blocks are tiny by construction
+    // (names sharing a deletion agree on every other character), so the
+    // pair space is ~linear in the data where prefix blocking degenerates
+    // to all-pairs-per-block on low-entropy prefixes. Exact Levenshtein
+    // then decides on the deduplicated candidates.
     "er01_fuzzy_match" -> ((s, dir) => {
-      val c = Tables(s, dir, "customer").select(col("c_custkey"),
-        col("c_nationkey"), col("c_name"),
-        substring(col("c_name"), 1, 12).as("blk"))
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        .withColumn("v", explode(expr(
+          """array_union(array(c_name),
+            | transform(sequence(1, length(c_name)),
+            |   i -> concat(substring(c_name, 1, i - 1),
+            |     substring(c_name, i + 1, length(c_name)))))""".stripMargin)))
       val a = c.select(col("c_custkey").as("id1"),
-        col("c_nationkey").as("n1"), col("c_name").as("name1"),
-        col("blk").as("blk1"))
+        col("c_nationkey").as("n1"), col("c_name").as("name1"), col("v"))
       val b = c.select(col("c_custkey").as("id2"),
         col("c_nationkey").as("n2"), col("c_name").as("name2"),
-        col("blk").as("blk2"))
-      a.join(b, col("blk1") === col("blk2") && col("n1") === col("n2")
+        col("v").as("v2"))
+      a.join(b, col("v") === col("v2") && col("n1") === col("n2")
           && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("name1"), col("name2"))
+        .distinct()
         .withColumn("dist", levenshtein(col("name1"), col("name2")))
         .filter(col("dist") <= 1)
-        .select(col("id1"), col("id2"), col("name1"), col("name2"),
-          col("dist"))
         .orderBy("id1", "id2")
     }),
 
@@ -447,16 +457,15 @@ object Relational5 {
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
-    // The same blocked algorithm (blocking is part of the contract).
+    // Deletion-neighborhood candidates are recall-complete at ed ≤ 1, so
+    // the oracle states the PURE edit-distance contract — all same-nation
+    // pairs, no blocking (tractable at oracle scale).
     "er01_fuzzy_match" ->
-      """WITH c AS (SELECT c_custkey, c_nationkey, c_name,
-        |   substr(c_name, 1, 12) AS blk FROM customer)
-        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         | a.c_name AS name1, b.c_name AS name2,
         | CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        |FROM c a JOIN c b
-        | ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
-        |  AND b.c_custkey > a.c_custkey
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND b.c_custkey > a.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id1, id2""".stripMargin,
 
