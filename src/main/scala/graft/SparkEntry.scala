@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusFilters, DedupClusters, GraphOps, LakeOps, MinHashDedup, Multimodal, Relational, Relational2, Relational3, Relational4, Relational5, SimilarityOps, TemporalJoins, TextOps}
+import graft.operators.{CorpusFilters, DedupClusters, EventAnalytics, GraphOps, LakeOps, MinHashDedup, Multimodal, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityOps, TemporalJoins, TextOps}
 import graft.streaming.{CorpusStream, EventsStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +22,12 @@ object SparkEntry {
       SimilarityOps.queries ++ MinHashDedup.queries ++ Multimodal.queries ++
       TemporalJoins.queries ++ DedupClusters.queries ++ EventsStream.queries ++
       CorpusFilters.queries ++ CorpusStream.queries ++ GraphOps.queries ++
-      LakeOps.queries
+      LakeOps.queries ++ EventAnalytics.queries ++ Relational6.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++ Relational5.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ MinHashDedup.oracle ++ Multimodal.oracle ++
       TemporalJoins.oracle ++ DedupClusters.oracle ++ EventsStream.oracle ++
       CorpusFilters.oracle ++ CorpusStream.oracle ++ GraphOps.oracle ++
-      LakeOps.oracle
+      LakeOps.oracle ++ EventAnalytics.oracle ++ Relational6.oracle
 }

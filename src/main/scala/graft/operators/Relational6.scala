@@ -1,0 +1,186 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sixth tranche: customer-value scoring (RFM segmentation with
+  * broadcast rank-based boundaries) and integer-exact statistical
+  * outlier flags — both shaped so no global window ever sorts the full
+  * fact table on one task.
+  */
+object Relational6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Rank-based tertile boundaries of `valueCol` over a pre-aggregated
+    * (value, freq) table — the q59 equi-depth pattern: the cumulative sum
+    * runs over NDV rows (bounded by the metric's distinct values, never by
+    * row count), and the two lookups fold into one 1-row aggregate fit for
+    * broadcast. boundary_p = min value whose cumulative count exceeds rank
+    * ⌊p·(n−1)⌋ — pure BIGINT arithmetic, identical in both engines.
+    */
+  private[operators] def tertiles(df: DataFrame, valueCol: String, prefix: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("f"))
+    val wcum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(col("v"), sum(col("f")).over(wcum).as("cum"),
+        sum(col("f")).over(wAll).as("n"))
+      .agg(
+        min(when(col("cum") > expr("(n - 1) div 3"), col("v")))
+          .as(s"${prefix}_b1"),
+        min(when(col("cum") > expr("((n - 1) * 2) div 3"), col("v")))
+          .as(s"${prefix}_b2"))
+  }
+
+  val queries: Map[String, Q] = ListMap(
+    // RFM customer segmentation — recency / frequency / monetary tertile
+    // buckets, the classic CRM scoring rollup. The per-customer metric
+    // reduction is ONE aggregation; each metric's tertile boundaries come
+    // from the broadcast rank-based lookup above (never a global
+    // ntile()/percent_rank() window, which executes as one sorted
+    // partition for the whole table — q60 keeps its windows per-customer,
+    // where the key cardinality scales; a global score axis must not).
+    // Buckets are ascending in the metric value (r_bucket 1 = most
+    // recent); all arithmetic BIGINT. At lake scale with unbounded NDV
+    // the boundaries would come from approx_percentile under q51's
+    // accuracy contract — the bucket pass is unchanged (q59's note).
+    "q61_rfm_segments" -> ((s, dir) => {
+      val maxd = Tables(s, dir, "orders").agg(max(col("o_orderdate")).as("maxd"))
+      val rfm = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("rec_days"),
+          col("freq"), col("mon_cents"))
+      rfm
+        .crossJoin(broadcast(tertiles(rfm, "rec_days", "r")))
+        .crossJoin(broadcast(tertiles(rfm, "freq", "f")))
+        .crossJoin(broadcast(tertiles(rfm, "mon_cents", "m")))
+        .select(col("o_custkey"), col("rec_days"), col("freq"),
+          col("mon_cents"),
+          (lit(1) + (col("rec_days") > col("r_b1")).cast("int")
+            + (col("rec_days") > col("r_b2")).cast("int")).as("r_bucket"),
+          (lit(1) + (col("freq") > col("f_b1")).cast("int")
+            + (col("freq") > col("f_b2")).cast("int")).as("f_bucket"),
+          (lit(1) + (col("mon_cents") > col("m_b1")).cast("int")
+            + (col("mon_cents") > col("m_b2")).cast("int")).as("m_bucket"))
+        .withColumn("segment",
+          concat(lit("R"), col("r_bucket"), lit("F"), col("f_bucket"),
+            lit("M"), col("m_bucket")))
+        .orderBy("o_custkey")
+    }),
+
+    // Per-customer z-score anomaly scoring in EXACT integer arithmetic:
+    // z² = (x − μ)²/σ² (population σ) cleared of denominators is
+    // (n·x − S)²/(n·Q − S²) with S = Σx, Q = Σx² in whole currency
+    // units — no float mean/stddev, so partial-agg order can't move a bit
+    // and both engines agree by construction. Emits the score in MILLI
+    // (z² · 10³, BIGINT floor division — milli not micro keeps the
+    // numerator's ×-scale product inside BIGINT at per-key cardinalities)
+    // and the 2σ flag (z² > 4 ⇔ (n·x−S)² > 4·(n·Q−S²), pure-integer
+    // comparison, n ≥ 4 so a 2-row key can't self-flag). One per-customer
+    // aggregation joined back to the orders (customer-keyed equi-join,
+    // AQE-skew-splittable). The population z of any point is bounded by
+    // (n−1)/√n, so low-count keys mathematically cannot trip large
+    // thresholds — the score column is the ranking signal; the flag fires
+    // on genuinely heavy-tailed keys (spec plants one).
+    "q62_zscore_outliers" -> ((s, dir) =>
+      zscoreAnomalies(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("row_id"),
+            col("o_custkey").as("key"),
+            round(col("o_totalprice")).cast("long").as("x")))
+        .select(col("row_id").as("o_orderkey"), col("key").as("o_custkey"),
+          col("x").as("units"), col("n"), col("z2_milli"), col("is_outlier"))
+        .orderBy("o_orderkey")),
+  )
+
+  /** The q62 kernel over a (row_id, key, x) frame — spec-drivable with
+    * planted heavy-tailed fixtures. Zero-variance keys score 0 (every
+    * member IS the mean) rather than dividing by zero.
+    */
+  private[operators] def zscoreAnomalies(o: DataFrame): DataFrame = {
+    val stats = o.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val dev = col("n") * col("x") - col("s")
+    val varN = col("n") * col("q") - col("s") * col("s")
+    o.join(stats, "key")
+      .select(col("row_id"), col("key"), col("x"), col("n"),
+        when(varN === 0L, lit(0L))
+          .otherwise(expr("((n * x - s) * (n * x - s) * 1000)"
+            + " div (n * q - s * s)")).as("z2_milli"),
+        (col("n") >= 4 && dev * dev > lit(4L) * varN)
+          .cast("int").as("is_outlier"))
+  }
+
+  val oracle: Map[String, String] = ListMap(
+    // The same rank-based tertile lookup stated directly per metric.
+    "q61_rfm_segments" ->
+      """WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        | rfm AS (SELECT o_custkey,
+        |   CAST(date_diff('day', MAX(o_orderdate), (SELECT maxd FROM maxd))
+        |     AS BIGINT) AS rec_days,
+        |   CAST(COUNT(*) AS BIGINT) AS freq,
+        |   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS mon_cents
+        |  FROM orders GROUP BY o_custkey),
+        | rb AS (SELECT MIN(CASE WHEN cum > (n - 1) // 3 THEN v END) AS b1,
+        |   MIN(CASE WHEN cum > ((n - 1) * 2) // 3 THEN v END) AS b2
+        |  FROM (SELECT v, SUM(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |     AS cum, SUM(f) OVER () AS n
+        |   FROM (SELECT rec_days AS v, COUNT(*) AS f FROM rfm GROUP BY 1))),
+        | fb AS (SELECT MIN(CASE WHEN cum > (n - 1) // 3 THEN v END) AS b1,
+        |   MIN(CASE WHEN cum > ((n - 1) * 2) // 3 THEN v END) AS b2
+        |  FROM (SELECT v, SUM(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |     AS cum, SUM(f) OVER () AS n
+        |   FROM (SELECT freq AS v, COUNT(*) AS f FROM rfm GROUP BY 1))),
+        | mb AS (SELECT MIN(CASE WHEN cum > (n - 1) // 3 THEN v END) AS b1,
+        |   MIN(CASE WHEN cum > ((n - 1) * 2) // 3 THEN v END) AS b2
+        |  FROM (SELECT v, SUM(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |     AS cum, SUM(f) OVER () AS n
+        |   FROM (SELECT mon_cents AS v, COUNT(*) AS f FROM rfm GROUP BY 1)))
+        |SELECT o_custkey, rec_days, freq, mon_cents,
+        | 1 + CAST(rec_days > rb.b1 AS INT) + CAST(rec_days > rb.b2 AS INT)
+        |   AS r_bucket,
+        | 1 + CAST(freq > fb.b1 AS INT) + CAST(freq > fb.b2 AS INT)
+        |   AS f_bucket,
+        | 1 + CAST(mon_cents > mb.b1 AS INT) + CAST(mon_cents > mb.b2 AS INT)
+        |   AS m_bucket,
+        | 'R' || (1 + CAST(rec_days > rb.b1 AS INT)
+        |     + CAST(rec_days > rb.b2 AS INT))
+        |   || 'F' || (1 + CAST(freq > fb.b1 AS INT)
+        |     + CAST(freq > fb.b2 AS INT))
+        |   || 'M' || (1 + CAST(mon_cents > mb.b1 AS INT)
+        |     + CAST(mon_cents > mb.b2 AS INT)) AS segment
+        |FROM rfm, rb, fb, mb ORDER BY o_custkey""".stripMargin,
+
+    "q62_zscore_outliers" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |   CAST(round(o_totalprice) AS BIGINT) AS units FROM orders),
+        | st AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(SUM(units) AS BIGINT) AS s,
+        |   CAST(SUM(units * units) AS BIGINT) AS q
+        |  FROM o GROUP BY o_custkey)
+        |SELECT o.o_orderkey, o.o_custkey, o.units, st.n,
+        | CASE WHEN st.n * st.q - st.s * st.s = 0 THEN 0
+        |  ELSE ((st.n * o.units - st.s) * (st.n * o.units - st.s) * 1000)
+        |   // (st.n * st.q - st.s * st.s) END AS z2_milli,
+        | CAST(st.n >= 4 AND
+        |   (st.n * o.units - st.s) * (st.n * o.units - st.s)
+        |     > 4 * (st.n * st.q - st.s * st.s) AS INT) AS is_outlier
+        |FROM o JOIN st ON o.o_custkey = st.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+  )
+}
