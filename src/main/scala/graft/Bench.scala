@@ -120,12 +120,19 @@ object Bench {
     // Double.toString is locale-independent ('.' decimal point always);
     // String.format would honor the JVM default locale and could emit ','.
     def num(v: Double): String = (math.round(v * 100) / 100.0).toString
+    // Per-query values in the stdout line carry ONE decimal: at 158
+    // queries, centisecond values push the line past the driver's
+    // 2000-char tail and the parse silently dies (the round-4 failure
+    // mode, re-measured this round at 2077 chars). Decisecond precision
+    // keeps the line ~1.75 KB with sbt's trailer inside the tail; the
+    // full-precision per-query numbers live in bench_detail.json.
+    def num1(v: Double): String = (math.round(v * 10) / 10.0).toString
     // The harness captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; full query names at nanosecond precision
     // overflow it (~3.5 KB) and the line never parses. So the printed line
     // uses the unique short prefix of each query name ("q01_pricing_summary"
-    // -> "q01"), centisecond precision, and the sf dir's basename — at 144
-    // queries that is ~1.75 KB, leaving tail room for sbt's trailing
+    // -> "q01"), decisecond per-query precision, and the sf dir's basename —
+    // at 158 queries that is ~1.75 KB, leaving tail room for sbt's trailing
     // "[success]" line; the full-name full-precision detail goes to
     // bench_detail.json beside the build.
     val ordered = selected.map(_._1)
@@ -133,7 +140,7 @@ object Bench {
     val shortUnique = ordered.groupBy(short).forall(_._2.sizeIs == 1)
     def key(name: String): String = if (shortUnique) short(name) else name
     val qs = ordered.filter(okClean.contains)
-      .map(k => jstr(key(k)) + ":" + num(okClean(k))).mkString("{", ",", "}")
+      .map(k => jstr(key(k)) + ":" + num1(okClean(k))).mkString("{", ",", "}")
     val errs = errMap.toSeq.map { case (k, e) =>
       jstr(key(k)) + ":" + jstr(e.take(120))
     }.mkString("{", ",", "}")

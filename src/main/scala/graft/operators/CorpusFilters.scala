@@ -289,6 +289,45 @@ object CorpusFilters {
         .orderBy(desc("pmi_fp"), asc("a"), asc("b"))
         .limit(50)
     }),
+
+    // BM25 ranked retrieval for a pinned query-term set — the lexical
+    // search scorer (tx18's inverted index is the structure; this is the
+    // ranking function run over it). All arithmetic EXACT fixed point:
+    // k1 = 6/5 and b = 3/4 are cleared of denominators by scaling the
+    // saturation ratio through 20·avgdl —
+    //   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    //   = 44·tf·avgdl / (20·avgdl·tf + 6·avgdl + 18·dl)
+    // — and the idf is tx15's rational fixed point (N·10⁶ div df; log-free
+    // integer math is bit-equal across engines where libm's log is not).
+    // Shape at scale: the query-term filter lands right after the explode,
+    // so the tf shuffle carries only query-term hits (|q|·docs rows max,
+    // map-side combined); df and corpus stats are broadcast-sized; the
+    // doc-length join is an id-keyed equi-join; the top-20 cut is
+    // TakeOrdered with a doc_id tie-break so the cut boundary is
+    // deterministic in both engines.
+    "tx21_bm25" -> ((s, dir) => {
+      val qTerms = Seq("spark", "vector", "stream")
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      val stats = lens
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+        .select(col("n_docs"), expr("total_len div n_docs").as("avgdl"))
+      val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(
+          "(((n_docs * 1000000) div df) * 44 * tf * avgdl)" +
+            " div (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_fp"))
+        .orderBy(desc("score_fp"), asc("doc_id"))
+        .limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -421,5 +460,32 @@ object CorpusFilters {
         | JOIN uni ua ON ua.t = bg.a
         | JOIN uni ub ON ub.t = bg.b
         |ORDER BY pmi_fp DESC, a, b LIMIT 50""".stripMargin,
+
+    // Same cleared-denominator BM25 arithmetic; every count cast to
+    // BIGINT (DuckDB COUNT/SUM widen), division is BIGINT floor (//) at
+    // the same association as Spark's `div`s.
+    "tx21_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        | lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+        |  FROM lens),
+        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        |   (SELECT doc_id, unnest(w) AS term FROM d) e
+        |  WHERE term IN ('spark', 'vector', 'stream')
+        |  GROUP BY doc_id, term),
+        | dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |   GROUP BY term),
+        | sc AS (SELECT tf.doc_id,
+        |   (((st.n_docs * 1000000) // dfq.df) * 44 * tf.tf * st.avgdl)
+        |     // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * lens.dl)
+        |    AS contrib
+        |  FROM tf JOIN dfq USING (term)
+        |   JOIN lens ON tf.doc_id = lens.doc_id, st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        | CAST(SUM(contrib) AS BIGINT) AS score_fp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -190,6 +190,30 @@ object EventsStream {
           .toDF("user_id", "n_events", "sum_cents")
       }.orderBy("user_id")
     }),
+
+    // Native session_window aggregation — the DECLARATIVE twin of st07's
+    // flatMapGroupsWithState sessionization: Spark's built-in session
+    // windows (merging-window state store, no custom StatefulProcessor)
+    // over the same 30-min gap. Append mode emits a session once the
+    // watermark passes its window end (= last event + gap); window.end
+    // is the gap-extended close, where st07 reports the last event ts —
+    // the oracle states both contracts against the same batch sessions.
+    "st13_session_window" -> ((s, dir) => {
+      runAppendStream(s, dir, "st13_mem") { df =>
+        df.withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double")
+              .as("session_value"))
+      }
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    }),
   )
 
   /** The purchase↔signup interval join shared by st04/st11/st12 (and
@@ -444,6 +468,31 @@ object EventsStream {
         | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Native session windows == the same batch sessions st07 gates on,
+    // with session_end reported as the gap-extended window close
+    // (last event + 30 min) and emission once the final watermark passes
+    // that close.
+    "st13_session_window" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+        |  WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+        |    AS new_session FROM g),
+        |sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM f),
+        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        | FROM sid GROUP BY user_id, session_id),
+        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | n_events, session_value
+        |FROM sess, wm WHERE en < w
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }
 

@@ -264,4 +264,37 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(r.getInt(r.fieldIndex("n_tokens")) === 7)
     assert(r.getString(r.fieldIndex("head_tokens")) === "th|e|_|th|e|or|y")
   }
+
+  test("tx21 BM25 matches a sequential fixed-point reference on the gate table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = CorpusFilters.queries("tx21_bm25")(spark, TestSpark.sf0001)
+      .select("doc_id", "n_terms", "score_fp").as[(Long, Long, Long)]
+      .collect()
+    // driver-side reference: same cleared-denominator arithmetic in BigInt
+    val qTerms = Set("spark", "vector", "stream")
+    val toks = graft.Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .as[(Long, Seq[String])].collect()
+    val nDocs = BigInt(toks.length)
+    val avgdl = toks.map(_._2.size).map(BigInt(_)).sum / nDocs
+    val tf = toks.flatMap { case (id, w) =>
+      w.filter(qTerms).groupBy(identity).map { case (t, xs) =>
+        (id, t, BigInt(xs.length)) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> BigInt(xs.length) }
+    val dl = toks.map { case (id, w) => id -> BigInt(w.size) }.toMap
+    val expect = tf.groupBy(_._1).map { case (id, rows) =>
+      val score = rows.map { case (_, t, f) =>
+        ((nDocs * 1000000 / df(t)) * 44 * f * avgdl) /
+          (20 * avgdl * f + 6 * avgdl + 18 * dl(id))
+      }.sum
+      (id, rows.length, score)
+    }.toSeq.sortBy(r => (-r._3, r._1)).take(20)
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case ((gid, gn, gs), (eid, en, es)) =>
+      assert(gid === eid); assert(BigInt(gn) === BigInt(en))
+      assert(BigInt(gs) === es, s"doc $gid")
+    }
+  }
 }
