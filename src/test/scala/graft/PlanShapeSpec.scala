@@ -403,4 +403,69 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(2000))
   }
+
+  test("ev01-ev04 windows partition by user_id only; funnel/score joins stay equi") {
+    // behavioral analytics must never sort a cross-user axis on one task:
+    // the only admissible windows are user-keyed (cardinality scales)
+    for (q <- Seq("ev01_funnel", "ev02_cohort_retention",
+        "ev03_transitions", "ev04_top_paths")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+      val plan = df.queryExecution.sparkPlan
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+        assert(keys == Seq("user_id"),
+          s"$q window must partition by user_id, got $keys:\n$plan")
+      }
+      val txt = df.queryExecution.executedPlan.toString
+      assert(!txt.contains("CartesianProduct"), s"$q:\n${txt.take(2000)}")
+    }
+  }
+
+  test("ev04 pushes a map-side per-user top-3 below the shuffle (WindowGroupLimit)") {
+    val plan = SparkEntry.queries("ev04_top_paths")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("q61/q62 score the fact table without fact-sized windows") {
+    // q61's only windows are the NDV-bounded boundary lookups (empty
+    // partition spec over per-value counts — the q59 shape); the bucket
+    // assignment itself must join BROADCAST frames. q62 has no window at
+    // all: stats are an aggregation joined back on the key.
+    val q61 = SparkEntry.queries("q61_rfm_segments")(spark, TestSpark.sf0001)
+    val p61 = q61.queryExecution.sparkPlan
+    val w61 = p61.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // boundary windows run over groupBy(value).count() outputs — their
+    // child must be an aggregate, never the raw orders scan
+    w61.foreach { w =>
+      val sub = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(sub.nonEmpty,
+        s"boundary window must read NDV-bounded counts:\n$w")
+    }
+    val t61 = q61.queryExecution.executedPlan.toString
+    assert(t61.contains("BroadcastExchange"), t61.take(2000))
+    val p62 = SparkEntry.queries("q62_zscore_outliers")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    assert(p62.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q62 must not window:\n$p62")
+  }
+
+  test("tx21 BM25: df/stats broadcast; the term filter sits under the tf aggregate") {
+    val df = SparkEntry.queries("tx21_bm25")(spark, TestSpark.sf0001)
+    val txt = df.queryExecution.executedPlan.toString
+    assert(!txt.contains("CartesianProduct"), txt.take(2000))
+    assert(txt.contains("BroadcastExchange"), txt.take(2000))
+    // no window anywhere — scoring is aggregation + joins + TakeOrdered
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    assert(txt.contains("TakeOrderedAndProject"), txt.take(2000))
+  }
 }
