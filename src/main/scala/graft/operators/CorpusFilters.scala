@@ -305,30 +305,39 @@ object CorpusFilters {
     // doc-length join is an id-keyed equi-join; the top-20 cut is
     // TakeOrdered with a doc_id tie-break so the cut boundary is
     // deterministic in both engines.
-    "tx21_bm25" -> ((s, dir) => {
-      val qTerms = Seq("spark", "vector", "stream")
-      val d = docs(s, dir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-      val stats = lens
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-        .select(col("n_docs"), expr("total_len div n_docs").as("avgdl"))
-      val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
-        .filter(col("term").isin(qTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "term")
-        .join(lens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(
-          "(((n_docs * 1000000) div df) * 44 * tf * avgdl)" +
-            " div (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_fp"))
+    "tx21_bm25" -> ((s, dir) =>
+      bm25Scores(s, dir)
         .orderBy(desc("score_fp"), asc("doc_id"))
-        .limit(20)
-    }),
+        .limit(20)),
   )
+
+  /** The pinned query terms tx21/ss11 score against. */
+  private[operators] val Bm25Terms = Seq("spark", "vector", "stream")
+
+  /** tx21's BM25 scorer over the full corpus (no cut): one row per doc
+    * that matches ≥ 1 query term, with the exact fixed-point score.
+    * Shared with ss11's hybrid fusion.
+    */
+  private[operators] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = lens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .select(col("n_docs"), expr("total_len div n_docs").as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(
+        "(((n_docs * 1000000) div df) * 44 * tf * avgdl)" +
+          " div (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_fp"))
+  }
 
   val oracle: Map[String, String] = ListMap(
     "dc01_decontaminate" ->

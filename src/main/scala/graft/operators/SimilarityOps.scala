@@ -488,6 +488,41 @@ object SimilarityOps {
           col("rk").cast("int").as("rk"))
         .orderBy("qid", "rk")
     }),
+
+    // Hybrid search — reciprocal-rank fusion (RRF, k = 60, Cormack et
+    // al.) of a LEXICAL ranking (tx21's BM25 top-20 over the shared
+    // query terms) and a DENSE ranking (cosine top-20 against the pinned
+    // query vector vec_id 0; doc_id and vec_id share the id space, the
+    // mm06 pairing contract). Fusion arithmetic is exact fixed point:
+    // rrf_fp = Σ 10⁶ div (60 + rank) — BIGINT floor division, no floats.
+    // Shape at scale: each ranker ends in a TakeOrdered k-cut, so the
+    // fusion join touches two ≤ k-row lists (broadcast-sized); the rank
+    // windows run over those bounded lists, never the corpus; the heavy
+    // lifting stays inside the scale-shaped rankers themselves.
+    "ss11_rrf_hybrid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("v1"), col("nrm").as("n1"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("v").as("v2"), col("nrm").as("n2"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), (dot12 / (col("n1") * col("n2"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(20)
+        .withColumn("dense_rank", row_number()
+          .over(Window.orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      val lex = CorpusFilters.bm25Scores(s, dir)
+        .orderBy(desc("score_fp"), asc("doc_id")).limit(20)
+        .withColumn("lex_rank", row_number()
+          .over(Window.orderBy(desc("score_fp"), asc("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("lex_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L)))
+            .as("rrf_fp"))
+        .orderBy(desc("rrf_fp"), asc("doc_id")).limit(10)
+    }),
   )
 
   private val oWith =
@@ -758,5 +793,49 @@ object SimilarityOps {
         | SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |   ORDER BY adist, vec_id) AS rk FROM ad)
         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // Both rankers restated (tx21's BM25 chain + the dense cosine cut),
+    // fused with the same 10⁶ div (60 + rank) fixed point.
+    "ss11_rrf_hybrid" ->
+      s"""$oWith,
+         | dq AS (SELECT v AS v1, nrm AS n1 FROM n WHERE vec_id = 0),
+         | dl0 AS (SELECT c.vec_id,
+         |   list_inner_product(dq.v1, c.v) / (dq.n1 * c.nrm) AS cos
+         |  FROM n c, dq WHERE c.vec_id <> 0),
+         | dtop AS (SELECT vec_id, CAST(rn AS INT) AS dense_rank FROM (
+         |   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
+         |     AS rn FROM (SELECT * FROM dl0 ORDER BY cos DESC, vec_id
+         |       LIMIT 20)) WHERE rn <= 20),
+         | bd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |   FROM documents),
+         | blens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM bd),
+         | bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+         |  FROM blens),
+         | btf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+         |   (SELECT doc_id, unnest(w) AS term FROM bd) e
+         |  WHERE term IN ('spark', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         | bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM btf
+         |   GROUP BY term),
+         | bsc AS (SELECT btf.doc_id,
+         |   CAST(SUM((((bst.n_docs * 1000000) // bdf.df) * 44 * btf.tf
+         |       * bst.avgdl)
+         |     // (20 * bst.avgdl * btf.tf + 6 * bst.avgdl
+         |       + 18 * blens.dl)) AS BIGINT) AS score_fp
+         |  FROM btf JOIN bdf USING (term)
+         |   JOIN blens ON btf.doc_id = blens.doc_id, bst
+         |  GROUP BY btf.doc_id),
+         | ltop AS (SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+         |   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_fp DESC,
+         |     doc_id) AS rn FROM (SELECT * FROM bsc
+         |       ORDER BY score_fp DESC, doc_id LIMIT 20)) WHERE rn <= 20)
+         |SELECT COALESCE(l.doc_id, d2.vec_id) AS doc_id,
+         | l.lex_rank, d2.dense_rank,
+         | CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+         |   + COALESCE(1000000 // (60 + d2.dense_rank), 0) AS BIGINT)
+         |  AS rrf_fp
+         |FROM ltop l FULL OUTER JOIN dtop d2 ON l.doc_id = d2.vec_id
+         |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
   )
 }

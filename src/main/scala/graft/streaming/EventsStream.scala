@@ -214,6 +214,40 @@ object EventsStream {
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     }),
+
+    // Stream-stream LEFT SEMI interval join on the st04/st11/st12 kernel:
+    // "purchases with a qualifying signup", emitted as soon as the match
+    // arrives (matched semi output needs no watermark closure; state is
+    // still watermark-bounded for the UNMATCHED rows it may yet have to
+    // match). Each purchase emits at most once — the oracle is EXISTS.
+    "st14_stream_semi_join" -> ((s, dir) => {
+      runAppendStream(s, dir, "st14_mem") { df =>
+        intervalJoin(df, "left_semi")
+      }
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("pts"))
+        .orderBy("purchase_id")
+    }),
+
+    // Chained stateful aggregation (Spark 4 multiple-stateful-operator
+    // support): hourly tumbling counts re-aggregated into DAILY rollups
+    // INSIDE one streaming query via window-on-window (`window(window,
+    // '1 day')`) — the streaming materialized-view cascade. Append mode
+    // emits a day once the watermark passes its end; the oracle states
+    // exactly those closed days from the batch table.
+    "st15_chained_windows" -> ((s, dir) => {
+      runAppendStream(s, dir, "st15_mem") { df =>
+        df.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_hour"))
+          .groupBy(window(col("window"), "1 day"), col("event_type"))
+          .agg(sum(col("n_hour")).as("n"), count(lit(1)).as("n_hours"))
+      }
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("n_hours"))
+        .orderBy("day", "event_type")
+    }),
   )
 
   /** The purchase↔signup interval join shared by st04/st11/st12 (and
@@ -493,6 +527,32 @@ object EventsStream {
         | n_events, session_value
         |FROM sess, wm WHERE en < w
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Semi-join output = purchases with ≥ 1 signup in the preceding hour
+    // (matched rows emit on match — no watermark cut on the oracle).
+    "st14_stream_semi_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts
+        |FROM events p WHERE p.event_type = 'purchase' AND EXISTS (
+        | SELECT 1 FROM events s WHERE s.event_type = 'signup'
+        |  AND s.user_id = p.user_id
+        |  AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
+        |ORDER BY purchase_id""".stripMargin,
+
+    // Daily rollups == the batch daily aggregate over the days whose end
+    // the final watermark passed; n_hours counts the distinct event
+    // hours that fed each day (proving the chain really aggregated the
+    // hourly layer, not the raw rows).
+    "st15_chained_windows" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
+        |   COUNT(*) AS n_hour FROM events GROUP BY 1, 2),
+        | d AS (SELECT date_trunc('day', hb) AS day, event_type,
+        |   CAST(SUM(n_hour) AS BIGINT) AS n, COUNT(*) AS n_hours
+        |  FROM h GROUP BY 1, 2),
+        | wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, n_hours
+        |FROM d, wm WHERE day + INTERVAL 1 DAY < w
+        |ORDER BY day, event_type""".stripMargin,
   )
 }
 

@@ -457,6 +457,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }.isEmpty, s"q62 must not window:\n$p62")
   }
 
+  test("ss11 fusion windows rank k-cut lists, not the corpus") {
+    // RRF's rank windows have an empty partition spec, which is only
+    // admissible because each one reads a TakeOrdered/limit k-cut —
+    // assert that bound is really below every window
+    val df = SparkEntry.queries("ss11_rrf_hybrid")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val bounded = w.collectFirst {
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case c: org.apache.spark.sql.execution.CollectLimitExec => c
+      }
+      assert(bounded.nonEmpty, s"window must read a k-cut list:\n$w")
+    }
+  }
+
   test("tx21 BM25: df/stats broadcast; the term filter sits under the tf aggregate") {
     val df = SparkEntry.queries("tx21_bm25")(spark, TestSpark.sf0001)
     val txt = df.queryExecution.executedPlan.toString
