@@ -309,6 +309,43 @@ object CorpusFilters {
       bm25Scores(s, dir)
         .orderBy(desc("score_fp"), asc("doc_id"))
         .limit(20)),
+
+    // Bigram language-model fluency scoring — the statistical-LM quality
+    // signal (KenLM-style perplexity filtering) in EXACT integer
+    // arithmetic: each in-doc bigram scores its corpus conditional
+    // probability P(b|a) = c_ab/c_a in ppm (fixed-point division, no
+    // log — ppm of probability ranks documents identically to mean
+    // log-prob's EXP and is bit-equal across engines), and a document's
+    // fluency is the integer mean over its bigrams. Shape at scale: the
+    // doc-bigram explode feeds BOTH the corpus bigram-count aggregate and
+    // the probe side of its join-back (exchange reuse materializes the
+    // explode once — the tx15 two-consumer note); both attachment joins
+    // are against AGGREGATE outputs (vocab/bigram-vocab sized,
+    // skew-splittable probes, never a content-keyed window). The 32000
+    // ppm flag threshold sits below the corpus's ~34k median — a real
+    // low-fluency tail, not a degenerate constant column.
+    "tx22_lm_fluency" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c_a"))
+      val docbg = toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val bg = docbg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      docbg.join(bg, Seq("a", "b"))
+        .join(uni.withColumnRenamed("t", "a"), "a")
+        .select(col("doc_id"), expr("(c_ab * 1000000) div c_a").as("cond_ppm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("sum_ppm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_ppm div n_bigrams").as("mean_cond_ppm"))
+        .withColumn("low_fluency",
+          (col("mean_cond_ppm") < 32000L).cast("int"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** The pinned query terms tx21/ss11 score against. */
@@ -496,5 +533,26 @@ object CorpusFilters {
         | CAST(SUM(contrib) AS BIGINT) AS score_fp
         |FROM sc GROUP BY doc_id
         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same integer conditional-probability mean; DuckDB's 1-based lists
+    // pair w[i] with w[i+1] over i ∈ [1, len) — the Spark bigram set.
+    "tx22_lm_fluency" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        | uni AS (SELECT t, COUNT(*) AS c_a FROM
+        |   (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        | dbg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i + 1]})) AS p
+        |   FROM w WHERE len(w) >= 2),
+        | dbg AS (SELECT doc_id, p.a AS a, p.b AS b FROM dbg0),
+        | bg AS (SELECT a, b, COUNT(*) AS c_ab FROM dbg GROUP BY a, b),
+        | sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM((bg.c_ab * 1000000) // uni.c_a) AS BIGINT)
+        |     // CAST(COUNT(*) AS BIGINT) AS mean_cond_ppm
+        |  FROM dbg JOIN bg USING (a, b) JOIN uni ON uni.t = dbg.a
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, mean_cond_ppm,
+        | CAST(mean_cond_ppm < 32000 AS INT) AS low_fluency
+        |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

@@ -104,6 +104,33 @@ object Relational6 {
         .select(col("row_id").as("o_orderkey"), col("key").as("o_custkey"),
           col("x").as("units"), col("n"), col("z2_milli"), col("is_outlier"))
         .orderBy("o_orderkey")),
+
+    // Spark 4 ordered-selection aggregate battery: max_by / min_by /
+    // count_if / bool_and / bool_or / any_value. max_by ties are
+    // NONDETERMINISTIC by contract, so the ordering key is made unique —
+    // the 19-digit zero-padded (cents, orderkey) string (the tx18
+    // pattern: lexicographic == numeric for padded non-negatives; DuckDB's
+    // arg_max has no struct ordering overload, a string key works in
+    // both engines). any_value reads an expression CONSTANT within the
+    // group, the only shape where its result is well-defined. Everything
+    // is one map-side-combinable aggregation.
+    "q63_argmax_funcs" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ord = format_string("%019d%019d", col("cents"), col("o_orderkey"))
+      o.groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), ord).as("top_order"),
+          max_by(col("cents"), ord).as("top_cents"),
+          min_by(col("o_orderkey"), ord).as("bottom_order"),
+          count_if(col("cents") > 20000000L).as("n_large"),
+          bool_and(col("cents") > 0L).cast("int").as("all_positive"),
+          bool_or(col("cents") > 40000000L).cast("int").as("any_huge"),
+          any_value(substring(col("o_orderpriority"), 1, 1)).as("prio_tag"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   /** The q62 kernel over a (row_id, key, x) frame — spec-drivable with
@@ -182,5 +209,22 @@ object Relational6 {
         |     > 4 * (st.n * st.q - st.s * st.s) AS INT) AS is_outlier
         |FROM o JOIN st ON o.o_custkey = st.o_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q63_argmax_funcs" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   printf('%019d%019d', CAST(round(o_totalprice * 100) AS BIGINT),
+        |     o_orderkey) AS ord
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        | arg_max(o_orderkey, ord) AS top_order,
+        | arg_max(cents, ord) AS top_cents,
+        | arg_min(o_orderkey, ord) AS bottom_order,
+        | CAST(count_if(cents > 20000000) AS BIGINT) AS n_large,
+        | CAST(bool_and(cents > 0) AS INT) AS all_positive,
+        | CAST(bool_or(cents > 40000000) AS INT) AS any_huge,
+        | any_value(substring(o_orderpriority, 1, 1)) AS prio_tag,
+        | COUNT(*) AS n
+        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
