@@ -81,6 +81,31 @@ object EventAnalytics {
     // top-3 below the shuffle, so the window never sorts a full user
     // history; the path pivot is a per-user aggregation and the final
     // top-10 cut is TakeOrdered (bounded heap per partition).
+    // Conversion-lag distribution: seconds from first view to the
+    // ordered-funnel purchase (ev01's chain), summarized as exact
+    // percentiles. The percentile input is PRE-AGGREGATED to (lag, freq)
+    // — the memoized single-group-percentile shape: the UDAF walks
+    // NDV-bounded rows, not one row per converted user (at lake scale
+    // the freq table is the bounded thing; the q51 approx contract is
+    // the unbounded-NDV path). Interpolated quantiles round to 4
+    // decimals (the q26 ulp-drift mitigation); the lag itself is an
+    // exact integer second count in both engines (floor-epoch
+    // difference == boundary-crossing count for positive timestamps).
+    "ev05_conversion_lag" -> ((s, dir) => {
+      val lags = funnelTimes(events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts")))
+        .filter(col("pts").isNotNull)
+        .select((col("pts").cast("long") - col("vts").cast("long"))
+          .as("lag_s"))
+      lags.groupBy("lag_s").agg(count(lit(1)).as("f"))
+        .agg(
+          sum(col("f")).as("n_converted"),
+          min(col("lag_s")).as("min_s"),
+          round(expr("percentile(lag_s, 0.5, f)"), 4).as("med_s"),
+          round(expr("percentile(lag_s, 0.9, f)"), 4).as("p90_s"),
+          max(col("lag_s")).as("max_s"))
+    }),
+
     "ev04_top_paths" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val r = events(s, dir)
@@ -99,11 +124,13 @@ object EventAnalytics {
     }),
   )
 
-  /** The ev01 chained-min funnel over a (user_id, event_type, ts) frame —
-    * exposed so the spec can drive it with planted out-of-order fixtures.
+  /** The chained-min funnel TIMES per user over a (user_id, event_type,
+    * ts) frame: (user_id, vts, cts, pts) with nulls where a stage was
+    * never reached in order. The kernel under ev01 (stage counts) and
+    * ev05 (conversion-lag distribution); exposed for planted-fixture
+    * specs.
     */
-  private[operators] def funnelStages(ev: DataFrame): DataFrame = {
-    val base = ev.select(col("user_id")).distinct()
+  private[operators] def funnelTimes(ev: DataFrame): DataFrame = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("vts"))
     val c = ev.filter(col("event_type") === "click")
@@ -112,15 +139,26 @@ object EventAnalytics {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("ts") > col("cts"))
       .groupBy("user_id").agg(min(col("ts")).as("pts"))
-    def cnt(df: DataFrame, stage: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
-          col("n_users"))
-    cnt(base, 1, "any_event")
-      .union(cnt(v, 2, "view"))
-      .union(cnt(c, 3, "click_after_view"))
-      .union(cnt(p, 4, "purchase_after_click"))
-      .crossJoin(broadcast(base.agg(count(lit(1)).as("base_n"))))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+  }
+
+  /** ev01's stage counts over [[funnelTimes]] — one aggregation (count
+    * skips nulls per stage column), unpivoted to stage rows.
+    */
+  private[operators] def funnelStages(ev: DataFrame): DataFrame = {
+    funnelTimes(ev)
+      .agg(count(lit(1)).as("base_n"), count(col("vts")).as("n_v"),
+        count(col("cts")).as("n_c"), count(col("pts")).as("n_p"))
+      .select(expr(
+        """stack(4,
+          | 1, 'any_event', base_n,
+          | 2, 'view', n_v,
+          | 3, 'click_after_view', n_c,
+          | 4, 'purchase_after_click', n_p) AS (stage, stage_name, n_users)
+          |""".stripMargin), col("base_n"))
       .select(col("stage"), col("stage_name"), col("n_users"),
         expr("(n_users * 1000000) div base_n").as("conv_ppm"))
       .orderBy("stage")
@@ -198,6 +236,25 @@ object EventAnalytics {
         | (c.n * 1000000) // t.total AS prob_ppm
         |FROM c JOIN t ON c.from_ev = t.from_ev
         |ORDER BY c.from_ev, c.to_ev""".stripMargin,
+
+    "ev05_conversion_lag" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e
+        |   JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.cts
+        |   GROUP BY e.user_id),
+        | lag AS (SELECT date_diff('second', v.vts, p.pts) AS lag_s
+        |   FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        | CAST(MIN(lag_s) AS BIGINT) AS min_s,
+        | ROUND(quantile_cont(lag_s, 0.5), 4) AS med_s,
+        | ROUND(quantile_cont(lag_s, 0.9), 4) AS p90_s,
+        | CAST(MAX(lag_s) AS BIGINT) AS max_s
+        |FROM lag""".stripMargin,
 
     "ev04_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,

@@ -248,6 +248,51 @@ object EventsStream {
           col("event_type"), col("n"), col("n_hours"))
         .orderBy("day", "event_type")
     }),
+
+    // foreachBatch MERGE sink — the production lake-upsert pattern the
+    // built-in sinks can't express: each micro-batch's latest-row-per-user
+    // CDC compaction upserts into a SEEDED parquet keyed table (anti-join
+    // survivors + batch rows, written to a fresh versioned dir so a
+    // failed batch never corrupts the current version — the pipeline's
+    // rollback-superior overwrite discipline). Seed keys 100-199 overlap
+    // events users 100-149, so the run proves BOTH merge paths: updates
+    // (event users replace their seed) and untouched survivors (150-199).
+    "st16_stream_merge_sink" -> ((s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val lake = java.nio.file.Files.createTempDirectory("st16_lake").toString
+      Tables(ss, dir, "customer")
+        .filter(col("c_custkey").between(100, 199))
+        .select(col("c_custkey").cast("long").as("user_id"),
+          lit("seed").as("last_type"),
+          lit("1970-01-01 00:00:00").as("last_ts"),
+          lit(-1L).as("last_event_id"))
+        .write.mode("overwrite").parquet(s"$lake/v0")
+      @volatile var version = 0
+      val rawSchema = Tables.rawEvents(ss, dir).schema
+      val stream = Tables.normalizeEvents(
+        ss.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val q = stream.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val latest = batch.groupBy("user_id")
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+              .as("m"))
+            .select(col("user_id"),
+              col("m.event_type").as("last_type"),
+              date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+              col("m.event_id").as("last_event_id"))
+          val cur = sp.read.parquet(s"$lake/v$version")
+          cur.join(latest, Seq("user_id"), "left_anti")
+            .unionByName(latest)
+            .write.mode("overwrite").parquet(s"$lake/v${version + 1}")
+          version += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ss.read.parquet(s"$lake/v$version").orderBy("user_id")
+    }),
   )
 
   /** The purchase↔signup interval join shared by st04/st11/st12 (and
@@ -553,6 +598,25 @@ object EventsStream {
         |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, n_hours
         |FROM d, wm WHERE day + INTERVAL 1 DAY < w
         |ORDER BY day, event_type""".stripMargin,
+
+    // MERGE result = event users' latest rows + the seed rows whose key
+    // no batch touched.
+    "st16_stream_merge_sink" ->
+      """WITH latest AS (SELECT user_id, event_type AS last_type,
+        |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |   event_id AS last_event_id
+        |  FROM events
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        | seed AS (SELECT CAST(c_custkey AS BIGINT) AS user_id,
+        |   'seed' AS last_type, '1970-01-01 00:00:00' AS last_ts,
+        |   CAST(-1 AS BIGINT) AS last_event_id
+        |  FROM customer WHERE c_custkey BETWEEN 100 AND 199)
+        |SELECT * FROM latest
+        |UNION ALL
+        |SELECT * FROM seed WHERE user_id NOT IN
+        | (SELECT user_id FROM latest)
+        |ORDER BY user_id""".stripMargin,
   )
 }
 
