@@ -131,6 +131,41 @@ object Relational6 {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL, Spark
+    // 3.5+): per-day sketches built once, then UNIONED to the monthly
+    // total WITHOUT rescanning raw data — the incremental-statistics
+    // lake pattern (md04's partial-merge idea on the distinct axis; plain
+    // approx_count_distinct partials aren't persistable/re-mergeable,
+    // sketch columns are). Sketch estimates aren't reproducible in the
+    // oracle engine, so per q45's contract pattern the OUTPUT carries the
+    // exact counts and the tolerance FLAGS (HLL lgk=12 ⇒ ~1.6% rse; 5%
+    // bound), never the raw estimate.
+    "q64_hll_mergeable" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct(col("user_id")).as("exact_daily"))
+      val total = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"),
+        count(lit(1)).as("n_days"))
+      val exactTotal = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+      daily
+        .select(col("day"), col("exact_daily"),
+          ((abs(hll_sketch_estimate(col("sk")) - col("exact_daily"))
+            .cast("double") / col("exact_daily")) <= lit(0.05))
+            .cast("int").as("daily_within_5pct"))
+        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(exactTotal))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("exact_daily"), col("daily_within_5pct"),
+          col("exact_total"), col("n_days"),
+          ((abs(col("est_total") - col("exact_total")).cast("double")
+            / col("exact_total")) <= lit(0.05)).cast("int")
+            .as("union_within_5pct"))
+        .orderBy("day")
+    }),
   )
 
   /** The q62 kernel over a (row_id, key, x) frame — spec-drivable with
@@ -226,5 +261,19 @@ object Relational6 {
         | any_value(substring(o_orderpriority, 1, 1)) AS prio_tag,
         | COUNT(*) AS n
         |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The contract restated: exact counts + all-within flags (the sketch
+    // estimate itself never leaves the engine — q45's pattern).
+    "q64_hll_mergeable" ->
+      """WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id
+        |  FROM events),
+        | daily AS (SELECT day, COUNT(DISTINCT user_id) AS exact_daily
+        |  FROM ev GROUP BY day),
+        | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        | x AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM ev)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, exact_daily,
+        | 1 AS daily_within_5pct, exact_total, n_days,
+        | 1 AS union_within_5pct
+        |FROM daily, t, x ORDER BY day""".stripMargin,
   )
 }

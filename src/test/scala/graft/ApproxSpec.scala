@@ -26,4 +26,22 @@ class ApproxSpec extends AnyFunSuite {
     assert(close(r.getLong(2), r.getLong(3)),
       s"orders: exact=${r.getLong(2)} approx=${r.getLong(3)}")
   }
+
+  test("HLL sketch mergeability: union of per-day sketches == one global sketch") {
+    // the law q64 depends on: building partials and merging must lose
+    // nothing vs sketching the whole input at once (same lgk)
+    val ev = Tables(spark, TestSpark.sf0001, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val merged = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val global = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est"))
+      .collect()(0).getLong(0)
+    assert(merged === global, s"merged=$merged global=$global")
+    val exact = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
 }
