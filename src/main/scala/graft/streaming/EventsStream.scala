@@ -233,8 +233,9 @@ object EventsStream {
     // support): hourly tumbling counts re-aggregated into DAILY rollups
     // INSIDE one streaming query via window-on-window (`window(window,
     // '1 day')`) — the streaming materialized-view cascade. Append mode
-    // emits a day once the watermark passes its end; the oracle states
-    // exactly those closed days from the batch table.
+    // emits a day once the watermark reaches its end (INCLUSIVE at
+    // equality — WindowCloseBoundarySpec); the oracle states exactly
+    // those closed days from the batch table.
     "st15_chained_windows" -> ((s, dir) => {
       runAppendStream(s, dir, "st15_mem") { df =>
         df.withWatermark("ts", "10 minutes")
@@ -550,8 +551,11 @@ object EventsStream {
 
     // Native session windows == the same batch sessions st07 gates on,
     // with session_end reported as the gap-extended window close
-    // (last event + 30 min) and emission once the final watermark passes
-    // that close.
+    // (last event + 30 min). Emission is INCLUSIVE at the boundary —
+    // windowed-aggregate state emits once watermark >= window end
+    // (en <= w), unlike join-state eviction which is strict
+    // (OuterJoinBoundarySpec); WindowCloseBoundarySpec pins both sides
+    // of that asymmetry at exact equality.
     "st13_session_window" ->
       """WITH g AS (SELECT user_id, event_id, ts, value,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -570,7 +574,7 @@ object EventsStream {
         |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
         | n_events, session_value
-        |FROM sess, wm WHERE en < w
+        |FROM sess, wm WHERE en <= w
         |ORDER BY user_id, session_start""".stripMargin,
 
     // Semi-join output = purchases with ≥ 1 signup in the preceding hour
@@ -596,7 +600,7 @@ object EventsStream {
         |  FROM h GROUP BY 1, 2),
         | wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
         |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, n_hours
-        |FROM d, wm WHERE day + INTERVAL 1 DAY < w
+        |FROM d, wm WHERE day + INTERVAL 1 DAY <= w
         |ORDER BY day, event_type""".stripMargin,
 
     // MERGE result = event users' latest rows + the seed rows whose key
