@@ -87,4 +87,33 @@ class WindowCloseBoundarySpec extends AnyFunSuite {
     assert(got == Set(("2024-01-08", 1L, 2L), ("2024-01-09", 2L, 1L)),
       s"expected Jan 8 AND boundary Jan 9, not the fuel's Jan 10: $got")
   }
+
+  test("flatMapGroupsWithState timeout exactly ON the watermark does NOT fire (strict, like join eviction)") {
+    // the third stateful mechanism, third convention check: st07's
+    // event-time TIMEOUT (set at session end + gap) fires only when the
+    // watermark strictly exceeds it — the join-side convention, NOT the
+    // window-aggregate inclusive one. st07's oracle states `en + gap < w`
+    // accordingly.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionize(ms.toDS())
+      .select(col("user_id"), col("n_events"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmb_mem").start()
+    try {
+      ms.addData(Seq(
+        // fuel: max ts 12:00 → wm = 11:50; its own timeout (12:30) open
+        Sessionize.Event(99L, t("2024-01-01 12:00:00"), 1.0),
+        // user 1: timeout 11:19 + 30 min = 11:49 < wm → fires, emits
+        Sessionize.Event(1L, t("2024-01-01 11:19:00"), 1.0),
+        // user 2: timeout 11:20 + 30 min = 11:50 == wm → must NOT fire
+        Sessionize.Event(2L, t("2024-01-01 11:20:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fmb_mem").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L)),
+      s"expected only user 1 (strict timeout), got $got")
+  }
 }
