@@ -362,6 +362,40 @@ object TemporalJoins {
           sum(col("ien") - col("ist")).as("covered_seconds"))
         .orderBy("user_id")
     }),
+
+    // Lag-1 autocorrelation of each user's daily activity series — the
+    // time-series diagnostic (burstiness / regularity signal) in EXACT
+    // integer arithmetic: with S = Σx over the n ordered daily counts,
+    // (x_i − μ)(x_j − μ)·n² = (n·x_i − S)(n·x_j − S), so
+    // r1 = Σ(n·x_i − S)(n·x_{i+1} − S) / Σ(n·x_i − S)² needs no float
+    // mean — numerator and denominator are BIGINT sums, r1 in MILLI
+    // (both engines truncate signed integer division toward zero, so a
+    // negative r1 is bit-equal too). Shape: daily counts are one
+    // aggregation; S joins back as a
+    // per-user AGGREGATE (skew-splittable); the lead() window partitions
+    // by user_id (cardinality scales); the final reduce is one more
+    // user-keyed aggregation. Keys with a constant series (den = 0)
+    // report NULL — undefined, not zero.
+    "ts09_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      daily.join(stats, "user_id")
+        .withColumn("d", col("n") * col("x") - col("s"))
+        .withColumn("dn", lead(col("d"), 1).over(w))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_days"),
+          sum(col("d") * col("dn")).as("num"),
+          sum(col("d") * col("d")).as("den"))
+        .select(col("user_id"), col("n_days"),
+          when(col("den") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(num * 1000) div den")).as("r1_milli"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -552,5 +586,27 @@ object TemporalJoins {
         |SELECT user_id, COUNT(*) AS n_islands,
         | CAST(SUM(ien - ist) AS BIGINT) AS covered_seconds
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same cleared-denominator autocorrelation. Signed division is safe:
+    // BOTH engines truncate integer division toward zero (checked:
+    // -7 div 2 = -3 in Spark, -7 // 2 = -3 in DuckDB), so a negative
+    // r1 numerator divides identically.
+    "ts09_autocorr" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |   CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(SUM(x) AS BIGINT) AS s FROM daily GROUP BY user_id),
+        | d AS (SELECT daily.user_id, st.n, st.n * daily.x - st.s AS d,
+        |   LEAD(st.n * daily.x - st.s) OVER (PARTITION BY daily.user_id
+        |     ORDER BY daily.day) AS dn
+        |  FROM daily JOIN st ON daily.user_id = st.user_id),
+        | r AS (SELECT user_id, MAX(n) AS n_days,
+        |   CAST(SUM(d * dn) AS BIGINT) AS num,
+        |   CAST(SUM(d * d) AS BIGINT) AS den
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_days,
+        | CASE WHEN den = 0 THEN NULL ELSE (num * 1000) // den END
+        |  AS r1_milli
+        |FROM r ORDER BY user_id""".stripMargin,
   )
 }
