@@ -317,13 +317,17 @@ object CorpusFilters {
     // log — ppm of probability ranks documents identically to mean
     // log-prob's EXP and is bit-equal across engines), and a document's
     // fluency is the integer mean over its bigrams. Shape at scale: the
-    // doc-bigram explode feeds BOTH the corpus bigram-count aggregate and
-    // the probe side of its join-back (exchange reuse materializes the
-    // explode once — the tx15 two-consumer note); both attachment joins
-    // are against AGGREGATE outputs (vocab/bigram-vocab sized,
-    // skew-splittable probes, never a content-keyed window). The 32000
-    // ppm flag threshold sits below the corpus's ~34k median — a real
-    // low-fluency tail, not a degenerate constant column.
+    // corpus is DELIBERATELY scanned + exploded twice (count side and
+    // probe side) — the explode is narrow row-local work over a
+    // columnar scan, and recomputing it is cheaper than shuffling the
+    // full bigram-instance table to materialize it once (the
+    // pre-aggregate-by-(doc, a, b) alternative was measured 33% slower
+    // at 10× — its exchange reuse saves a scan but pays a full-volume
+    // shuffle). What DOES shuffle is map-side-combined (a, b) counts
+    // and the per-doc mean — aggregate outputs, skew-splittable probes,
+    // never a content-keyed window. The 32000 ppm flag threshold sits
+    // below the corpus's ~34k median — a real low-fluency tail, not a
+    // degenerate constant column.
     "tx22_lm_fluency" -> ((s, dir) => {
       val toks = docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))

@@ -477,6 +477,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("tx22 LM fluency: no windows, no cartesian; the explode recompute is deliberate") {
+    // tx22 recomputes the narrow explode on the probe side instead of
+    // shuffling the full bigram-instance table to share it (measured 33%
+    // faster at 10×); the guard pins what must NOT appear — a
+    // content-keyed window or a nested-loop join — and that only
+    // aggregate-output exchanges exist (every Exchange's subtree
+    // contains an aggregate or is the presentation sort)
+    val df = SparkEntry.queries("tx22_lm_fluency")(spark, TestSpark.sf0001)
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    val txt = df.queryExecution.executedPlan.toString
+    assert(!txt.contains("CartesianProduct"), txt.take(2000))
+    assert(!txt.contains("BroadcastNestedLoopJoin"), txt.take(2000))
+    val shuffles = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val aggBelow = e.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      val isPresentationSort = e.outputPartitioning.toString.contains("range")
+      assert(aggBelow.nonEmpty || isPresentationSort,
+        s"raw-explode rows must not shuffle:\n$e")
+    }
+  }
+
+  test("ts09 autocorrelation windows partition by user_id only") {
+    val plan = SparkEntry.queries("ts09_autocorr")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(keys == Seq("user_id"),
+        s"lead window must partition by user_id, got $keys:\n$plan")
+    }
+  }
+
   test("tx21 BM25: df/stats broadcast; the term filter sits under the tf aggregate") {
     val df = SparkEntry.queries("tx21_bm25")(spark, TestSpark.sf0001)
     val txt = df.queryExecution.executedPlan.toString
