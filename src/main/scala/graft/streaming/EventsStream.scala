@@ -294,6 +294,28 @@ object EventsStream {
       try q.processAllAvailable() finally q.stop()
       ss.read.parquet(s"$lake/v$version").orderBy("user_id")
     }),
+
+    // Chained DEDUP → windowed aggregation — the other
+    // multiple-stateful-operator pairing (st15 chains agg→agg): exactly-
+    // once hourly counts over an at-least-once feed. State-store keyed
+    // dedup on event_id (watermark-bounded) feeds a tumbling hourly
+    // count INSIDE one streaming query; the oracle aggregates DISTINCT
+    // events over the closed hours (inclusive window-close boundary,
+    // WindowCloseBoundarySpec).
+    "st17_stream_dedup_agg" -> ((s, dir) => {
+      runAppendStream(s, dir, "st17_mem") { df =>
+        df.withWatermark("ts", "10 minutes")
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .dropDuplicates("event_id")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_bucket"),
+          col("event_type"), col("n"))
+        .orderBy("hour_bucket", "event_type")
+    }),
   )
 
   /** The purchase↔signup interval join shared by st04/st11/st12 (and
@@ -621,6 +643,18 @@ object EventsStream {
         |SELECT * FROM seed WHERE user_id NOT IN
         | (SELECT user_id FROM latest)
         |ORDER BY user_id""".stripMargin,
+
+    // Dedup→agg chain == hourly counts of DISTINCT event_ids over the
+    // closed hours (event_id is unique in the batch table, so DISTINCT
+    // is the contract the dedup stage enforces against replays).
+    "st17_stream_dedup_agg" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
+        |   COUNT(DISTINCT event_id) AS n FROM events GROUP BY 1, 2),
+        | wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+        | event_type, n
+        |FROM h, wm WHERE hb + INTERVAL 1 HOUR <= w
+        |ORDER BY hour_bucket, event_type""".stripMargin,
   )
 }
 

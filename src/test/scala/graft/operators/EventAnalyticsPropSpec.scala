@@ -56,4 +56,31 @@ class EventAnalyticsPropSpec extends AnyFunSuite {
 
   private def minuteOf(t: Timestamp): Int =
     t.toLocalDateTime.getMinute
+
+  test("transitionMatrix equals the sequential per-user bigram count on random logs") {
+    // events get DISTINCT event_ids so the (ts, event_id) order is total;
+    // ts collisions across users are fine (windows partition by user)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(eventGen)) { log0 =>
+      val log = log0.zipWithIndex.map { case ((u, t, m), i) =>
+        (u, t, m, i.toLong)
+      }
+      val df = log.map { case (u, t, m, id) =>
+        (u, t, Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"), id)
+      }.toDF("user_id", "event_type", "ts", "event_id")
+      val got = EventAnalytics.transitionMatrix(df)
+        .select("from_ev", "to_ev", "n")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // sequential reference: per user, sort by (minute, event_id), count
+      // adjacent pairs
+      val expect = log.groupBy(_._1).toList.flatMap { case (_, evs) =>
+        val ordered = evs.sortBy(e => (e._3, e._4)).map(_._2)
+        ordered.zip(ordered.drop(1))
+      }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
