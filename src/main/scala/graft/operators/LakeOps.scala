@@ -301,6 +301,56 @@ object LakeOps {
           expr(z).as("zkey"))
         .orderBy("zkey", "o_orderkey")
     }),
+
+    // Z-order pruning audit — md06's payoff, quantified: rows are binned
+    // into 16 equal-frequency "files" under TWO layouts (rank ranges of
+    // the Morton key — consecutive chunks of md06's write sort, i.e.
+    // fixed-size files — vs arrival order by orderkey, the
+    // unsorted-ingest baseline), per-file min/max footer stats are
+    // computed, and a box predicate (custkey ∈ [10, 80], order day ∈
+    // [9200, 9800]) tests which files a stats-pruning reader skips. The
+    // z-ordered layout localizes both dimensions so most files fall
+    // outside the box; arrival files each span the whole key space and
+    // prune nothing — the read-path argument for md06's write sort,
+    // stated as data. Shape: ONE corpus scan for the stats pass (both
+    // layout assignments ride one explode), row-local key math, the 15
+    // z-boundary cut points from an exact percentile over the
+    // (zkey, freq) table (the q59 NDV-bound note: approx_percentile
+    // under q51's contract at unbounded NDV), broadcast back.
+    "md07_zorder_pruning" -> ((s, dir) => {
+      def shl(e: String, n: Int) = s"shiftleft($e, $n)"
+      val x = "(o_custkey & 65535)"
+      val y = "(cast(datediff(to_date(o_orderdate), date'1970-01-01') " +
+        "as bigint) & 65535)"
+      val z = s"(${spreadSql(x, shl)} | ${shl(spreadSql(y, shl), 1)})"
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), expr(x).as("zx"), expr(y).as("zy"),
+          expr(z).as("zkey"))
+      val probs = (1 to 15).map(i => i / 16.0)
+      val bounds = base.groupBy("zkey").agg(count(lit(1)).as("f"))
+        .agg(expr(s"percentile(zkey, array(${probs.mkString(",")}), f)")
+          .as("bs"))
+      val mo = base.agg(max(col("o_orderkey")).as("mo"))
+      val zfile = (1 to 15).map(i =>
+        (col("zkey") > expr(s"element_at(bs, $i)")).cast("long"))
+        .reduce(_ + _)
+      base.crossJoin(broadcast(bounds)).crossJoin(broadcast(mo))
+        .select(explode(array(
+          struct(lit("arrival").as("layout"),
+            expr("(o_orderkey * 16) div (mo + 1)").as("file_id")),
+          struct(lit("zorder").as("layout"), zfile.as("file_id")))).as("lf"),
+          col("zx"), col("zy"))
+        .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+          col("zx"), col("zy"))
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+        .withColumn("skippable",
+          (col("min_x") > 80L || col("max_x") < 10L ||
+            col("min_y") > 9800L || col("max_y") < 9200L).cast("int"))
+        .orderBy("layout", "file_id")
+    }),
   )
 
   /** 16→32-bit bit spread (the z-order/Morton building block) as
@@ -466,6 +516,40 @@ object LakeOps {
          | FROM orders)
          |SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
          |FROM b ORDER BY zkey, o_orderkey""".stripMargin
+    },
+
+    // Same binning + stats + box-overlap test; UNION ALL instead of the
+    // explode (oracle states semantics, not the one-scan shape).
+    "md07_zorder_pruning" -> {
+      def shl(e: String, n: Int) = s"($e << $n)"
+      val sx = spreadSql("zx", shl)
+      val sy = spreadSql("zy", shl)
+      s"""WITH b AS (SELECT o_orderkey,
+         |  (o_custkey & 65535) AS zx,
+         |  (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |    & 65535) AS zy
+         | FROM orders),
+         | k AS (SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
+         |   FROM b),
+         | m AS (SELECT MAX(o_orderkey) AS mo FROM k),
+         | q AS (SELECT quantile_cont(zkey,
+         |    [${(1 to 15).map(i => i / 16.0).mkString(", ")}]) AS bs
+         |   FROM k),
+         | e AS (
+         |  SELECT 'arrival' AS layout, (o_orderkey * 16) // (mo + 1)
+         |    AS file_id, zx, zy FROM k, m
+         |  UNION ALL
+         |  SELECT 'zorder', ${(1 to 15).map(i =>
+             s"CAST(zkey > bs[$i] AS BIGINT)").mkString(" + ")},
+         |   zx, zy FROM k, q),
+         | f AS (SELECT layout, file_id, COUNT(*) AS n_rows,
+         |   MIN(zx) AS min_x, MAX(zx) AS max_x,
+         |   MIN(zy) AS min_y, MAX(zy) AS max_y
+         |  FROM e GROUP BY layout, file_id)
+         |SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+         | CAST(min_x > 80 OR max_x < 10 OR min_y > 9800 OR max_y < 9200
+         |   AS INT) AS skippable
+         |FROM f ORDER BY layout, file_id""".stripMargin
     },
   )
 }
