@@ -99,7 +99,10 @@ object EventAnalytics {
           .as("lag_s"))
       lags.groupBy("lag_s").agg(count(lit(1)).as("f"))
         .agg(
-          sum(col("f")).as("n_converted"),
+          // empty edge case: sum over zero groups is NULL in Spark but the
+          // oracle's COUNT(*) is 0 — coalesce so both engines agree when
+          // no user completes the funnel
+          coalesce(sum(col("f")), lit(0L)).as("n_converted"),
           min(col("lag_s")).as("min_s"),
           round(expr("percentile(lag_s, 0.5, f)"), 4).as("med_s"),
           round(expr("percentile(lag_s, 0.9, f)"), 4).as("p90_s"),

@@ -313,10 +313,20 @@ object LakeOps {
     // outside the box; arrival files each span the whole key space and
     // prune nothing — the read-path argument for md06's write sort,
     // stated as data. Shape: ONE corpus scan for the stats pass (both
-    // layout assignments ride one explode), row-local key math, the 15
-    // z-boundary cut points from an exact percentile over the
-    // (zkey, freq) table (the q59 NDV-bound note: approx_percentile
-    // under q51's contract at unbounded NDV), broadcast back.
+    // layout assignments ride one explode), row-local key math, and the
+    // 15 z-boundary cut points from a DETERMINISTIC FIXED-SIZE ROW
+    // SAMPLE — the bottom-4096 rows by an engine-neutral multiplicative
+    // hash of the orderkey (TakeOrdered: per-partition heap + driver
+    // merge, bounded at any scale). This is what production z-order
+    // writers (and Spark's own RangePartitioner) do: range bounds from a
+    // sample, never an exact quantile over the key NDV — zkey interleaves
+    // (custkey, day) so its NDV grows ~linearly with rows and a
+    // single-group exact percentile over it would walk a billion-row
+    // group on one reducer at 100×. The sample keeps q51's discipline via
+    // an emitted CONTRACT column: depth_ok = every file holds ≤ 2× the
+    // equi-depth target (n_rows * 8 <= total), integer-exact in both
+    // engines; the oracle draws the identical sample, so the cut points
+    // — and the audit — stay hash-equal by construction.
     "md07_zorder_pruning" -> ((s, dir) => {
       def shl(e: String, n: Int) = s"shiftleft($e, $n)"
       val x = "(o_custkey & 65535)"
@@ -327,10 +337,18 @@ object LakeOps {
         .select(col("o_orderkey"), expr(x).as("zx"), expr(y).as("zy"),
           expr(z).as("zkey"))
       val probs = (1 to 15).map(i => i / 16.0)
-      val bounds = base.groupBy("zkey").agg(count(lit(1)).as("f"))
-        .agg(expr(s"percentile(zkey, array(${probs.mkString(",")}), f)")
+      // Knuth multiplicative scramble, pre-reduced mod 1e6+3 so the
+      // product stays far below 2^63 under ANSI overflow checking; pure
+      // non-negative integer ops give both engines the same sample
+      val bounds = base
+        .select(col("zkey"), col("o_orderkey"),
+          expr("((o_orderkey % 1000003) * 2654435761) % 4294967296")
+            .as("h"))
+        .orderBy("h", "o_orderkey").limit(4096)
+        .agg(expr(s"percentile(zkey, array(${probs.mkString(",")}))")
           .as("bs"))
-      val mo = base.agg(max(col("o_orderkey")).as("mo"))
+      val mo = base.agg(max(col("o_orderkey")).as("mo"),
+        count(lit(1)).as("nr"))
       val zfile = (1 to 15).map(i =>
         (col("zkey") > expr(s"element_at(bs, $i)")).cast("long"))
         .reduce(_ + _)
@@ -339,16 +357,20 @@ object LakeOps {
           struct(lit("arrival").as("layout"),
             expr("(o_orderkey * 16) div (mo + 1)").as("file_id")),
           struct(lit("zorder").as("layout"), zfile.as("file_id")))).as("lf"),
-          col("zx"), col("zy"))
+          col("zx"), col("zy"), col("nr"))
         .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
-          col("zx"), col("zy"))
+          col("zx"), col("zy"), col("nr"))
         .groupBy("layout", "file_id")
         .agg(count(lit(1)).as("n_rows"),
           min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
-          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
-        .withColumn("skippable",
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"),
+          max(col("nr")).as("nr"))
+        .select(col("layout"), col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
           (col("min_x") > 80L || col("max_x") < 10L ||
-            col("min_y") > 9800L || col("max_y") < 9200L).cast("int"))
+            col("min_y") > 9800L || col("max_y") < 9200L).cast("int")
+            .as("skippable"),
+          (col("n_rows") * 8 <= col("nr")).cast("int").as("depth_ok"))
         .orderBy("layout", "file_id")
     }),
   )
@@ -531,10 +553,14 @@ object LakeOps {
          | FROM orders),
          | k AS (SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
          |   FROM b),
-         | m AS (SELECT MAX(o_orderkey) AS mo FROM k),
+         | m AS (SELECT MAX(o_orderkey) AS mo, COUNT(*) AS nr FROM k),
+         | smp AS (SELECT zkey FROM k
+         |   ORDER BY ((o_orderkey % 1000003) * 2654435761) % 4294967296,
+         |     o_orderkey
+         |   LIMIT 4096),
          | q AS (SELECT quantile_cont(zkey,
          |    [${(1 to 15).map(i => i / 16.0).mkString(", ")}]) AS bs
-         |   FROM k),
+         |   FROM smp),
          | e AS (
          |  SELECT 'arrival' AS layout, (o_orderkey * 16) // (mo + 1)
          |    AS file_id, zx, zy FROM k, m
@@ -548,8 +574,9 @@ object LakeOps {
          |  FROM e GROUP BY layout, file_id)
          |SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
          | CAST(min_x > 80 OR max_x < 10 OR min_y > 9800 OR max_y < 9200
-         |   AS INT) AS skippable
-         |FROM f ORDER BY layout, file_id""".stripMargin
+         |   AS INT) AS skippable,
+         | CAST(n_rows * 8 <= nr AS INT) AS depth_ok
+         |FROM f, m ORDER BY layout, file_id""".stripMargin
     },
   )
 }

@@ -132,6 +132,12 @@ object MinHashDedup {
     new java.util.concurrent.atomic.AtomicReference[
       org.apache.hadoop.conf.Configuration](null)
 
+  /** Enroll an externally-created scratch directory (e.g. st16's versioned
+    * lake) in the shared cleanup: deleted by [[clearScratch]] and the JVM
+    * shutdown hook, exactly like [[materialized]]'s tables.
+    */
+  private[graft] def registerScratchDir(p: String): Unit = scratchDirs.add(p)
+
   /** Delete every scratch table written by [[materialized]] and drop the
     * cache. Safe to call between queries; the next invocation re-writes.
     */

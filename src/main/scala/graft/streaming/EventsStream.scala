@@ -252,16 +252,23 @@ object EventsStream {
 
     // foreachBatch MERGE sink — the production lake-upsert pattern the
     // built-in sinks can't express: each micro-batch's latest-row-per-user
-    // CDC compaction upserts into a SEEDED parquet keyed table (anti-join
-    // survivors + batch rows, written to a fresh versioned dir so a
-    // failed batch never corrupts the current version — the pipeline's
-    // rollback-superior overwrite discipline). Seed keys 100-199 overlap
-    // events users 100-149, so the run proves BOTH merge paths: updates
-    // (event users replace their seed) and untouched survivors (150-199).
+    // CDC compaction upserts into a SEEDED parquet keyed table, written to
+    // a fresh versioned dir so a failed batch never corrupts the current
+    // version — the pipeline's rollback-superior overwrite discipline.
+    // The merge is ORDER-INSENSITIVE: a full-outer join keeps the greater
+    // struct(last_ts, last_event_id) of (table row, batch row), so a late
+    // micro-batch carrying only older events for a user can never regress
+    // that user's row — max-wins, not last-batch-wins. Seed keys 100-199
+    // overlap events users 100-149, so the run proves BOTH merge paths:
+    // updates (event users beat their 1970 seed) and untouched survivors
+    // (150-199).
     "st16_stream_merge_sink" -> ((s, dir) => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val lake = java.nio.file.Files.createTempDirectory("st16_lake").toString
+      // versioned scratch lake rides the shared shutdown-hook cleanup so
+      // repeated bench/gate runs don't leak the tree
+      graft.operators.MinHashDedup.registerScratchDir(lake)
       Tables(ss, dir, "customer")
         .filter(col("c_custkey").between(100, 199))
         .select(col("c_custkey").cast("long").as("user_id"),
@@ -284,9 +291,7 @@ object EventsStream {
               col("m.event_type").as("last_type"),
               date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
               col("m.event_id").as("last_event_id"))
-          val cur = sp.read.parquet(s"$lake/v$version")
-          cur.join(latest, Seq("user_id"), "left_anti")
-            .unionByName(latest)
+          mergeLatest(sp.read.parquet(s"$lake/v$version"), latest)
             .write.mode("overwrite").parquet(s"$lake/v${version + 1}")
           version += 1
         }

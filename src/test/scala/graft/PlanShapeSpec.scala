@@ -518,6 +518,55 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no single-group exact percentile reads a data-scaling-NDV input") {
+    // an exact `percentile` with an empty grouping walks its WHOLE input
+    // on one reducer — admissible only when that input is provably
+    // bounded: a k-cut (Limit/TakeOrdered — md07's 4096-row boundary
+    // sample) or an NDV-bounded (value, freq) aggregate with a documented
+    // contract (ev05's lag table). Grouped percentiles (q26/q51 group by
+    // o_orderpriority) never form a single global group. Maintained by
+    // grep: every `percentile(` site in src/main must be covered here.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit}
+    val sites = Map(
+      "md07_zorder_pruning" -> "limit",
+      "ev05_conversion_lag" -> "freq-agg",
+      "q26_percentiles" -> "grouped",
+      "q51_approx_percentile" -> "grouped")
+    sites.foreach { case (q, kind) =>
+      val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan
+      var singleGroupSites = 0
+      plan.foreach {
+        case a: Aggregate if a.groupingExpressions.isEmpty &&
+            a.aggregateExpressions.exists(_.exists {
+              case _: Percentile => true
+              case _ => false
+            }) =>
+          singleGroupSites += 1
+          val hasLimit = a.child.exists {
+            case _: GlobalLimit | _: LocalLimit => true
+            case _ => false
+          }
+          val hasAggBelow = a.child.exists {
+            case _: Aggregate => true
+            case _ => false
+          }
+          if (kind == "limit")
+            assert(hasLimit,
+              s"$q: boundary percentile must read a k-cut sample:\n$plan")
+          else
+            assert(hasLimit || hasAggBelow,
+              s"$q: unbounded single-group exact percentile:\n$plan")
+        case _ => ()
+      }
+      if (kind == "grouped")
+        assert(singleGroupSites == 0,
+          s"$q: expected only grouped percentiles:\n$plan")
+    }
+  }
+
   test("tx21 BM25: df/stats broadcast; the term filter sits under the tf aggregate") {
     val df = SparkEntry.queries("tx21_bm25")(spark, TestSpark.sf0001)
     val txt = df.queryExecution.executedPlan.toString
