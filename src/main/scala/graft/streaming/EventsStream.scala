@@ -349,6 +349,37 @@ object EventsStream {
       joinType)
   }
 
+  /** Order-insensitive MERGE step for st16: full-outer join of the current
+    * table version and the batch's latest-row-per-user on `user_id`, keeping
+    * whichever side carries the greater `struct(last_ts, last_event_id)`.
+    * `last_ts` is a `yyyy-MM-dd HH:mm:ss` string, so the struct comparison
+    * is lexicographically chronological; the seed rows' `1970-01-01` lose to
+    * any real event. Max-wins (not last-batch-wins) makes the sink
+    * idempotent under micro-batch reordering and retries: a late batch
+    * carrying only older events can never regress a user's row.
+    */
+  private[streaming] def mergeLatest(
+      cur: DataFrame, batch: DataFrame): DataFrame = {
+    val b = batch
+      .withColumnRenamed("user_id", "b_user_id")
+      .withColumnRenamed("last_type", "b_last_type")
+      .withColumnRenamed("last_ts", "b_last_ts")
+      .withColumnRenamed("last_event_id", "b_last_event_id")
+    val curKey = struct(col("last_ts"), col("last_event_id"))
+    val batchKey = struct(col("b_last_ts"), col("b_last_event_id"))
+    val batchWins = col("user_id").isNull ||
+      (col("b_user_id").isNotNull && batchKey > curKey)
+    cur.join(b, col("user_id") === col("b_user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("b_user_id")).as("user_id"),
+        when(batchWins, col("b_last_type")).otherwise(col("last_type"))
+          .as("last_type"),
+        when(batchWins, col("b_last_ts")).otherwise(col("last_ts"))
+          .as("last_ts"),
+        when(batchWins, col("b_last_event_id")).otherwise(col("last_event_id"))
+          .as("last_event_id"))
+  }
+
   /** Shared driver for the streaming queries: file source → `xform` →
     * memory sink, driven to completion synchronously.
     *
