@@ -141,9 +141,18 @@ object Bench {
     def key(name: String): String = if (shortUnique) short(name) else name
     val qs = ordered.filter(okClean.contains)
       .map(k => jstr(key(k)) + ":" + num1(okClean(k))).mkString("{", ",", "}")
-    val errs = errMap.toSeq.map { case (k, e) =>
-      jstr(key(k)) + ":" + jstr(e.take(120))
-    }.mkString("{", ",", "}")
+    // The stdout error map must NEVER defeat the driver's 2000-char tail
+    // parse (r7: 11 errors × 120 chars pushed the line past it and
+    // BENCH_r07 landed `parsed: null` — the bench signal went blind). Cap
+    // at 3 errors × 40 chars + an overflow count; full text is in
+    // bench_detail.json.
+    val errShown = errMap.toSeq.sortBy(_._1).take(3).map { case (k, e) =>
+      jstr(key(k)) + ":" + jstr(e.take(40))
+    }
+    val errOver =
+      if (errMap.size > 3) Seq(jstr("_more") + ":" + jstr(s"+${errMap.size - 3}"))
+      else Seq.empty
+    val errs = (errShown ++ errOver).mkString("{", ",", "}")
     val total = okClean.values.sum
     val fullQs = ordered.filter(okClean.contains)
       .map(k => jstr(k) + ":" + okClean(k)).mkString("{", ",", "}")
@@ -155,8 +164,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sfName = new java.io.File(sfDir).getName
-    val line =
+    val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+    // Hard invariant: the line plus sbt's "[success] ..." trailer must fit
+    // the driver's 2000-char tail. If future query-set growth overflows it,
+    // degrade to a minimal always-parseable line (the detail file above
+    // already carries the full data) rather than shipping another
+    // silently-unparsed round.
+    val line =
+      if (full.length < 1800) full
+      else
+        s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":{},"errors":{"_overflow":${jstr(s"line ${full.length} chars; ${okClean.size} ok, ${errMap.size} err — see bench_detail.json")}},"sf":"$sfName"}"""
     operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
     // Emitted LAST — after spark.stop() — so no shutdown logging lands

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness testdata tables (TESTDATA.md).
   *
@@ -38,11 +38,20 @@ object Tables {
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  /** Normalize a raw events frame: LONG-nanos ts → µs timestamp. */
+  /** Normalize a raw events frame: LONG-nanos or TIMESTAMP_NTZ ts → µs
+    * timestamp. The fixture has carried `ts` as INT64 nanos (legacy mode →
+    * LONG) and as `timestamp[us]` without timezone (Spark 4 → TIMESTAMP_NTZ);
+    * both normalize to TimestampType. The session timezone is pinned UTC
+    * (build.sbt), so the NTZ→timestamp cast is wall-clock-preserving and
+    * keeps the oracle-verified semantics identical across fixture vintages.
+    * Watermarks (`withWatermark`) require TimestampType — NTZ is rejected.
+    */
   def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
 }

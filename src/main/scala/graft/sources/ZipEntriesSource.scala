@@ -19,12 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * run as ordinary distributed queries (SURVEY §2.1 #1/#3: the reference
   * walks archives imperatively on one thread, `main.py:111-115`).
   *
-  * Scale shape: the driver only LISTS the zip files (metadata, like a
-  * parquet file index); one input partition per archive, and each
-  * executor-side reader opens its own archive and streams the central
-  * directory — archive bytes never visit the driver. Column pruning is
-  * pushed down ([[ZipScan.pruneColumns]]); a member-name filter pushdown
-  * would follow the same pattern via `SupportsPushDownFilters`.
+  * Scale shape: the driver LISTS the zip files and reads each archive's
+  * CENTRAL DIRECTORY — a bounded tail-of-file metadata read, the same
+  * class of work as the parquet footer reads file-source planning does —
+  * and emits ONE INPUT PARTITION PER MEMBER. Entry-level splits matter
+  * because the real RFB months are skewed: one archive (Estabelecimentos)
+  * dominates, and per-archive partitions serialize all downstream
+  * per-member work (decompress, transcode, audit) on one task while the
+  * other tasks idle. Member bytes never visit the driver — only names and
+  * sizes do (the member row IS that metadata). Column pruning is pushed
+  * down ([[ZipScan.pruneColumns]]); a member-name filter pushdown would
+  * follow the same pattern via `SupportsPushDownFilters`.
   *
   * Usage: `spark.read.format("graft.sources.ZipEntriesSource").load(dir)`.
   */
@@ -72,7 +77,10 @@ class ZipScan(path: String, var required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // driver-side: LIST archives only (never open them here). The walk is
+  // driver-side: LIST archives, then read each central directory (a
+  // bounded metadata read off the archive tail — parquet-footer-class
+  // work, parallelized over a small pool exactly like the file source's
+  // footer reads) and split to ONE PARTITION PER MEMBER. The walk is
   // RECURSIVE like the built-in file sources, so nested layouts
   // (dir/month=…/x.zip) scan their archives instead of silently yielding
   // an empty table; a directory with zero archives is a loud error for
@@ -92,31 +100,64 @@ class ZipScan(path: String, var required: StructType)
           s"zip_entries: no .zip files under '$path' (recursive walk)")
         found
       } else Array(path)
-    zips.map(z => ZipPartition(z): InputPartition)
+    // central-directory listing per archive, bounded driver pool
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, zips.length)))
+    try {
+      val futures = zips.map { z =>
+        pool.submit(new java.util.concurrent.Callable[Array[InputPartition]] {
+          override def call(): Array[InputPartition] = {
+            val zf = new ZipFile(z)
+            try zf.entries().asScala.filterNot(_.isDirectory)
+              .map(e => ZipPartition(z, e.getName): InputPartition).toArray
+            finally zf.close()
+          }
+        })
+      }
+      futures.flatMap(_.get()).toArray
+    } finally pool.shutdown()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZipReaderFactory(required.fieldNames)
 }
 
-case class ZipPartition(zipPath: String) extends InputPartition
+/** One archive MEMBER — the split unit. Carrying the entry name (not its
+  * metadata) keeps the partition small and the read executor-side.
+  */
+case class ZipPartition(zipPath: String, entryName: String)
+    extends InputPartition
 
 class ZipReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipEntryReader(partition.asInstanceOf[ZipPartition].zipPath, fields)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val zp = partition.asInstanceOf[ZipPartition]
+    new ZipEntryReader(zp.zipPath, zp.entryName, fields)
+  }
 }
 
-/** Executor-side: stream one archive's central directory. */
-class ZipEntryReader(zipPath: String, fields: Array[String])
-    extends PartitionReader[InternalRow] {
+/** Executor-side: one member of one archive (looked up by name in the
+  * central directory — no decompression; sizes come from the directory
+  * record).
+  */
+class ZipEntryReader(zipPath: String, entryName: String,
+    fields: Array[String]) extends PartitionReader[InternalRow] {
   private val zf = new ZipFile(zipPath)
   private val zipName =
     UTF8String.fromString(Paths.get(zipPath).getFileName.toString)
-  private val it = zf.entries().asScala.filterNot(_.isDirectory)
   private var cur: java.util.zip.ZipEntry = _
+  private var done = false
 
-  override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+  override def next(): Boolean =
+    if (done) false
+    else {
+      cur = zf.getEntry(entryName)
+      if (cur == null) throw new IllegalStateException(
+        s"zip_entries: member '$entryName' vanished from $zipPath between " +
+          "planning and read (archive rewritten mid-query?)")
+      done = true
+      true
+    }
 
   override def get(): InternalRow =
     InternalRow.fromSeq(fields.toSeq.map {

@@ -269,14 +269,18 @@ object EventsStream {
       // versioned scratch lake rides the shared shutdown-hook cleanup so
       // repeated bench/gate runs don't leak the tree
       graft.operators.MinHashDedup.registerScratchDir(lake)
-      Tables(ss, dir, "customer")
+      // Every version goes through the lake commit protocol
+      // (TxLog: data dir first, then one atomic put-if-absent publish) —
+      // a batch that crashes mid-write leaves an unpublished orphan dir,
+      // never a readable half-version, and readers only ever see the
+      // latest COMMITTED state. TxLogSpec proves the CAS/crash contracts.
+      val seed = Tables(ss, dir, "customer")
         .filter(col("c_custkey").between(100, 199))
         .select(col("c_custkey").cast("long").as("user_id"),
           lit("seed").as("last_type"),
           lit("1970-01-01 00:00:00").as("last_ts"),
           lit(-1L).as("last_event_id"))
-        .write.mode("overwrite").parquet(s"$lake/v0")
-      @volatile var version = 0
+      graft.operators.TxLog.write(ss, lake, seed, 0L, action = "seed")
       val rawSchema = Tables.rawEvents(ss, dir).schema
       val stream = Tables.normalizeEvents(
         ss.readStream.schema(rawSchema)
@@ -291,13 +295,15 @@ object EventsStream {
               col("m.event_type").as("last_type"),
               date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
               col("m.event_id").as("last_event_id"))
-          mergeLatest(sp.read.parquet(s"$lake/v$version"), latest)
-            .write.mode("overwrite").parquet(s"$lake/v${version + 1}")
-          version += 1
+          val cur = graft.operators.TxLog.latestVersion(lake).getOrElse(0L)
+          val merged =
+            mergeLatest(graft.operators.TxLog.read(sp, lake), latest)
+          graft.operators.TxLog.write(sp, lake, merged, cur, action = "merge")
+          ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      ss.read.parquet(s"$lake/v$version").orderBy("user_id")
+      graft.operators.TxLog.read(ss, lake).orderBy("user_id")
     }),
 
     // Chained DEDUP → windowed aggregation — the other

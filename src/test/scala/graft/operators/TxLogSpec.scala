@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The lake commit protocol's contracts: expected-version CAS, crashed
+  * writers invisible, time travel, vacuum safety — the per-table version of
+  * the reference manifest's per-file exactly-once ledger.
+  */
+class TxLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("txlog").toString
+    MinHashDedup.registerScratchDir(dir)
+    dir
+  }
+
+  test("write/read round-trip and version monotonicity") {
+    val t = freshTable()
+    import spark.implicits._
+    assert(TxLog.latestVersion(t).isEmpty)
+    val v1 = TxLog.write(spark, t, Seq((1, "a"), (2, "b")).toDF("k", "v"), 0L)
+    assert(v1 == 1L)
+    val v2 = TxLog.write(spark, t, Seq((1, "a2")).toDF("k", "v"), v1)
+    assert(v2 == 2L)
+    assert(TxLog.latestVersion(t).contains(2L))
+    assert(TxLog.read(spark, t).count() == 1L)
+  }
+
+  test("expected-version CAS rejects a stale writer; its data dir is inert") {
+    val t = freshTable()
+    import spark.implicits._
+    TxLog.write(spark, t, Seq((1, "a")).toDF("k", "v"), 0L)
+    // stale writer prepared against version 0 but 1 is now current
+    val err = intercept[TxLog.CommitConflict] {
+      TxLog.write(spark, t, Seq((9, "stale")).toDF("k", "v"), 0L)
+    }
+    assert(err.version == 1L)
+    // reader never sees the loser's rows
+    assert(TxLog.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a")))
+  }
+
+  test("put-if-absent link is the CAS: same expected version, one winner") {
+    val t = freshTable()
+    import spark.implicits._
+    TxLog.write(spark, t, Seq((0, "base")).toDF("k", "v"), 0L)
+    // both writers pre-stage data dirs against expected=1, then race the
+    // publish step itself (bypassing the early latestVersion fast-fail)
+    Seq((1, "w1")).toDF("k", "v").write.parquet(s"$t/cand1")
+    Seq((2, "w2")).toDF("k", "v").write.parquet(s"$t/cand2")
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    def racer(dir: String) = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+      def call(): Option[Long] = {
+        go.await()
+        try Some(TxLog.commit(t, 1L, dir)) catch {
+          case _: TxLog.CommitConflict => None
+        }
+      }
+    })
+    val (f1, f2) = (racer("cand1"), racer("cand2"))
+    go.countDown()
+    val results = Seq(f1, f2).map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.count(_.isDefined) == 1, s"exactly one winner: $results")
+    assert(TxLog.latestVersion(t).contains(2L))
+    val winner = TxLog.commitRecord(t, 2L).dataDir
+    assert(Set("cand1", "cand2").contains(winner))
+    assert(TxLog.read(spark, t).count() == 1L)
+  }
+
+  test("crashed writer (data dir, no commit) is invisible; vacuum removes it") {
+    val t = freshTable()
+    import spark.implicits._
+    TxLog.write(spark, t, Seq((1, "a")).toDF("k", "v"), 0L)
+    // simulate a crash: v2 data fully written, publish never happened
+    Seq((2, "orphan")).toDF("k", "v").write.parquet(s"$t/v2")
+    assert(TxLog.latestVersion(t).contains(1L))
+    assert(TxLog.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a")))
+    val removed = TxLog.vacuum(t)
+    assert(removed == Seq("v2"))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(t, "v2")))
+    // committed data untouched
+    assert(TxLog.read(spark, t).count() == 1L)
+  }
+
+  test("time travel pins any committed version") {
+    val t = freshTable()
+    import spark.implicits._
+    TxLog.write(spark, t, Seq((1, "v1")).toDF("k", "v"), 0L)
+    TxLog.write(spark, t, Seq((1, "v2"), (2, "v2")).toDF("k", "v"), 1L)
+    TxLog.write(spark, t, Seq((3, "v3")).toDF("k", "v"), 2L)
+    assert(TxLog.readVersion(spark, t, 1L).as[(Int, String)]
+      .collect().toSet == Set((1, "v1")))
+    assert(TxLog.readVersion(spark, t, 2L).count() == 2L)
+    assert(TxLog.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((3, "v3")))
+  }
+}

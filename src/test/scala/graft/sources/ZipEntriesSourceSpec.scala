@@ -19,7 +19,7 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     } finally z.close()
   }
 
-  test("reads every member of every archive; one partition per archive") {
+  test("reads every member of every archive; one partition per MEMBER") {
     val dir = Files.createTempDirectory("zipsrc")
     mkZip(dir, "a.zip", Seq(
       "K1.CNAECSV" -> "0111301;x\n".getBytes("UTF-8"),
@@ -35,7 +35,21 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
       ("a.zip", "K1.CNAECSV", 10L),
       ("a.zip", "K2.MUNIC", 500L),
       ("b.zip", "K3.PAIS", 11L)))
-    assert(df.rdd.getNumPartitions === 2) // one per archive
+    // entry-level splits: a skewed month (one dominating archive) must not
+    // serialize per-member work on one task — 3 members -> 3 partitions
+    assert(df.rdd.getNumPartitions === 3)
+  }
+
+  test("a 2-entry archive scans as 2 partitions") {
+    val dir = Files.createTempDirectory("zipsrc6")
+    mkZip(dir, "big.zip", Seq(
+      "PART1.CSV" -> "a\n".getBytes("UTF-8"),
+      "PART2.CSV" -> "b\n".getBytes("UTF-8")))
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.collect().map(_.getString(1)).toSet ===
+      Set("PART1.CSV", "PART2.CSV"))
   }
 
   test("walks nested directories recursively; empty dir fails fast") {
