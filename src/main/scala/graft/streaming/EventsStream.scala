@@ -366,7 +366,13 @@ object EventsStream {
     */
   private[streaming] def mergeLatest(
       cur: DataFrame, batch: DataFrame): DataFrame = {
-    val b = batch
+    // Key contract: user_id is the merge key and must be non-null. A null
+    // key would never equality-match in the full-outer join, so every
+    // micro-batch would append a fresh null-keyed row instead of merging
+    // (and batchWins would misread a cur-side null as batch-wins). The
+    // event corpus carries no null user_ids; this guard pins the contract
+    // against a future source that does (ADVICE r7).
+    val b = batch.filter(col("user_id").isNotNull)
       .withColumnRenamed("user_id", "b_user_id")
       .withColumnRenamed("last_type", "b_last_type")
       .withColumnRenamed("last_ts", "b_last_ts")
