@@ -28,8 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-member work (decompress, transcode, audit) on one task while the
   * other tasks idle. Member bytes never visit the driver — only names and
   * sizes do (the member row IS that metadata). Column pruning is pushed
-  * down ([[ZipScan.pruneColumns]]); a member-name filter pushdown would
-  * follow the same pattern via `SupportsPushDownFilters`.
+  * down ([[ZipScan.pruneColumns]]), and name predicates on `zip_name` /
+  * `entry_name` prune member partitions at planning
+  * ([[ZipScan.pushFilters]]) — the zip analogue of parquet
+  * partition-column pruning.
   *
   * Usage: `spark.read.format("graft.sources.ZipEntriesSource").load(dir)`.
   */
@@ -64,14 +66,67 @@ class ZipTable(path: String) extends Table with SupportsRead {
 }
 
 /** Scan + builder + batch in one: the source is simple enough that the
-  * three roles share the pruned-schema state.
+  * three roles share the pruned-schema and pushed-filter state.
   */
 class ZipScan(path: String, var required: StructType)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Member-level filter pushdown: name predicates on `zip_name` /
+    * `entry_name` prune INPUT PARTITIONS at planning (each partition IS one
+    * member, so a name filter is partition pruning — the zip analogue of
+    * parquet's partition-column pruning). Every filter is also returned as
+    * a residual so Spark re-applies it — pruning is an optimization, never
+    * the correctness boundary.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => compile(f).isDefined)
+    filters // all residual: Spark re-evaluates post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** A name filter compiled to a (zipName, entryName) => keep predicate;
+    * None = not prunable (left to Spark's residual evaluation).
+    */
+  private def compile(f: Filter): Option[(String, String) => Boolean] = {
+    def col(attr: String): Option[((String, String)) => String] = attr match {
+      case "zip_name" => Some(_._1)
+      case "entry_name" => Some(_._2)
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v: String) => col(a).map(c => (z, e) => c((z, e)) == v)
+      case In(a, vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        col(a).filter(_ => set.size == vs.length)
+          .map(c => (z, e) => set.contains(c((z, e))))
+      case StringStartsWith(a, v) =>
+        col(a).map(c => (z, e) => c((z, e)).startsWith(v))
+      case StringEndsWith(a, v) =>
+        col(a).map(c => (z, e) => c((z, e)).endsWith(v))
+      case StringContains(a, v) =>
+        col(a).map(c => (z, e) => c((z, e)).contains(v))
+      case And(l, r) =>
+        for (cl <- compile(l); cr <- compile(r))
+          yield (z: String, e: String) => cl(z, e) && cr(z, e)
+      case Or(l, r) =>
+        for (cl <- compile(l); cr <- compile(r))
+          yield (z: String, e: String) => cl(z, e) || cr(z, e)
+      case _ => None
+    }
+  }
+
+  private[sources] def keepPartition(zipName: String, entryName: String)
+      : Boolean =
+    pushed.forall(f => compile(f).forall(p => p(zipName, entryName)))
 
   override def build(): Scan = this
   override def readSchema(): StructType = required
@@ -105,10 +160,12 @@ class ZipScan(path: String, var required: StructType)
       math.max(1, math.min(8, zips.length)))
     try {
       val futures = zips.map { z =>
+        val zipName = Paths.get(z).getFileName.toString
         pool.submit(new java.util.concurrent.Callable[Array[InputPartition]] {
           override def call(): Array[InputPartition] = {
             val zf = new ZipFile(z)
             try zf.entries().asScala.filterNot(_.isDirectory)
+              .filter(e => keepPartition(zipName, e.getName))
               .map(e => ZipPartition(z, e.getName): InputPartition).toArray
             finally zf.close()
           }

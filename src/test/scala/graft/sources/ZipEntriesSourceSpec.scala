@@ -69,6 +69,31 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("no .zip files")))
   }
 
+  test("name filters prune member partitions at planning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zipsrc7")
+    mkZip(dir, "a.zip", Seq(
+      "K1.EMPRECSV" -> "x\n".getBytes("UTF-8"),
+      "K2.ESTABELE" -> "y\n".getBytes("UTF-8"),
+      "K3.SOCIOCSV" -> "z\n".getBytes("UTF-8")))
+    mkZip(dir, "b.zip", Seq("K4.EMPRECSV" -> "w\n".getBytes("UTF-8")))
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    // suffix predicate: only the 2 EMPRECSV members plan as partitions
+    val emp = df.filter($"entry_name".endsWith("EMPRECSV"))
+    assert(emp.rdd.getNumPartitions === 2)
+    assert(emp.collect().map(_.getString(1)).toSet ===
+      Set("K1.EMPRECSV", "K4.EMPRECSV"))
+    // conjunction with zip_name narrows to 1
+    val one = df.filter($"entry_name".endsWith("EMPRECSV") &&
+      $"zip_name" === "b.zip")
+    assert(one.rdd.getNumPartitions === 1)
+    // non-name predicates (size) are residual-only: no pruning, same rows
+    val bySize = df.filter($"size" > 0L)
+    assert(bySize.rdd.getNumPartitions === 4)
+    assert(bySize.count() === 4L)
+  }
+
   test("column pruning reaches the scan") {
     val dir = Files.createTempDirectory("zipsrc2")
     mkZip(dir, "a.zip", Seq("K1.CNAECSV" -> "x\n".getBytes("UTF-8")))
