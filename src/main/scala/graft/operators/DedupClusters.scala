@@ -193,26 +193,30 @@ object DedupClusters {
     }),
   )
 
-  /** Oracle: exact all-pairs Jaccard pairs (the proven dd02 equivalent) +
-    * recursive-CTE reachability, MIN(reachable) per node. Tractable only at
-    * oracle scale; the Spark path propagates labels instead.
+  /** The shared exact-Jaccard `pairs` CTE body over
+    * [[MinHashDedup.shingleCandidatesCteSql]]'s candidates (shingle-keyed +
+    * length-prefiltered — provably the same pair set as the old all-pairs
+    * join, ~18x cheaper for the oracle engine at sf0.1).
+    */
+  private def jaccardPairsCteSql: String =
+    """pairs AS (
+      |   SELECT c.id1, c.id2
+      |   FROM cand c JOIN sh a ON a.doc_id = c.id1
+      |    JOIN sh b ON b.doc_id = c.id2
+      |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |     >= 0.8)""".stripMargin
+
+  /** Oracle: exact candidate-keyed Jaccard pairs (the proven dd02
+    * equivalent) + recursive-CTE reachability, MIN(reachable) per node.
+    * The Spark path propagates labels instead.
     */
   val oracle: Map[String, String] = ListMap(
     "dd06_dedup_clusters" ->
-      """WITH RECURSIVE
-        | w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |       FROM documents),
-        | sh AS (SELECT doc_id, list_distinct(list_transform(
-        |     range(1, greatest(len(words) - 2, 1) + 1),
-        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
-        |   FROM w),
-        | pairs AS (
-        |   SELECT a.doc_id AS id1, b.doc_id AS id2
-        |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-        |     >= 0.8),
-        | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      s"""WITH RECURSIVE
+         | ${MinHashDedup.shingleCandidatesCteSql},
+         | $jaccardPairsCteSql,
+         | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
         |           UNION ALL SELECT id2, id1 FROM pairs),
         | walk(id, r) AS (
         |   SELECT doc_id, doc_id FROM documents
@@ -242,20 +246,10 @@ object DedupClusters {
 
     // dd06's reachability CTE, then the same md5-of-cluster split rule.
     "tx16_leakage_split" ->
-      """WITH RECURSIVE
-        | w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |       FROM documents),
-        | sh AS (SELECT doc_id, list_distinct(list_transform(
-        |     range(1, greatest(len(words) - 2, 1) + 1),
-        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
-        |   FROM w),
-        | pairs AS (
-        |   SELECT a.doc_id AS id1, b.doc_id AS id2
-        |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-        |     >= 0.8),
-        | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      s"""WITH RECURSIVE
+         | ${MinHashDedup.shingleCandidatesCteSql},
+         | $jaccardPairsCteSql,
+         | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
         |           UNION ALL SELECT id2, id1 FROM pairs),
         | walk(id, r) AS (
         |   SELECT doc_id, doc_id FROM documents
@@ -275,18 +269,8 @@ object DedupClusters {
     // as a deterministic ROW_NUMBER pick (logit DESC, doc_id).
     "dd13_keep_best" ->
       s"""WITH RECURSIVE
-         | w AS (SELECT doc_id, string_split(text, ' ') AS words
-         |       FROM documents),
-         | sh AS (SELECT doc_id, list_distinct(list_transform(
-         |     range(1, greatest(len(words) - 2, 1) + 1),
-         |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
-         |   FROM w),
-         | pairs AS (
-         |   SELECT a.doc_id AS id1, b.doc_id AS id2
-         |   FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-         |   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         |     >= 0.8),
+         | ${MinHashDedup.shingleCandidatesCteSql},
+         | $jaccardPairsCteSql,
          | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
          |           UNION ALL SELECT id2, id1 FROM pairs),
          | walk(id, r) AS (

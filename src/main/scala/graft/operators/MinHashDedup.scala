@@ -285,49 +285,62 @@ object MinHashDedup {
     }),
   )
 
-  /** Exact all-pairs equivalents — tractable for the oracle at sf0.01
-    * because the corpus is small; the Spark queries produce the same result
-    * through the sketch-pruned (scalable) path.
+  /** Shared oracle prefix for every exact-Jaccard oracle (dd02/dd11 here;
+    * dd06/tx16/dd13 in [[DedupClusters]]): shingle sets, then CANDIDATE
+    * pairs keyed on a shared shingle with an exact integer length
+    * prefilter. Semantically identical to the old all-pairs join — J(A,B)
+    * >= 0.8 > 0 implies at least one shared shingle AND 5*min(|A|,|B|) >=
+    * 4*max(|A|,|B|) (J <= min/max) — but the oracle engine now touches
+    * only pairs that can qualify instead of |docs|^2/2: the sf0.1 sweep
+    * measured 660 s -> 37 s for dd02. The same candidates-not-cross-join
+    * discipline the Spark side has always used, applied to the oracle.
+    */
+  private[operators] val shingleCandidatesCteSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |    FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(list_transform(
+      |     range(1, greatest(len(words) - 2, 1) + 1),
+      |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+      |   FROM w),
+      | ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+      | cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |   FROM ex a JOIN ex b ON b.g = a.g AND b.doc_id > a.doc_id
+      |   WHERE b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4)""".stripMargin
+
+  /** Exact candidate-keyed equivalents — the Spark queries produce the same
+    * result through the sketch-pruned (scalable) path.
     */
   val oracle: Map[String, String] = ListMap(
     "dd02_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |    FROM documents),
-        | sh AS (SELECT doc_id, list_distinct(list_transform(
-        |     range(1, greatest(len(words) - 2, 1) + 1),
-        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
-        |   FROM w)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-        |   AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
-        |ORDER BY jaccard DESC, id1, id2""".stripMargin,
+      s"""WITH $shingleCandidatesCteSql
+         |SELECT c.id1, c.id2,
+         | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   AS jaccard
+         |FROM cand c JOIN sh a ON a.doc_id = c.id1
+         | JOIN sh b ON b.doc_id = c.id2
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |ORDER BY jaccard DESC, id1, id2""".stripMargin,
 
-    // dd02's exact all-pairs oracle with the cross-group predicate.
+    // dd02's exact candidate-keyed oracle with the cross-group predicate.
     "dd11_cross_corpus_neardup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |    FROM documents),
-        | sh AS (SELECT doc_id, list_distinct(list_transform(
-        |     range(1, greatest(len(words) - 2, 1) + 1),
-        |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
-        |   FROM w),
-        | g AS (SELECT doc_id,
-        |     CAST(regexp_extract(source, '[0-9]+') AS INT) < 10 AS curated
-        |   FROM documents)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-        |   AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        | JOIN g ga ON ga.doc_id = a.doc_id
-        | JOIN g gb ON gb.doc_id = b.doc_id
-        |WHERE ga.curated <> gb.curated
-        | AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
-        |ORDER BY jaccard DESC, id1, id2""".stripMargin,
+      s"""WITH $shingleCandidatesCteSql,
+         | g AS (SELECT doc_id,
+         |     CAST(regexp_extract(source, '[0-9]+') AS INT) < 10 AS curated
+         |   FROM documents)
+         |SELECT c.id1, c.id2,
+         | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   AS jaccard
+         |FROM cand c JOIN sh a ON a.doc_id = c.id1
+         | JOIN sh b ON b.doc_id = c.id2
+         | JOIN g ga ON ga.doc_id = c.id1
+         | JOIN g gb ON gb.doc_id = c.id2
+         |WHERE ga.curated <> gb.curated
+         | AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         |ORDER BY jaccard DESC, id1, id2""".stripMargin,
 
     "dd03_simhash" ->
       """WITH tok AS (
