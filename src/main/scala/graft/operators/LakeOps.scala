@@ -281,6 +281,34 @@ object LakeOps {
         .orderBy("month")
     }),
 
+    // Time travel through the transaction log — TxLog's read path as an
+    // oracle-gated query, not just a spec: two versions of an orders table
+    // are COMMITTED through the protocol (v1 = the raw snapshot, v2 = the
+    // md01 MERGE applied), then each version is read back BY VERSION PIN
+    // and audited (row count + exact cents total). The oracle recomputes
+    // both audits from the source table directly, so the gate proves the
+    // log returns exactly the committed bytes for every version — a reader
+    // of v1 is unaffected by v2's commit. Scale shape: the versioned data
+    // dirs are ordinary parquet (full pushdown); the log adds one
+    // metadata listing per read, never per task.
+    "md08_time_travel" -> ((s, dir) => {
+      val lake = java.nio.file.Files
+        .createTempDirectory("md08_lake").toString
+      MinHashDedup.registerScratchDir(lake)
+      val base = Tables(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = TxLog.write(s, lake, base, 0L, action = "snapshot")
+      val merged = mergedOrdersPlan(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      TxLog.write(s, lake, merged, v1, action = "merge")
+      def audit(version: Long): DataFrame =
+        TxLog.readVersion(s, lake, version)
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+          .select(lit(version).cast("long").as("version"),
+            col("n_rows"), col("total_cents"))
+      audit(1L).unionByName(audit(2L)).orderBy("version")
+    }),
+
     // Z-order clustering key — the 2-D data-skipping sort key a lake
     // compaction writes (Delta OPTIMIZE ZORDER BY / Iceberg sort orders):
     // bit-interleave of (o_custkey & 0xFFFF, epoch-day(o_orderdate) &
@@ -525,6 +553,26 @@ object LakeOps {
         | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   // COUNT(*) AS avg_cents
         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    // Both version audits recomputed from the source table: v1 = the raw
+    // snapshot, v2 = md01's MERGE contract (survivors with the update
+    // applied + inserts). The +1.0 update rides the same double add before
+    // the cents rounding as the Spark side (exact in FP), so totals match
+    // bit-for-bit.
+    "md08_time_travel" ->
+      """WITH b AS (SELECT o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CAST(round((o_totalprice + 1.0) * 100) AS BIGINT) AS cents_upd
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(c) AS BIGINT) FROM (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN cents_upd ELSE cents END
+        |    AS c FROM b WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT cents FROM b WHERE o_orderkey % 10 = 7)
+        |ORDER BY version""".stripMargin,
 
     // The identical bit algebra, DuckDB shift syntax.
     "md06_zorder_key" -> {
