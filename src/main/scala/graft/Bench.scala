@@ -128,7 +128,12 @@ object Bench {
     // full-precision per-query numbers live in bench_detail.json.
     def num1(v: Double): String =
       if (v >= 9.95) math.round(v).toString // "11", not "10.8": line budget
-      else (math.round(v * 10) / 10.0).toString
+      else {
+        val d = math.round(v * 10) // deciseconds
+        // whole seconds print bare ("1", not "1.0") — ~13 queries x 2
+        // chars of line budget at the current suite size
+        if (d % 10 == 0) (d / 10).toString else (d / 10.0).toString
+      }
     // The harness captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; full query names at nanosecond precision
     // overflow it (~3.5 KB) and the line never parses. So the printed line
