@@ -166,9 +166,26 @@ object Bench {
     val fullErrs = errMap.toSeq.map { case (k, e) =>
       jstr(k) + ":" + jstr(e.take(300))
     }.mkString("{", ",", "}")
+    // Embed the pipeline bench's durable artifact (if one has been
+    // produced) so bench_detail.json stays the one-stop detail file even
+    // though this write replaces it wholesale — r8 lost the pipeline
+    // section to exactly this overwrite.
+    val pipeSection = {
+      val p = java.nio.file.Paths.get("pipeline_bench.json")
+      if (!java.nio.file.Files.isRegularFile(p)) ""
+      else {
+        val t = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        // expected shape {"pipeline":{...}} — splice its body as a sibling
+        // key; anything else is ignored rather than corrupting the detail
+        if (t.startsWith("{") && t.endsWith("}") && t.length > 2)
+          "," + t.substring(1, t.length - 1)
+        else ""
+      }
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"sf":"$sfDir"$pipeSection}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sfName = new java.io.File(sfDir).getName
     val full =

@@ -20,8 +20,13 @@ import graft.pipeline.{LocalFetcher, RfbPipeline}
   * accents so the transcode phase does real charset work), 10 Socios parts
   * (11 cols), 1 Simples (7 cols), 6 dimension zips (2 cols, one with BOM).
   *
-  * Emits one JSON line `{"pipeline":{...}}` and merges a `"pipeline"`
-  * section into `bench_detail.json` beside the query bench's output.
+  * Emits one JSON line `{"pipeline":{...}}` and writes it DURABLY to its
+  * own `pipeline_bench.json` — never by editing `bench_detail.json` in
+  * place (r8's in-place string merge was clobbered by the next query-bench
+  * run, and re-running it appended duplicate `"pipeline"` keys — the r8
+  * ADVICE finding). The query bench ([[Bench]]) embeds this file as the
+  * `"pipeline"` section whenever it writes `bench_detail.json`, so the
+  * merged view survives in whichever order the two benches run.
   */
 object PipelineBench {
 
@@ -160,19 +165,9 @@ object PipelineBench {
     val frag =
       s"""{"rows_small":${runScale(spark, small)},""" +
         s""""rows_large":${runScale(spark, large)}}"""
-    // merge into bench_detail.json when the query bench already wrote one
-    val detail = Paths.get("bench_detail.json")
-    if (Files.exists(detail)) {
-      val txt = new String(Files.readAllBytes(detail), StandardCharsets.UTF_8)
-        .trim
-      if (txt.endsWith("}")) {
-        val merged =
-          txt.dropRight(1) + s""","pipeline":$frag}"""
-        Files.write(detail, merged.getBytes(StandardCharsets.UTF_8))
-      }
-    } else
-      Files.write(Paths.get("pipeline_bench.json"),
-        s"""{"pipeline":$frag}""".getBytes(StandardCharsets.UTF_8))
+    // overwrite-on-rerun: one well-formed artifact, no duplicate keys
+    Files.write(Paths.get("pipeline_bench.json"),
+      s"""{"pipeline":$frag}""".getBytes(StandardCharsets.UTF_8))
     operators.MinHashDedup.clearScratch()
     spark.stop()
     println(s"""{"pipeline":$frag}""")

@@ -1,9 +1,11 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -21,10 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   table/
-  *     _txlog/00000000000000000001.json   // one file per committed version
-  *     _txlog/00000000000000000002.json
-  *     v1-3fa9c1d2/ part-*.parquet        // data dirs: writer-unique names,
-  *     v2-8be40a77/ part-*.parquet        // immutable once committed
+  *     _txlog/00000000000000000001.json            // one file per commit
+  *     _txlog/00000000000000000010.json
+  *     _txlog/00000000000000000010.checkpoint.json // every N commits
+  *     _txlog/_last_checkpoint                     // pointer (hint)
+  *     v1-3fa9c1d2/ part-*.parquet   // data dirs: writer-unique names,
+  *     v2-8be40a77/ part-*.parquet   // immutable once committed
   * }}}
   *
   *  - '''Commit''' = write the commit record to a temp file, then publish it
@@ -37,15 +41,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - '''Read''' = latest committed version only. Data dirs without a commit
   *    file (crashed or losing writers) are invisible by construction —
   *    readers never list data dirs, only the log.
+  *  - '''Checkpoint''' = every [[checkpointInterval]] commits the winning
+  *    writer duplicates its record as `<version>.checkpoint.json` and
+  *    atomically replaces the `_last_checkpoint` pointer (Delta's exact
+  *    layout). [[latestVersion]] then reads the pointer and PROBES forward
+  *    `<v+1>.json`, `<v+2>.json`, … — versions are contiguous by the CAS, so
+  *    existence probes from the last checkpoint find the head in
+  *    O(commits since checkpoint) without ever listing the log directory
+  *    (a 100k-commit table costs the same read as a 10-commit one). The
+  *    pointer is a hint: corrupt/stale/missing degrades to the listing
+  *    path, never to a wrong answer.
   *  - '''Time travel''' = pin any committed version.
-  *  - '''Vacuum''' = delete data dirs no commit references (safe because
-  *    losers/crashers never publish).
+  *  - '''Vacuum''' = delete data dirs no commit references. Guarded by a
+  *    retention window (default 15 min, like Delta's VACUUM): an IN-FLIGHT
+  *    writer's staging dir — written but not yet committed — looks exactly
+  *    like a crash orphan, and deleting it would publish a version whose
+  *    data is gone. Age-gating makes vacuum safe alongside live writers
+  *    whose write→commit gap is shorter than the window; `retainMs = 0` is
+  *    for tests/offline maintenance ONLY.
+  *  - '''Cleanup''' = [[cleanupBefore]] caps `_txlog/` growth by dropping
+  *    commit files older than a checkpointed horizon. Checkpoint files are
+  *    always kept, so time travel to checkpointed versions survives;
+  *    cleaned non-checkpoint versions become unreadable — the same
+  *    retention trade Delta's `logRetentionDuration` makes.
   *
-  * Scale notes: the log is O(commits) tiny JSON files, listed (not read)
-  * for the latest version — the same listing a 1000-executor driver does
-  * once per query plan, never per task. Data stays in parquet dirs that
-  * Spark reads with full pushdown; the protocol adds zero cost to the scan
-  * path. A real multi-writer object-store deployment would swap
+  * Scale notes: the hot read path is one pointer read + a handful of
+  * existence probes — the same per-PLAN (never per-task) metadata cost a
+  * 1000-executor driver pays once per query. Data stays in parquet dirs
+  * that Spark reads with full pushdown; the protocol adds zero cost to the
+  * scan path. A real multi-writer object-store deployment would swap
   * `createLink` for the store's put-if-absent (S3 conditional PUT, ABFS
   * rename-without-overwrite) — the protocol shape is identical.
   */
@@ -56,13 +80,32 @@ object TxLog {
 
   final case class Commit(version: Long, dataDir: String, action: String)
 
+  /** A checkpoint (+ pointer update) is written every N commits. */
+  val checkpointInterval: Int = 10
+
+  /** Default vacuum retention: staging dirs younger than this are presumed
+    * in-flight (written, not yet committed) and never reclaimed.
+    */
+  val defaultVacuumRetainMs: Long = 15L * 60 * 1000
+
+  private val mapper = new ObjectMapper
+
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
 
   private def commitFile(table: String, version: Long): Path =
     logDir(table).resolve(f"$version%020d.json")
 
-  /** Versions with a published commit file, ascending. Listing only — the
-    * records themselves are read lazily by [[commitRecord]].
+  private def checkpointFile(table: String, version: Long): Path =
+    logDir(table).resolve(f"$version%020d.checkpoint.json")
+
+  private def pointerFile(table: String): Path =
+    logDir(table).resolve("_last_checkpoint")
+
+  /** Versions with a published commit OR checkpoint file, ascending (one
+    * directory listing — the cold/maintenance path; hot reads go through
+    * [[latestVersion]]'s pointer+probe). Checkpoint files count so that
+    * [[vacuum]] after [[cleanupBefore]] still sees checkpointed versions'
+    * data dirs as referenced.
     */
   def versions(table: String): Seq[Long] = {
     val dir = logDir(table)
@@ -71,29 +114,66 @@ object TxLog {
       val s = Files.list(dir)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .flatMap(n => n.stripSuffix(".json").toLongOption)
-        .toSeq.sorted
+        .flatMap { n =>
+          if (n.endsWith(".checkpoint.json"))
+            n.stripSuffix(".checkpoint.json").toLongOption
+          else if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption
+          else None
+        }
+        .toSeq.distinct.sorted
       finally s.close()
     }
   }
 
-  def latestVersion(table: String): Option[Long] = versions(table).lastOption
+  /** The last-checkpoint pointer, if present and readable (a hint — stale
+    * or corrupt degrades to the listing path, never to a wrong answer).
+    */
+  private def checkpointHint(table: String): Option[Long] =
+    try {
+      val p = pointerFile(table)
+      if (!Files.isRegularFile(p)) None
+      else Option(mapper.readTree(Files.readAllBytes(p)).get("version"))
+        .filter(_.canConvertToLong).map(_.asLong)
+        // guard: a hint pointing past the head (possible only via manual
+        // log surgery) must not make latestVersion invent versions
+        .filter(v => Files.isRegularFile(commitFile(table, v)) ||
+          Files.isRegularFile(checkpointFile(table, v)))
+    } catch { case _: Exception => None }
+
+  /** Latest committed version: pointer read + forward existence probes
+    * (versions are contiguous by the CAS), falling back to one listing when
+    * no checkpoint exists yet. Never lists the log when a checkpoint is
+    * present — O(commits since checkpoint), not O(commits).
+    */
+  def latestVersion(table: String): Option[Long] = {
+    val start = checkpointHint(table) match {
+      case Some(v) => v
+      case None => versions(table).lastOption.getOrElse(0L)
+    }
+    var v = start
+    while (Files.isRegularFile(commitFile(table, v + 1))) v += 1
+    if (v == 0L) None else Some(v)
+  }
 
   def commitRecord(table: String, version: Long): Commit = {
-    val txt = new String(
-      Files.readAllBytes(commitFile(table, version)), StandardCharsets.UTF_8)
-    def field(k: String): String = {
-      val m = s""""$k":"([^"]*)"""".r.findFirstMatchIn(txt)
-      m.map(_.group(1)).getOrElse(
+    val f = commitFile(table, version)
+    val src = // cleaned-up versions survive through their checkpoint record
+      if (Files.isRegularFile(f)) f else checkpointFile(table, version)
+    val txt = new String(Files.readAllBytes(src), StandardCharsets.UTF_8)
+    val node = mapper.readTree(txt)
+    def field(k: String): String =
+      Option(node.get(k)).map(_.asText).getOrElse(
         throw new IllegalStateException(s"corrupt commit $version: $txt"))
-    }
     Commit(field("version").toLong, field("dataDir"), field("action"))
   }
 
   /** Publish `dataDir` as version `expected + 1` — the CAS step. The data
     * must already be fully written (it becomes immutable on publish).
-    * Throws [[CommitConflict]] if another writer committed first.
+    * Throws [[CommitConflict]] if another writer committed first. Every
+    * [[checkpointInterval]]-th version also writes its checkpoint record and
+    * moves the `_last_checkpoint` pointer (best-effort: a failed checkpoint
+    * write leaves a committed version and a stale hint — slower reads, same
+    * answers).
     */
   def commit(table: String, expected: Long, dataDir: String,
       action: String = "write"): Long = {
@@ -103,13 +183,26 @@ object TxLog {
     Files.createDirectories(logDir(table))
     val rec =
       s"""{"version":"$version","dataDir":"$dataDir","action":"$action"}"""
+    val bytes = rec.getBytes(StandardCharsets.UTF_8)
     val tmp = Files.createTempFile(logDir(table), s".tmp-$version-", ".json")
-    Files.write(tmp, rec.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     try Files.createLink(commitFile(table, version), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw CommitConflict(table, version)
     } finally Files.deleteIfExists(tmp)
+    if (version % checkpointInterval == 0)
+      try {
+        Files.write(checkpointFile(table, version), bytes)
+        val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
+        Files.write(ptmp, s"""{"version":$version}""".getBytes(
+          StandardCharsets.UTF_8))
+        // plain atomic replace (not CAS): the pointer is a monotonic hint;
+        // two racing checkpointers leave SOME committed version here and
+        // probing walks forward from it
+        Files.move(ptmp, pointerFile(table),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Exception => () }
     version
   }
 
@@ -147,22 +240,62 @@ object TxLog {
   }
 
   /** Delete data dirs no commit references (orphans from crashed or losing
-    * writers). Never touches the log or committed dirs. Returns removed dirs.
+    * writers), SKIPPING dirs modified within `retainMs` — an in-flight
+    * writer between write() and commit() is indistinguishable from a crash
+    * orphan, and reclaiming its staging dir would commit a version with no
+    * data behind it. Never touches the log or committed dirs. Returns the
+    * removed dir names. `retainMs = 0` (reclaim everything unreferenced,
+    * the pre-retention behavior) requires NO concurrent writers — tests and
+    * offline maintenance only.
     */
-  def vacuum(table: String): Seq[String] = {
+  def vacuum(table: String,
+      retainMs: Long = defaultVacuumRetainMs): Seq[String] = {
     val committed = versions(table).map(commitRecord(table, _).dataDir).toSet
     val root = Paths.get(table)
     if (!Files.isDirectory(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis - retainMs
     val s = Files.list(root)
     val orphans =
       try s.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("v") &&
-          !committed.contains(p.getFileName.toString))
+          !committed.contains(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
         .toSeq
       finally s.close()
     orphans.foreach(deleteRecursively)
     orphans.map(_.getFileName.toString)
+  }
+
+  /** Cap `_txlog/` growth: drop plain commit files for versions strictly
+    * below `horizon`, where `horizon` must be at or below an existing
+    * checkpoint (so [[latestVersion]]'s probe path and [[versions]] both
+    * stay anchored). Checkpoint files and the pointer are never removed.
+    * Cleaned versions lose time travel unless checkpointed — Delta's
+    * `logRetentionDuration` trade. Their data dirs become vacuum-eligible
+    * orphans unless a checkpoint still references them. Returns the removed
+    * file names.
+    */
+  def cleanupBefore(table: String, horizon: Long): Seq[String] = {
+    val ckpts = {
+      val dir = logDir(table)
+      if (!Files.isDirectory(dir)) Seq.empty[Long]
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".checkpoint.json"))
+          .flatMap(_.stripSuffix(".checkpoint.json").toLongOption)
+          .toSeq.sorted
+        finally s.close()
+      }
+    }
+    require(ckpts.exists(_ >= horizon),
+      s"cleanup horizon $horizon has no checkpoint at or above it — " +
+        "readers would lose the log head anchor")
+    val doomed = versions(table)
+      .filter(v => v < horizon && Files.isRegularFile(commitFile(table, v)))
+    doomed.foreach(v => Files.deleteIfExists(commitFile(table, v)))
+    doomed.map(v => commitFile(table, v).getFileName.toString)
   }
 
   private def deleteRecursively(p: Path): Unit = {

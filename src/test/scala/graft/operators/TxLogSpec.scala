@@ -84,11 +84,46 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.latestVersion(t).contains(1L))
     assert(TxLog.read(spark, t).as[(Int, String)].collect().toSet ==
       Set((1, "a")))
-    val removed = TxLog.vacuum(t)
+    // default retention: a just-written dir is indistinguishable from an
+    // IN-FLIGHT writer's staging dir, so vacuum must not touch it
+    assert(TxLog.vacuum(t).isEmpty)
+    assert(Files.isDirectory(java.nio.file.Paths.get(t, "v2")))
+    // retainMs = 0 (offline maintenance, no concurrent writers) reclaims it
+    val removed = TxLog.vacuum(t, retainMs = 0L)
     assert(removed == Seq("v2"))
     assert(!Files.isDirectory(java.nio.file.Paths.get(t, "v2")))
     // committed data untouched
     assert(TxLog.read(spark, t).count() == 1L)
+  }
+
+  test("1000 commits: checkpoint pointer + probe read; cleanup caps the log") {
+    val t = freshTable()
+    // log-protocol-only commits (no parquet behind the fake dirs — this
+    // test exercises the metadata path, not the scan)
+    (1 to 1000).foreach(v => TxLog.commit(t, v - 1, s"d$v"))
+    assert(TxLog.latestVersion(t).contains(1000L))
+    val log = java.nio.file.Paths.get(t, "_txlog")
+    assert(Files.isRegularFile(log.resolve("_last_checkpoint")))
+    assert(Files.isRegularFile(
+      log.resolve(f"${1000L}%020d.checkpoint.json")))
+    // drop the 989 plain commit files below the v990 checkpoint: the head
+    // is still found via pointer + forward probes — the read path provably
+    // does not depend on listing (or even having) the cleaned files
+    val dropped = TxLog.cleanupBefore(t, 990L)
+    assert(dropped.size == 989)
+    assert(TxLog.latestVersion(t).contains(1000L))
+    assert(TxLog.commitRecord(t, 995L).dataDir == "d995")
+    // a checkpointed version below the horizon survives via its checkpoint
+    assert(TxLog.commitRecord(t, 980L).dataDir == "d980")
+    // a non-checkpointed cleaned version is gone — the documented trade
+    intercept[java.nio.file.NoSuchFileException] {
+      TxLog.commitRecord(t, 985L)
+    }
+    // cleanup refuses a horizon with no checkpoint anchor at/above it
+    TxLog.commit(t, 1000L, "d1001")
+    intercept[IllegalArgumentException] {
+      TxLog.cleanupBefore(t, 1001L)
+    }
   }
 
   test("time travel pins any committed version") {

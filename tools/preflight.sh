@@ -41,5 +41,7 @@ echo "== gate 2: specs for touched families: $SPECS =="
 # the QueriesSpec glob always matches and is the oracle-shaped end-to-end net.
 sbt -batch "Test/testOnly $SPECS" >/tmp/preflight_test.log 2>&1 || {
   tail -40 /tmp/preflight_test.log; echo "PREFLIGHT FAIL: specs"; exit 1; }
-grep -E 'Tests: succeeded|All tests passed' /tmp/preflight_test.log | tail -3
+# informational only — sbt's exit code above is the gate; '|| true' keeps a
+# phrasing change in sbt's summary from failing the preflight under set -e
+grep -E 'Tests: succeeded|All tests passed' /tmp/preflight_test.log | tail -3 || true
 echo "PREFLIGHT OK"
