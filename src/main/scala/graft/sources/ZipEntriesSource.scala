@@ -19,19 +19,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * run as ordinary distributed queries (SURVEY §2.1 #1/#3: the reference
   * walks archives imperatively on one thread, `main.py:111-115`).
   *
-  * Scale shape: the driver LISTS the zip files and reads each archive's
+  * Scale shape: planning LISTS the zip files and reads each archive's
   * CENTRAL DIRECTORY — a bounded tail-of-file metadata read, the same
   * class of work as the parquet footer reads file-source planning does —
-  * and emits ONE INPUT PARTITION PER MEMBER. Entry-level splits matter
-  * because the real RFB months are skewed: one archive (Estabelecimentos)
-  * dominates, and per-archive partitions serialize all downstream
-  * per-member work (decompress, transcode, audit) on one task while the
-  * other tasks idle. Member bytes never visit the driver — only names and
-  * sizes do (the member row IS that metadata). Column pruning is pushed
-  * down ([[ZipScan.pruneColumns]]), and name predicates on `zip_name` /
-  * `entry_name` prune member partitions at planning
-  * ([[ZipScan.pushFilters]]) — the zip analogue of parquet
-  * partition-column pruning.
+  * and emits ONE INPUT PARTITION PER MEMBER, carrying the member's
+  * directory record (name + sizes) in the partition itself. Entry-level
+  * splits matter because the real RFB months are skewed: one archive
+  * (Estabelecimentos) dominates, and per-archive partitions serialize all
+  * downstream per-member work (decompress, transcode, audit) on one task
+  * while the other tasks idle. Carrying the record (16 bytes of metadata)
+  * instead of re-resolving the name at read time also makes DUPLICATE
+  * entry names — legal in zip — come back as N distinct rows with their
+  * own sizes (`ZipFile.getEntry(name)` resolves every duplicate to the
+  * first record), and drops the per-task archive reopen entirely: the
+  * reader emits straight from the partition. Member BYTES never visit
+  * anything — this is a metadata source.
+  *
+  * Directory reads run on a bounded driver pool for ordinary months
+  * (~37 archives), and shift to a distributed Spark job when the archive
+  * count exceeds `zip.distributedPlanningThreshold` (default 64) — at
+  * 100k archives a serial driver walk is the planning bottleneck, the
+  * same evolution parquet footer reading went through. Both paths emit
+  * identical partitions (spec-asserted).
+  *
+  * Column pruning is pushed down ([[ZipScan.pruneColumns]]), and name
+  * predicates on `zip_name` / `entry_name` prune member partitions at
+  * planning ([[ZipScan.pushFilters]]) — the zip analogue of parquet
+  * partition-column pruning. Pushed filters are compiled ONCE per scan
+  * (not per member × filter — the planning walk is O(members)).
   *
   * Usage: `spark.read.format("graft.sources.ZipEntriesSource").load(dir)`.
   */
@@ -62,41 +77,28 @@ class ZipTable(path: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipScan(Option(path).getOrElse(options.get("path")),
-      ZipEntriesSource.schema)
+      ZipEntriesSource.schema,
+      options.getInt("zip.distributedPlanningThreshold",
+        ZipScan.DefaultDistributedPlanningThreshold))
 }
 
-/** Scan + builder + batch in one: the source is simple enough that the
-  * three roles share the pruned-schema and pushed-filter state.
-  */
-class ZipScan(path: String, var required: StructType)
-    extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+object ZipScan {
+  /** Archive count above which central-directory reads ship to executors
+    * instead of the driver pool. ~37-archive months stay driver-side (a
+    * Spark job has fixed latency the small case shouldn't pay); a lake of
+    * archives plans distributed.
+    */
+  val DefaultDistributedPlanningThreshold = 64
 
   import org.apache.spark.sql.sources._
 
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  /** Member-level filter pushdown: name predicates on `zip_name` /
-    * `entry_name` prune INPUT PARTITIONS at planning (each partition IS one
-    * member, so a name filter is partition pruning — the zip analogue of
-    * parquet's partition-column pruning). Every filter is also returned as
-    * a residual so Spark re-applies it — pruning is an optimization, never
-    * the correctness boundary.
-    */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => compile(f).isDefined)
-    filters // all residual: Spark re-evaluates post-scan
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
   /** A name filter compiled to a (zipName, entryName) => keep predicate;
-    * None = not prunable (left to Spark's residual evaluation).
+    * None = not prunable (left to Spark's residual evaluation). Static so
+    * the distributed planning closure captures filters (serializable),
+    * never the scan.
     */
-  private def compile(f: Filter): Option[(String, String) => Boolean] = {
+  private[sources] def compile(f: Filter)
+      : Option[(String, String) => Boolean] = {
     def col(attr: String): Option[((String, String)) => String] = attr match {
       case "zip_name" => Some(_._1)
       case "entry_name" => Some(_._2)
@@ -124,22 +126,73 @@ class ZipScan(path: String, var required: StructType)
     }
   }
 
-  private[sources] def keepPartition(zipName: String, entryName: String)
-      : Boolean =
-    pushed.forall(f => compile(f).forall(p => p(zipName, entryName)))
+  /** One archive's members as partitions: central-directory iteration (no
+    * decompression), keep-filtered, with each member's directory record
+    * captured in its partition. Runs on the driver pool OR inside the
+    * distributed planning job — one body, identical partitions either path.
+    */
+  private[sources] def membersOf(zipPath: String,
+      keep: Array[(String, String) => Boolean]): Array[ZipPartition] = {
+    val zipName = Paths.get(zipPath).getFileName.toString
+    val zf = new ZipFile(zipPath)
+    try zf.entries().asScala.zipWithIndex
+      .filterNot(_._1.isDirectory)
+      .filter { case (e, _) => keep.forall(_(zipName, e.getName)) }
+      .map { case (e, i) =>
+        ZipPartition(zipPath, e.getName, e.getSize, e.getCompressedSize, i)
+      }
+      .toArray
+    finally zf.close()
+  }
+}
+
+/** Scan + builder + batch in one: the source is simple enough that the
+  * three roles share the pruned-schema and pushed-filter state.
+  */
+class ZipScan(path: String, var required: StructType,
+    distThreshold: Int = ZipScan.DefaultDistributedPlanningThreshold)
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
+  // compiled ONCE here; the planning walk applies them O(members) times
+  private var compiled: Array[(String, String) => Boolean] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Member-level filter pushdown: name predicates on `zip_name` /
+    * `entry_name` prune INPUT PARTITIONS at planning (each partition IS one
+    * member, so a name filter is partition pruning — the zip analogue of
+    * parquet's partition-column pruning). Every filter is also returned as
+    * a residual so Spark re-applies it — pruning is an optimization, never
+    * the correctness boundary.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val compilable = filters.flatMap(f => ZipScan.compile(f).map(f -> _))
+    pushed = compilable.map(_._1)
+    compiled = compilable.map(_._2)
+    filters // all residual: Spark re-evaluates post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = this
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // driver-side: LIST archives, then read each central directory (a
-  // bounded metadata read off the archive tail — parquet-footer-class
-  // work, parallelized over a small pool exactly like the file source's
-  // footer reads) and split to ONE PARTITION PER MEMBER. The walk is
+  // Planning: LIST archives, then read each central directory and split to
+  // ONE PARTITION PER MEMBER carrying its directory record. The walk is
   // RECURSIVE like the built-in file sources, so nested layouts
   // (dir/month=…/x.zip) scan their archives instead of silently yielding
   // an empty table; a directory with zero archives is a loud error for
   // the same reason (a typo'd path must not look like an empty corpus).
+  // ≤ distThreshold archives: bounded driver pool (parquet-footer-class
+  // work). Above it: a Spark job reads directories on executors and
+  // collects only the member metadata — the driver never serially opens
+  // 100k archive tails.
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val zips =
@@ -155,74 +208,90 @@ class ZipScan(path: String, var required: StructType)
           s"zip_entries: no .zip files under '$path' (recursive walk)")
         found
       } else Array(path)
-    // central-directory listing per archive, bounded driver pool
+    val parts =
+      if (zips.length > distThreshold) planDistributed(zips)
+      else planOnDriver(zips)
+    parts.map(p => p: InputPartition)
+  }
+
+  private def planOnDriver(zips: Array[String]): Array[ZipPartition] = {
+    val keep = compiled
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, zips.length)))
     try {
       val futures = zips.map { z =>
-        val zipName = Paths.get(z).getFileName.toString
-        pool.submit(new java.util.concurrent.Callable[Array[InputPartition]] {
-          override def call(): Array[InputPartition] = {
-            val zf = new ZipFile(z)
-            try zf.entries().asScala.filterNot(_.isDirectory)
-              .filter(e => keepPartition(zipName, e.getName))
-              .map(e => ZipPartition(z, e.getName): InputPartition).toArray
-            finally zf.close()
-          }
+        pool.submit(new java.util.concurrent.Callable[Array[ZipPartition]] {
+          override def call(): Array[ZipPartition] =
+            ZipScan.membersOf(z, keep)
         })
       }
-      futures.flatMap(_.get()).toArray
+      futures.flatMap(_.get())
     } finally pool.shutdown()
+  }
+
+  /** Distributed central-directory pre-pass: ship archive paths to
+    * executors, read each directory there, collect member metadata only
+    * (names + sizes — the same bytes the driver pool would have produced).
+    * Filters are RE-COMPILED from the serializable filter array inside the
+    * closure, once per planning task, so the closure captures no scan
+    * state. Deterministic output order (sort by path, then directory
+    * order) keeps the two planning paths partition-identical.
+    */
+  private def planDistributed(zips: Array[String]): Array[ZipPartition] = {
+    val filters = pushed
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sparkContext
+      .parallelize(zips.toSeq, math.max(1, math.min(zips.length, 256)))
+      .flatMap { z =>
+        val keep = filters.flatMap(ZipScan.compile)
+        ZipScan.membersOf(z, keep).toSeq
+      }
+      .collect()
+      .sortBy(zp => (zp.zipPath, zp.entryIndexKey))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZipReaderFactory(required.fieldNames)
 }
 
-/** One archive MEMBER — the split unit. Carrying the entry name (not its
-  * metadata) keeps the partition small and the read executor-side.
+/** One archive MEMBER — the split unit — with its central-directory record
+  * captured at planning. The reader emits straight from this (no re-open,
+  * no name re-resolution: `getEntry(name)` would collapse legal duplicate
+  * entry names onto the first record). `entryIndexKey` disambiguates
+  * duplicates for the distributed path's deterministic sort.
   */
-case class ZipPartition(zipPath: String, entryName: String)
+case class ZipPartition(zipPath: String, entryName: String,
+    size: Long, compressedSize: Long, entryIndexKey: Int = 0)
     extends InputPartition
 
 class ZipReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val zp = partition.asInstanceOf[ZipPartition]
-    new ZipEntryReader(zp.zipPath, zp.entryName, fields)
+    new ZipEntryReader(zp, fields)
   }
 }
 
-/** Executor-side: one member of one archive (looked up by name in the
-  * central directory — no decompression; sizes come from the directory
-  * record).
+/** Executor-side: one member row, emitted from the partition's captured
+  * directory record — zero archive I/O at read time.
   */
-class ZipEntryReader(zipPath: String, entryName: String,
-    fields: Array[String]) extends PartitionReader[InternalRow] {
-  private val zf = new ZipFile(zipPath)
-  private val zipName =
-    UTF8String.fromString(Paths.get(zipPath).getFileName.toString)
-  private var cur: java.util.zip.ZipEntry = _
+class ZipEntryReader(zp: ZipPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
   private var done = false
 
   override def next(): Boolean =
-    if (done) false
-    else {
-      cur = zf.getEntry(entryName)
-      if (cur == null) throw new IllegalStateException(
-        s"zip_entries: member '$entryName' vanished from $zipPath between " +
-          "planning and read (archive rewritten mid-query?)")
-      done = true
-      true
-    }
+    if (done) false else { done = true; true }
 
-  override def get(): InternalRow =
+  override def get(): InternalRow = {
+    val zipName =
+      UTF8String.fromString(Paths.get(zp.zipPath).getFileName.toString)
     InternalRow.fromSeq(fields.toSeq.map {
       case "zip_name" => zipName
-      case "entry_name" => UTF8String.fromString(cur.getName)
-      case "size" => cur.getSize
-      case "compressed_size" => cur.getCompressedSize
+      case "entry_name" => UTF8String.fromString(zp.entryName)
+      case "size" => zp.size
+      case "compressed_size" => zp.compressedSize
     })
+  }
 
-  override def close(): Unit = zf.close()
+  override def close(): Unit = ()
 }

@@ -94,6 +94,70 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     assert(bySize.count() === 4L)
   }
 
+  test("duplicate entry names yield distinct rows with their own sizes") {
+    // zip legally allows N entries with one name; getEntry(name) resolves
+    // them all to the FIRST record, so the reader must emit from the
+    // directory record captured at planning, never re-resolve by name
+    val dir = Files.createTempDirectory("zipsrc8")
+    // ZipOutputStream refuses duplicates, so write the (legal) bytes by
+    // hand: two STORED local entries + central directory + EOCD
+    val out = new java.io.ByteArrayOutputStream
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    val name = "SAME.CSV".getBytes("UTF-8")
+    val datas = Seq("a".getBytes("UTF-8"), "bbbb".getBytes("UTF-8"))
+    val offsets = datas.map { d =>
+      val off = out.size()
+      val crc = new java.util.zip.CRC32; crc.update(d)
+      le32(0x04034b50L); le16(20); le16(0); le16(0); le16(0); le16(0)
+      le32(crc.getValue); le32(d.length); le32(d.length)
+      le16(name.length); le16(0); out.write(name); out.write(d)
+      (off, crc.getValue, d.length)
+    }
+    val cdStart = out.size()
+    offsets.foreach { case (off, crc, len) =>
+      le32(0x02014b50L); le16(20); le16(20); le16(0); le16(0); le16(0)
+      le16(0); le32(crc); le32(len); le32(len); le16(name.length)
+      le16(0); le16(0); le16(0); le16(0); le32(0); le32(off); out.write(name)
+    }
+    val cdSize = out.size() - cdStart
+    le32(0x06054b50L); le16(0); le16(0); le16(2); le16(2)
+    le32(cdSize); le32(cdStart); le16(0)
+    Files.write(dir.resolve("dup.zip"), out.toByteArray)
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    val rows = df.collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(rows.sorted === Seq(("SAME.CSV", 1L), ("SAME.CSV", 4L)))
+    assert(df.rdd.getNumPartitions === 2)
+  }
+
+  test("distributed planning emits the same partitions as the driver pool") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zipsrc9")
+    for (i <- 0 until 5)
+      mkZip(dir, f"m$i%02d.zip", Seq(
+        f"K$i.EMPRECSV" -> ("e" * (i + 1)).getBytes("UTF-8"),
+        f"K$i.ESTABELE" -> ("s" * (i + 10)).getBytes("UTF-8")))
+    def scan(threshold: Int) = spark.read
+      .format("graft.sources.ZipEntriesSource")
+      .option("zip.distributedPlanningThreshold", threshold)
+      .load(dir.toString)
+    // threshold 1 < 5 archives -> distributed pre-pass; default -> driver
+    val viaExecutors = scan(1)
+    val viaDriver = scan(1000)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    assert(viaExecutors.collect().map(key).sorted.toSeq ===
+      viaDriver.collect().map(key).sorted.toSeq)
+    assert(viaExecutors.rdd.getNumPartitions ===
+      viaDriver.rdd.getNumPartitions)
+    // name pruning works identically through the distributed path
+    val emp = scan(1).filter($"entry_name".endsWith("EMPRECSV"))
+    assert(emp.rdd.getNumPartitions === 5)
+    assert(emp.count() === 5L)
+  }
+
   test("column pruning reaches the scan") {
     val dir = Files.createTempDirectory("zipsrc2")
     mkZip(dir, "a.zip", Seq("K1.CNAECSV" -> "x\n".getBytes("UTF-8")))
