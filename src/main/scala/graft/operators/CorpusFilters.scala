@@ -119,27 +119,41 @@ object CorpusFilters {
     // of the hex form); the span merge is a per-DOCUMENT window — bounded
     // by doc length, embarrassingly parallel across docs, no stratum skew.
     //
-    // The ≥2-distinct-docs test is a partial AGGREGATE over the gram key
+    // The ≥2-distinct-docs test is an AGGREGATE over the gram key
     // (min(doc_id) != max(doc_id)) joined back to the gram stream — NOT a
     // gram-keyed window: a window puts a hot gram's ENTIRE occurrence set
     // (a boilerplate license header appearing in millions of docs) in one
-    // sorted partition on one task, unsplittable by AQE. The aggregate
-    // map-side-combines to one row per (task, gram) before the shuffle and
-    // the join probe is AQE-skew-splittable. The price is a second narrow
-    // explode pass for the probe side (scans scale out; single hot tasks
-    // do not) — a deliberate trade.
+    // sorted partition on one task, unsplittable by AQE; the aggregate's
+    // per-gram state is O(1) (two ids) however hot the gram, and the join
+    // probe stays AQE-skew-splittable. The gram stream is exploded ONCE and
+    // explicitly pre-shuffled on the gram key, so the aggregate and the
+    // probe hang off the SAME exchange (Spark's shuffle-stage reuse
+    // materializes it once). Map-side combine bought the old
+    // double-explode plan ~nothing here — md5'd 8-grams are ~unique, so
+    // its partial-agg shuffle was nearly the full stream again, i.e. two
+    // explodes + ~2 stream-sized shuffles where this plan pays one of each
+    // (r9 isolated sf0.1: 2.2-2.4 s → 1.6 s, results row-identical at all
+    // three scales).
     "dd09_substring_spans" -> ((s, dir) => {
       val k = 8
-      def grams = docs(s, dir)
+      val grams = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= k)
         .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(1, size(w) - ${k - 1}),
              | i -> unhex(md5(concat_ws(' ', slice(w, i, $k)))))""".stripMargin))
           .as(Seq("pos", "g")))
+        .repartition(col("g"))
+      // min(pos) >= 0 is a tautology (posexplode is 0-based) Catalyst
+      // cannot prove, kept ONLY so `pos` survives column pruning on this
+      // branch: pruned, the two exchange subtrees canonicalize differently
+      // and stage reuse silently dies — the stream would explode + shuffle
+      // twice again. PlanShapeSpec pins the single-stage shape so a Spark
+      // upgrade can't quietly regress it.
       val dupGrams = grams.groupBy("g")
-        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-        .filter(col("mn") =!= col("mx"))
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
+          min("pos").as("mp"))
+        .filter(col("mn") =!= col("mx") && col("mp") >= 0)
         .select("g")
       val hits = grams.join(dupGrams, "g").select("doc_id", "pos")
       val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -578,4 +578,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }.isEmpty)
     assert(txt.contains("TakeOrderedAndProject"), txt.take(2000))
   }
+
+  test("dd09 explodes + shuffles the gram stream ONCE (exchange reuse)") {
+    // the ≥2-docs aggregate and the join probe both consume the gram
+    // stream's repartition-by-g exchange; the tautological min(pos) >= 0
+    // filter exists solely to keep `pos` unpruned on the aggregate branch
+    // so the two exchange subtrees stay canonically identical. If reuse
+    // dies (a pruning change, a Spark upgrade), the corpus silently
+    // explodes + shuffles twice again — this guard executes the plan so
+    // AQE finalizes, then requires a ReusedExchange and a single explode.
+    val df = SparkEntry.queries("dd09_substring_spans")(
+      spark, TestSpark.sf0001)
+    df.queryExecution.toRdd.foreachPartition(_ => ()) // finalize AQE
+    // AdaptiveSparkPlan.toString prints Final AND Initial plan sections;
+    // only the final (post-reuse) one is the shape under test.
+    val txt = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(txt.contains("ReusedExchange"), txt.take(3000))
+    val explodes = txt.sliding("Generate posexplode".length)
+      .count(_ == "Generate posexplode")
+    assert(explodes == 1, s"expected one explode, got $explodes:\n${txt.take(3000)}")
+  }
 }
