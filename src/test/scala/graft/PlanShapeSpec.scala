@@ -579,6 +579,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(txt.contains("TakeOrderedAndProject"), txt.take(2000))
   }
 
+  test("q59 carries no partition-less window (distributed prefix sum)") {
+    // the equi-depth cumsum was the suite's last single-partition data
+    // sort; the reshape runs it per value-range bucket with broadcast
+    // offsets, so every WindowExec must carry a partition spec
+    val df = SparkEntry.queries("q59_equidepth_hist")(spark, TestSpark.sf0001)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty) // the per-bucket cumsum is still a window
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
   test("dd09 explodes + shuffles the gram stream ONCE (exchange reuse)") {
     // the ≥2-docs aggregate and the join probe both consume the gram
     // stream's repartition-by-g exchange; the tautological min(pos) >= 0
