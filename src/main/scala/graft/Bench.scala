@@ -177,9 +177,15 @@ object Bench {
         val t = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).trim
         // expected shape {"pipeline":{...}} — splice its body as a sibling
-        // key; anything else is ignored rather than corrupting the detail
+        // key; anything else is ignored rather than corrupting the detail.
+        // The artifact's age rides along: the file may be a committed
+        // artifact from an earlier run, and unstamped it would read as
+        // "measured by this bench run".
+        val ageS = (System.currentTimeMillis -
+          java.nio.file.Files.getLastModifiedTime(p).toMillis) / 1000
         if (t.startsWith("{") && t.endsWith("}") && t.length > 2)
-          "," + t.substring(1, t.length - 1)
+          "," + t.substring(1, t.length - 1) +
+            s""","pipeline_bench_age_s":$ageS"""
         else ""
       }
     }

@@ -168,6 +168,20 @@ object PipelineBench {
     // overwrite-on-rerun: one well-formed artifact, no duplicate keys
     Files.write(Paths.get("pipeline_bench.json"),
       s"""{"pipeline":$frag}""".getBytes(StandardCharsets.UTF_8))
+    // and refresh an EXISTING bench_detail.json in place (real JSON pass,
+    // not string surgery) so the merged view holds in the bench-then-
+    // pipeline order too — Bench handles the other order by embedding
+    // pipeline_bench.json whenever it writes the detail file
+    val detail = Paths.get("bench_detail.json")
+    if (Files.isRegularFile(detail)) try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = m.readTree(Files.readAllBytes(detail))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.set[com.fasterxml.jackson.databind.JsonNode](
+        "pipeline", m.readTree(frag))
+      root.put("pipeline_bench_age_s", 0L)
+      Files.write(detail, m.writeValueAsBytes(root))
+    } catch { case _: Exception => () } // merge is best-effort; own artifact is the source of truth
     operators.MinHashDedup.clearScratch()
     spark.stop()
     println(s"""{"pipeline":$frag}""")

@@ -194,16 +194,29 @@ object TxLog {
     if (version % checkpointInterval == 0)
       try {
         Files.write(checkpointFile(table, version), bytes)
-        val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
-        Files.write(ptmp, s"""{"version":$version}""".getBytes(
-          StandardCharsets.UTF_8))
-        // plain atomic replace (not CAS): the pointer is a monotonic hint;
-        // two racing checkpointers leave SOME committed version here and
-        // probing walks forward from it
-        Files.move(ptmp, pointerFile(table),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        movePointerForward(table, version)
       } catch { case _: Exception => () }
     version
+  }
+
+  /** Atomically replace `_last_checkpoint` with `version`, but only if it
+    * moves the pointer FORWARD. Monotonicity is load-bearing, not cosmetic:
+    * [[cleanupBefore]] deletes plain commits below the pointer's anchor, so
+    * a STALE checkpointer (slept between its checkpoint write and its
+    * pointer move while newer commits + a cleanup happened) that rewound
+    * the pointer would strand [[latestVersion]]'s forward probe below the
+    * deleted range — a stale head, and a forked log once the next writer
+    * commits against it. The check-then-move window is not a CAS, but a
+    * loser inside it has by definition just read a CURRENT pointer, and
+    * cleanup additionally re-anchors the pointer itself before deleting.
+    */
+  private def movePointerForward(table: String, version: Long): Unit = {
+    if (checkpointHint(table).exists(_ >= version)) return
+    val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
+    Files.write(ptmp, s"""{"version":$version}""".getBytes(
+      StandardCharsets.UTF_8))
+    Files.move(ptmp, pointerFile(table),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Write `df` as the next version of `table` with an expected-version CAS:
@@ -250,7 +263,21 @@ object TxLog {
     */
   def vacuum(table: String,
       retainMs: Long = defaultVacuumRetainMs): Seq[String] = {
-    val committed = versions(table).map(commitRecord(table, _).dataDir).toSet
+    // A version listed a moment ago can lose its record to a CONCURRENT
+    // cleanupBefore. If both its files are verifiably gone now, that is
+    // cleanup's documented outcome — the data dir becomes an intentional
+    // orphan, so skipping it from the committed set is correct. Any other
+    // read failure (corrupt record, transient IO) must ABORT: an unreadable
+    // record means an unknown dataDir, and guessing it uncommitted would
+    // vacuum live data.
+    val committed = versions(table).flatMap { v =>
+      try Some(commitRecord(table, v).dataDir)
+      catch {
+        case _: java.nio.file.NoSuchFileException
+            if !Files.isRegularFile(commitFile(table, v)) &&
+              !Files.isRegularFile(checkpointFile(table, v)) => None
+      }
+    }.toSet
     val root = Paths.get(table)
     if (!Files.isDirectory(root)) return Seq.empty
     val cutoff = System.currentTimeMillis - retainMs
@@ -292,6 +319,13 @@ object TxLog {
     require(ckpts.exists(_ >= horizon),
       s"cleanup horizon $horizon has no checkpoint at or above it — " +
         "readers would lose the log head anchor")
+    // Re-anchor the pointer BEFORE deleting: latestVersion's probe walks
+    // plain commits strictly above the pointer, so the invariant "every
+    // commit above the pointer exists" must hold across cleanup. A stale
+    // or missing pointer (best-effort checkpoint writes can lose it) that
+    // sat below `horizon` would otherwise strand the probe in the deleted
+    // range — stale head, then a forked log on the next commit.
+    movePointerForward(table, ckpts.filter(_ >= horizon).min)
     val doomed = versions(table)
       .filter(v => v < horizon && Files.isRegularFile(commitFile(table, v)))
     doomed.foreach(v => Files.deleteIfExists(commitFile(table, v)))

@@ -232,19 +232,24 @@ class ZipScan(path: String, var required: StructType,
   /** Distributed central-directory pre-pass: ship archive paths to
     * executors, read each directory there, collect member metadata only
     * (names + sizes — the same bytes the driver pool would have produced).
-    * Filters are RE-COMPILED from the serializable filter array inside the
-    * closure, once per planning task, so the closure captures no scan
-    * state. Deterministic output order (sort by path, then directory
-    * order) keeps the two planning paths partition-identical.
+    * Filters are RE-COMPILED from the serializable filter array once per
+    * planning TASK (mapPartitions), so the closure captures no scan state.
+    * The collect-side sortBy (path, then directory index) restores the
+    * driver path's order — which is the same sort because
+    * [[planInputPartitions]] hands BOTH paths a path-sorted `zips` array;
+    * dropping either sort breaks the spec'd dual-path partition equality.
+    * Like every distributed Spark source, this path requires the archive
+    * paths to be EXECUTOR-VISIBLE (shared/distributed storage); archives
+    * on driver-local disk only plan through the ≤threshold driver pool.
     */
   private def planDistributed(zips: Array[String]): Array[ZipPartition] = {
     val filters = pushed
     val spark = org.apache.spark.sql.SparkSession.active
     spark.sparkContext
       .parallelize(zips.toSeq, math.max(1, math.min(zips.length, 256)))
-      .flatMap { z =>
+      .mapPartitions { zs =>
         val keep = filters.flatMap(ZipScan.compile)
-        ZipScan.membersOf(z, keep).toSeq
+        zs.flatMap(z => ZipScan.membersOf(z, keep))
       }
       .collect()
       .sortBy(zp => (zp.zipPath, zp.entryIndexKey))

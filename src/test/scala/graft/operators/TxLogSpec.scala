@@ -126,6 +126,44 @@ class TxLogSpec extends AnyFunSuite {
     }
   }
 
+  test("stale pointer + cleanup cannot fork the log (pointer re-anchors)") {
+    val t = freshTable()
+    (1 to 20).foreach(v => TxLog.commit(t, v - 1, s"d$v"))
+    val log = java.nio.file.Paths.get(t, "_txlog")
+    // a checkpointer that wrote its checkpoint, slept, then moved the
+    // pointer AFTER newer checkpoints landed: simulate the rewind a
+    // non-monotonic move would have allowed
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":10}""".getBytes("UTF-8"))
+    // cleanup to the v20 checkpoint must re-anchor the pointer first;
+    // otherwise latestVersion probes from 10 into the deleted 11..19
+    // range, reports a stale head, and the next commit forks the log
+    TxLog.cleanupBefore(t, 20L)
+    assert(TxLog.latestVersion(t).contains(20L))
+    // a commit against the stale head must CAS-fail, not mint version 11
+    intercept[TxLog.CommitConflict] { TxLog.commit(t, 10L, "fork") }
+    assert(TxLog.commit(t, 20L, "d21") == 21L)
+    // and the in-commit pointer move itself refuses to rewind: pointer
+    // stays >= 20 even though checkpointHint guards pass for version 10
+    assert(new String(Files.readAllBytes(log.resolve("_last_checkpoint")),
+      "UTF-8").contains("20"))
+  }
+
+  test("vacuum tolerates a concurrently-cleaned version; keeps checkpointed data") {
+    val t = freshTable()
+    // vacuum only considers v-prefixed dirs (the writer naming scheme)
+    (1 to 20).foreach(v => TxLog.commit(t, v - 1, s"v$v-x"))
+    (1 to 20).foreach { v =>
+      Files.createDirectories(java.nio.file.Paths.get(t, s"v$v-x"))
+    }
+    TxLog.cleanupBefore(t, 20L) // plain commits 1..19 gone; ckpts 10, 20 stay
+    // committed set = checkpoint-referenced v10-x + head v20-x; cleaned,
+    // non-checkpointed versions' dirs are the documented orphans
+    val removed = TxLog.vacuum(t, retainMs = 0L).toSet
+    assert(!removed.contains("v10-x") && !removed.contains("v20-x"), removed)
+    assert(removed == (1 to 19).filter(_ != 10).map(v => s"v$v-x").toSet)
+  }
+
   test("time travel pins any committed version") {
     val t = freshTable()
     import spark.implicits._
