@@ -72,6 +72,47 @@ object LakeOps {
     }),
   ) ++ more
 
+  /** The OHLC downsample shared by batch ts04 and its complete-mode
+    * streaming twin st08 — ONE definition so the twin relationship is
+    * structural: first/last ride the same partial aggregation as min/max
+    * via lexicographic struct extremes on (ts, event_id, value), never a
+    * per-key window. Split in two because the streaming side must run the
+    * aggregation INSIDE the stream and the projection on the sink table.
+    */
+  private[graft] def ohlcAgg(df: DataFrame): DataFrame =
+    df.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+
+  private[graft] def ohlcProject(df: DataFrame): DataFrame =
+    df.select(
+      date_format(col("hb"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+      col("event_type"), col("o.value").as("open"), col("high"),
+      col("low"), col("c.value").as("close"), col("n"))
+      .orderBy("hour_bucket", "event_type")
+
+  /** ts04's oracle, shared verbatim by st08 (complete mode == the batch
+    * answer): first/last restated as ROW_NUMBER picks.
+    */
+  private[graft] val ohlcOracleSql: String =
+    """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,
+      |   event_id, value FROM events),
+      | r AS (SELECT *,
+      |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
+      |     ORDER BY ts, event_id) AS rf,
+      |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
+      |     ORDER BY ts DESC, event_id DESC) AS rl FROM b)
+      |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
+      | MAX(CASE WHEN rf = 1 THEN value END) AS open,
+      | MAX(value) AS high, MIN(value) AS low,
+      | MAX(CASE WHEN rl = 1 THEN value END) AS close,
+      | COUNT(*) AS n
+      |FROM r GROUP BY hb, event_type
+      |ORDER BY hour_bucket, event_type""".stripMargin
+
   /** md01's MERGE result without the presentation sort — shared by the
     * merge query itself and the snapshot-diff operator. MATERIALIZED to the
     * scratch lake (content-fingerprint keyed, [[MinHashDedup.materialized]])
@@ -161,20 +202,8 @@ object LakeOps {
     // each map task ships one candidate per group, never a per-key window
     // (which would co-locate each group's full history before discarding
     // all but two rows).
-    "ts04_ohlc_bars" -> ((s, dir) => {
-      Tables(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
-        .agg(
-          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
-          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
-          max(col("value")).as("high"), min(col("value")).as("low"),
-          count(lit(1)).as("n"))
-        .select(
-          date_format(col("hb"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
-          col("event_type"), col("o.value").as("open"), col("high"),
-          col("low"), col("c.value").as("close"), col("n"))
-        .orderBy("hour_bucket", "event_type")
-    }),
+    "ts04_ohlc_bars" -> ((s, dir) =>
+      ohlcProject(ohlcAgg(Tables(s, dir, "events")))),
 
     // Incremental dedup with provenance: the "new batch" (doc_id%5==4)
     // against corpus history (the rest), on the canonical whitespace/case
@@ -298,7 +327,10 @@ object LakeOps {
       val base = Tables(s, dir, "orders").select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       val v1 = TxLog.write(s, lake, base, 0L, action = "snapshot")
-      val merged = mergedOrdersPlan(s, dir).select(col("o_orderkey"),
+      // the materialized md01 scratch, not mergedOrdersPlan: re-deriving
+      // the full-outer MERGE here would pay the orders x changeset join a
+      // second time per sweep for the identical rows
+      val merged = mergedOrders(s, dir).select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       TxLog.write(s, lake, merged, v1, action = "merge")
       def audit(version: Long): DataFrame =
@@ -318,17 +350,8 @@ object LakeOps {
     // write. Engine-exact by construction (no floats anywhere), so the
     // oracle runs the identical bit algebra with `<<` in place of
     // `shiftleft`.
-    "md06_zorder_key" -> ((s, dir) => {
-      def shl(e: String, n: Int) = s"shiftleft($e, $n)"
-      val x = "(o_custkey & 65535)"
-      val y = "(cast(datediff(to_date(o_orderdate), date'1970-01-01') " +
-        "as bigint) & 65535)"
-      val z = s"(${spreadSql(x, shl)} | ${shl(spreadSql(y, shl), 1)})"
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"), expr(x).as("zx"), expr(y).as("zy"),
-          expr(z).as("zkey"))
-        .orderBy("zkey", "o_orderkey")
-    }),
+    "md06_zorder_key" -> ((s, dir) =>
+      zOrderKeyed(s, dir).orderBy("zkey", "o_orderkey")),
 
     // Z-order pruning audit — md06's payoff, quantified: rows are binned
     // into 16 equal-frequency "files" under TWO layouts (rank ranges of
@@ -356,14 +379,7 @@ object LakeOps {
     // engines; the oracle draws the identical sample, so the cut points
     // — and the audit — stay hash-equal by construction.
     "md07_zorder_pruning" -> ((s, dir) => {
-      def shl(e: String, n: Int) = s"shiftleft($e, $n)"
-      val x = "(o_custkey & 65535)"
-      val y = "(cast(datediff(to_date(o_orderdate), date'1970-01-01') " +
-        "as bigint) & 65535)"
-      val z = s"(${spreadSql(x, shl)} | ${shl(spreadSql(y, shl), 1)})"
-      val base = Tables(s, dir, "orders")
-        .select(col("o_orderkey"), expr(x).as("zx"), expr(y).as("zy"),
-          expr(z).as("zkey"))
+      val base = zOrderKeyed(s, dir)
       val probs = (1 to 15).map(i => i / 16.0)
       // Knuth multiplicative scramble, pre-reduced mod 1e6+3 so the
       // product stays far below 2^63 under ANSI overflow checking; pure
@@ -416,6 +432,38 @@ object LakeOps {
     val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
     val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
     s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+  }
+
+  /** The ONE definition of the (zx, zy, zkey) Morton triple over orders —
+    * md06 (the write sort) and md07 (its pruning audit) both derive from
+    * it, so a mask/epoch change cannot desynchronize them. The oracle twin
+    * is [[zkeyCteSql]] — same algebra, DuckDB shift syntax.
+    */
+  private def zOrderKeyed(s: SparkSession, dir: String): DataFrame = {
+    def shl(e: String, n: Int) = s"shiftleft($e, $n)"
+    val x = "(o_custkey & 65535)"
+    val y = "(cast(datediff(to_date(o_orderdate), date'1970-01-01') " +
+      "as bigint) & 65535)"
+    val z = s"(${spreadSql(x, shl)} | ${shl(spreadSql(y, shl), 1)})"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), expr(x).as("zx"), expr(y).as("zy"),
+        expr(z).as("zkey"))
+  }
+
+  /** Shared oracle CTE: `k(o_orderkey, zx, zy, zkey)` — [[zOrderKeyed]]'s
+    * DuckDB twin, used by both md06's and md07's oracle.
+    */
+  private def zkeyCteSql: String = {
+    def shl(e: String, n: Int) = s"($e << $n)"
+    val sx = spreadSql("zx", shl)
+    val sy = spreadSql("zy", shl)
+    s"""WITH b AS (SELECT o_orderkey,
+       |  (o_custkey & 65535) AS zx,
+       |  (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |    & 65535) AS zy
+       | FROM orders),
+       | k AS (SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
+       |   FROM b)""".stripMargin
   }
 
   val oracle: Map[String, String] = ListMap(
@@ -482,21 +530,7 @@ object LakeOps {
         |FROM c WHERE change_type IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
 
-    "ts04_ohlc_bars" ->
-      """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,
-        |   event_id, value FROM events),
-        | r AS (SELECT *,
-        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
-        |     ORDER BY ts, event_id) AS rf,
-        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
-        |     ORDER BY ts DESC, event_id DESC) AS rl FROM b)
-        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
-        | MAX(CASE WHEN rf = 1 THEN value END) AS open,
-        | MAX(value) AS high, MIN(value) AS low,
-        | MAX(CASE WHEN rl = 1 THEN value END) AS close,
-        | COUNT(*) AS n
-        |FROM r GROUP BY hb, event_type
-        |ORDER BY hour_bucket, event_type""".stripMargin,
+    "ts04_ohlc_bars" -> ohlcOracleSql,
 
     "dd10_incremental_dedup" ->
       """WITH f AS (SELECT doc_id,
@@ -574,33 +608,16 @@ object LakeOps {
         |  SELECT cents FROM b WHERE o_orderkey % 10 = 7)
         |ORDER BY version""".stripMargin,
 
-    // The identical bit algebra, DuckDB shift syntax.
-    "md06_zorder_key" -> {
-      def shl(e: String, n: Int) = s"($e << $n)"
-      val sx = spreadSql("zx", shl)
-      val sy = spreadSql("zy", shl)
-      s"""WITH b AS (SELECT o_orderkey,
-         |  (o_custkey & 65535) AS zx,
-         |  (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-         |    & 65535) AS zy
-         | FROM orders)
-         |SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
-         |FROM b ORDER BY zkey, o_orderkey""".stripMargin
-    },
+    // The identical bit algebra, DuckDB shift syntax (the shared CTE).
+    "md06_zorder_key" ->
+      s"""$zkeyCteSql
+         |SELECT o_orderkey, zx, zy, zkey
+         |FROM k ORDER BY zkey, o_orderkey""".stripMargin,
 
     // Same binning + stats + box-overlap test; UNION ALL instead of the
     // explode (oracle states semantics, not the one-scan shape).
-    "md07_zorder_pruning" -> {
-      def shl(e: String, n: Int) = s"($e << $n)"
-      val sx = spreadSql("zx", shl)
-      val sy = spreadSql("zy", shl)
-      s"""WITH b AS (SELECT o_orderkey,
-         |  (o_custkey & 65535) AS zx,
-         |  (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-         |    & 65535) AS zy
-         | FROM orders),
-         | k AS (SELECT o_orderkey, zx, zy, ($sx | ${shl(sy, 1)}) AS zkey
-         |   FROM b),
+    "md07_zorder_pruning" ->
+      s"""$zkeyCteSql,
          | m AS (SELECT MAX(o_orderkey) AS mo, COUNT(*) AS nr FROM k),
          | smp AS (SELECT zkey FROM k
          |   ORDER BY ((o_orderkey % 1000003) * 2654435761) % 4294967296,
@@ -624,7 +641,6 @@ object LakeOps {
          | CAST(min_x > 80 OR max_x < 10 OR min_y > 9800 OR max_y < 9200
          |   AS INT) AS skippable,
          | CAST(n_rows * 8 <= nr AS INT) AS depth_ok
-         |FROM f, m ORDER BY layout, file_id""".stripMargin
-    },
+         |FROM f, m ORDER BY layout, file_id""".stripMargin,
   )
 }

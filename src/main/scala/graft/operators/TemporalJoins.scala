@@ -29,7 +29,10 @@ object TemporalJoins {
     *
     * `rightPayload` columns must be unambiguous (absent from `left`);
     * callers dedupe the right side to one row per (key, ts) to make the
-    * equal-ts answer well-defined.
+    * equal-ts answer well-defined. The names `_side`, `_packed` and
+    * `_match` are working columns of this implementation — a left frame
+    * that already carries one of them fails loudly (AnalysisException on
+    * the ambiguous reference), so callers must not use them either.
     */
   def asOf(
       left: DataFrame,
@@ -240,10 +243,12 @@ object TemporalJoins {
     // which no window frame can express. Scale shape: ONE shuffle groups
     // each user's history into an array (state per key == that key's
     // history, the same bound flatMapGroupsWithState carries), then the
-    // fold runs row-locally inside codegen. Truncating shift on positive
-    // cents keeps every step integer-exact, so the oracle's left fold
-    // reproduces it bit-for-bit — keys stay data-parallel, only the
-    // intra-key recurrence is sequential (as it must be).
+    // fold runs row-locally inside codegen. The halving step truncates
+    // TOWARD ZERO (subtract the sign-carrying `% 2` remainder before the
+    // shift) because that is what the oracle's `//` does — a bare
+    // arithmetic shift FLOORS, which agrees only while sums stay
+    // non-negative, a data property (refund-style negative cents would
+    // silently diverge) this integer-exact contract must not lean on.
     "ts05_ewma" -> ((s, dir) => {
       Tables(s, dir, "events")
         .select(col("user_id"), struct(col("ts"), col("event_id"),
@@ -257,7 +262,7 @@ object TemporalJoins {
           element_at(col("cs"), -1).as("last_cents"),
           aggregate(expr("slice(cs, 2, size(cs) - 1)"),
             element_at(col("cs"), 1),
-            (a, x) => shiftright(a + x, 1)).as("ewma_cents"))
+            (a, x) => shiftright(a + x - ((a + x) % 2), 1)).as("ewma_cents"))
         .orderBy("user_id")
     }),
 
@@ -278,7 +283,10 @@ object TemporalJoins {
         .withColumn("xs", sort_array(collect_list(col("cents")).over(w)))
         .select(col("user_id"), col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
-          col("cents"), size(col("xs")).as("n_win"),
+          // n_win states COUNT(*) (all frame rows), not size(xs):
+          // collect_list skips nulls, so on a corpus with null values the
+          // two diverge — the frame-row count is what the oracle says
+          col("cents"), count(lit(1)).over(w).cast("int").as("n_win"),
           when(size(col("xs")) % 2 === 1,
             expr("cast(element_at(xs, cast((size(xs) + 1) div 2 as int)) as double)"))
             .otherwise(expr("(element_at(xs, cast(size(xs) div 2 as int)) " +

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.LakeOps
 
 /** Structured Streaming over the `events` table (SURVEY §2.2 streaming row,
   * §7.1 M4). The reference's "vigilante" daily poll (`READme.md:7-9`) is a
@@ -112,24 +113,13 @@ object EventsStream {
       }.orderBy("event_id")
     }),
 
-    // Streaming OHLC bars — the complete-mode twin of batch ts04, same
-    // struct-extremes-in-one-aggregation shape running incrementally over
-    // the stream; complete output == the batch oracle ts04 already uses.
-    "st08_stream_ohlc" -> ((s, dir) => {
-      runCompleteStream(s, dir, "st08_mem") { df =>
-        df.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
-          .agg(
-            min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
-            max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
-            max(col("value")).as("high"), min(col("value")).as("low"),
-            count(lit(1)).as("n"))
-      }
-        .select(
-          date_format(col("hb"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
-          col("event_type"), col("o.value").as("open"), col("high"),
-          col("low"), col("c.value").as("close"), col("n"))
-        .orderBy("hour_bucket", "event_type")
-    }),
+    // Streaming OHLC bars — the complete-mode twin of batch ts04: the
+    // SAME LakeOps.ohlcAgg definition runs incrementally over the stream
+    // (the twin relationship is structural, not copy-paste), so complete
+    // output == the batch answer by construction.
+    "st08_stream_ohlc" -> ((s, dir) =>
+      LakeOps.ohlcProject(
+        runCompleteStream(s, dir, "st08_mem")(LakeOps.ohlcAgg))),
 
     // Custom-state sessionization (flatMapGroupsWithState, event-time
     // timeout) driven over the real file stream. Append mode emits a
@@ -263,8 +253,7 @@ object EventsStream {
     // updates (event users beat their 1970 seed) and untouched survivors
     // (150-199).
     "st16_stream_merge_sink" -> ((s, dir) => {
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val (ss, stream) = clonedSessionAndStream(s, dir)
       val lake = java.nio.file.Files.createTempDirectory("st16_lake").toString
       // versioned scratch lake rides the shared shutdown-hook cleanup so
       // repeated bench/gate runs don't leak the tree
@@ -281,10 +270,6 @@ object EventsStream {
           lit("1970-01-01 00:00:00").as("last_ts"),
           lit(-1L).as("last_event_id"))
       graft.operators.TxLog.write(ss, lake, seed, 0L, action = "seed")
-      val rawSchema = Tables.rawEvents(ss, dir).schema
-      val stream = Tables.normalizeEvents(
-        ss.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
       val q = stream.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
@@ -317,7 +302,12 @@ object EventsStream {
       runAppendStream(s, dir, "st17_mem") { df =>
         df.withWatermark("ts", "10 minutes")
           .select(col("event_id"), col("ts"), col("event_type"))
-          .dropDuplicates("event_id")
+          // WithinWatermark, not dropDuplicates("event_id"): plain dedup
+          // only evicts state when the event-time column is IN the key
+          // set, so keying by id alone would grow state O(total events)
+          // forever — the watermark-bounded claim needs the API built for
+          // it (id-only replay semantics, state evicted past the delay)
+          .dropDuplicatesWithinWatermark("event_id")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
       }
@@ -406,19 +396,33 @@ object EventsStream {
       s: SparkSession, dir: String, sinkPrefix: String, mode: String,
       extraConfs: Map[String, String] = Map.empty)(
       xform: DataFrame => DataFrame): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    extraConfs.foreach { case (k, v) => ss.conf.set(k, v) }
-    val rawSchema = Tables.rawEvents(ss, dir).schema
+    val (ss, stream) = clonedSessionAndStream(s, dir, extraConfs)
     val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
-    val stream = Tables.normalizeEvents(
-      ss.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
     val q = xform(stream).writeStream.outputMode(mode)
       .format("memory").queryName(sink).start()
     try q.processAllAvailable() finally q.stop()
     ss.table(sink)
+  }
+
+  /** The cloned session + file-source events stream EVERY streaming query
+    * reads — one definition of the source recipe (schema, glob, normalize)
+    * shared by [[runStream]] and the custom-sink st16 path, so a fixture
+    * or partitioning change cannot give one query a silently different
+    * source than the rest.
+    */
+  private def clonedSessionAndStream(
+      s: SparkSession, dir: String,
+      extraConfs: Map[String, String] = Map.empty)
+      : (SparkSession, DataFrame) = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    extraConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+    val rawSchema = Tables.rawEvents(ss, dir).schema
+    val stream = Tables.normalizeEvents(
+      ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    (ss, stream)
   }
 
   /** Complete-mode runner for streaming aggs (result == the batch agg). */
@@ -562,22 +566,9 @@ object EventsStream {
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
 
-    // Streaming complete-mode OHLC == the batch downsample (ts04's oracle).
-    "st08_stream_ohlc" ->
-      """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,
-        |   event_id, value FROM events),
-        | r AS (SELECT *,
-        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
-        |     ORDER BY ts, event_id) AS rf,
-        |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
-        |     ORDER BY ts DESC, event_id DESC) AS rl FROM b)
-        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
-        | MAX(CASE WHEN rf = 1 THEN value END) AS open,
-        | MAX(value) AS high, MIN(value) AS low,
-        | MAX(CASE WHEN rl = 1 THEN value END) AS close,
-        | COUNT(*) AS n
-        |FROM r GROUP BY hb, event_type
-        |ORDER BY hour_bucket, event_type""".stripMargin,
+    // Streaming complete-mode OHLC == the batch downsample: ts04's oracle
+    // text itself, not a copy.
+    "st08_stream_ohlc" -> LakeOps.ohlcOracleSql,
 
     // Streaming custom-state sessionization == the batch q29 sessions the
     // final watermark (max ts − 10 min) has CLOSED (end + 30-min gap
