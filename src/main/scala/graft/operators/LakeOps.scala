@@ -210,7 +210,7 @@ object LakeOps {
     // fingerprint. Each batch doc is either new (no history fp match) or a
     // duplicate pointing at its canonical history doc.
     "dd10_incremental_dedup" -> ((s, dir) => {
-      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      val fp = md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
       val d = Tables(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
       val hist = d.filter(col("doc_id") % 5 =!= 4)
         .groupBy("fp").agg(min("doc_id").as("canonical_id"))
@@ -534,7 +534,7 @@ object LakeOps {
 
     "dd10_incremental_dedup" ->
       """WITH f AS (SELECT doc_id,
-        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS fp
         |  FROM documents),
         | hist AS (SELECT fp, MIN(doc_id) AS canonical_id FROM f
         |  WHERE doc_id % 5 <> 4 GROUP BY fp)

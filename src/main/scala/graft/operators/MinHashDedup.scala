@@ -82,9 +82,12 @@ object MinHashDedup {
       val dir = new org.apache.hadoop.fs.Path(
         root, s"graft_${tag}_${java.util.UUID.randomUUID}")
       val p = dir.toString
-      df.write.mode("overwrite").parquet(p)
+      // register BEFORE the write: a failed/interrupted write would
+      // otherwise leave a corpus-sized partial dir no cleanup path knows
+      // about (retries mint a fresh UUID, permanently orphaning it)
       hadoopConf.compareAndSet(null, s.sparkContext.hadoopConfiguration)
       scratchDirs.add(p)
+      df.write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
@@ -197,6 +200,15 @@ object MinHashDedup {
   /** Near-dup pairs (id1 < id2, exact shingle-Jaccard ≥ `threshold`) with
     * LSH-banded candidate generation — the shared kernel behind dd02
     * (pair listing) and dd06 (cluster assignment).
+    *
+    * Threshold contract: the fixed 16×2 banding makes recall effectively
+    * exact only at `threshold` ≥ 0.8 (per-pair miss ~1e-8); looser values
+    * are supported for the Spark kernel with PROBABILISTIC recall (~1%
+    * per-pair miss at 0.5 — DedupSpec exercises and documents this), but
+    * must NOT be hash-compared against [[shingleCandidatesCteSql]]-based
+    * oracles: that CTE's `5*min >= 4*max` length prefilter is derived from
+    * J ≥ 0.8 and silently drops qualifying looser pairs. Only the
+    * default-threshold dd02/dd11 queries are oracle-gated.
     */
   private[operators] def lshPairs(
       s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
@@ -243,8 +255,15 @@ object MinHashDedup {
     // candidate output, so conditioning the dedup costs two tiny hash
     // joins, never a re-shingle of either corpus.
     "dd11_cross_corpus_neardup" -> ((s, dir) => {
+      // digit-less source = loud error, matching the oracle's failure
+      // mode: DuckDB's CAST('' AS INT) aborts, while a bare Spark cast
+      // yields null and the g1 =!= g2 filter would SILENTLY drop every
+      // pair involving that doc — a divergent result set, not a crash
+      val srcNum = regexp_extract(col("source"), "\\d+", 0)
       val grp = Tables(s, dir, "documents").select(col("doc_id"),
-        (regexp_extract(col("source"), "\\d+", 0).cast("int") < 10)
+        (when(srcNum === "", raise_error(concat(
+          lit("dd11: source without digits: "), col("source"))))
+          .otherwise(srcNum).cast("int") < 10)
           .as("curated"))
       lshPairs(s, dir)
         .join(grp.select(col("doc_id").as("id1"), col("curated").as("g1")),

@@ -78,21 +78,29 @@ object SimilarityOps {
     * MinHashDedup's scratch cache, so dd07, dd08 and ss05 all share one
     * signature pass instead of re-shingling the corpus.
     */
+  /** Signature bit p = sign(v · plane_p) folded into an int bucket id —
+    * the ONE hyperplane-signature construction shared by multiTableSigs,
+    * ss03 and ss08, so the bit layout cannot drift between the Spark
+    * queries and the oracle generator (`sigSqlFor`, which must stay in
+    * lockstep). Plane constants inline as literal arrays: no per-plane
+    * scratch columns to add and re-drop.
+    */
+  private def hyperplaneSig(pl: Array[Array[Double]]): Column =
+    pl.indices.map { p =>
+      val plane = array(pl(p).toIndexedSeq.map(lit): _*)
+      when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
+        .otherwise(0)
+    }.reduce(_ + _)
+
   private[operators] def multiTableSigs(
       s: SparkSession, dir: String): DataFrame = {
     val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
     val nTables = 3
     val e = emb(s, dir)
-    def sigCol(pl: Array[Array[Double]]): Column =
-      pl.indices.map { p =>
-        val plane = array(pl(p).toIndexedSeq.map(lit): _*)
-        when(GraftFunctions.dot_product(col("v"), plane) > 0, 1 << p)
-          .otherwise(0)
-      }.reduce(_ + _)
     MinHashDedup.materialized(
       e.select(col("vec_id"), explode(array(
         (0 until nTables).map(t => struct(lit(t).as("tb"),
-          sigCol(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
+          hyperplaneSig(planesSeeded(42 + t, nPlanes, 64)).as("sig"))): _*)).as("ts"))
         .select(col("vec_id"), col("ts.tb"), col("ts.sig")),
       "dd07_sigs", dir)
   }
@@ -155,17 +163,8 @@ object SimilarityOps {
     "ss03_ann_lsh" -> ((s, dir) => {
       // parquet-metadata count: cheap even at lake scale
       val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
-      val pl = planes(nPlanes, 64)
-      // signature bit p = sign(v · plane_p), folded into an int bucket id
-      val sigCol = (0 until nPlanes).map { p =>
-        val dotP = GraftFunctions.dot_product(col("v"), col(s"pl$p"))
-        when(dotP > 0, 1 << p).otherwise(0)
-      }.reduce(_ + _)
-      val e0 = emb(s, dir)
-      val withPl = (0 until nPlanes).foldLeft(e0) { (df, p) =>
-        df.withColumn(s"pl$p", array(pl(p).toIndexedSeq.map(lit): _*))
-      }
-      val sig = withPl.withColumn("sig", sigCol)
+      val sig = emb(s, dir)
+        .withColumn("sig", hyperplaneSig(planes(nPlanes, 64)))
         .select("vec_id", "v", "nrm", "sig")
       val q = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("v1"),
@@ -190,16 +189,8 @@ object SimilarityOps {
     // the predicate is selective; key composition is the index-level fix).
     "ss08_filtered_ann" -> ((s, dir) => {
       val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
-      val pl = planes(nPlanes, 64)
-      val sigCol = (0 until nPlanes).map { p =>
-        val dotP = GraftFunctions.dot_product(col("v"), col(s"pl$p"))
-        when(dotP > 0, 1 << p).otherwise(0)
-      }.reduce(_ + _)
-      val e0 = emb(s, dir)
-      val withPl = (0 until nPlanes).foldLeft(e0) { (df, p) =>
-        df.withColumn(s"pl$p", array(pl(p).toIndexedSeq.map(lit): _*))
-      }
-      val sig = withPl.withColumn("sig", sigCol)
+      val sig = emb(s, dir)
+        .withColumn("sig", hyperplaneSig(planes(nPlanes, 64)))
         .select("vec_id", "label", "v", "nrm", "sig")
       val q = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("label"), col("v").as("v1"),
@@ -390,7 +381,13 @@ object SimilarityOps {
           .groupBy("cid")
           .agg(array_sort(collect_list(struct(col("idx"), col("cq_e")))).as("cs"))
           .select(col("cid"), expr("transform(cs, s -> s.cq_e)").as("cq"))
-      val a2 = assign(update(assign(init)))
+      // materialized: a2 feeds BOTH the sizes aggregate and the final
+      // join, and as lineage those are two independent subtrees — the
+      // whole 2-iteration pipeline (both corpus crossJoins, both top-1
+      // windows, the centroid update) would execute twice. Same
+      // discipline as ss04's coarse-assignment scratch.
+      val a2 = MinHashDedup.materialized(
+        assign(update(assign(init))), "ss07_assign", dir)
       val sizes = a2.groupBy("cid").agg(count(lit(1)).as("n_members"))
       a2.join(broadcast(sizes), "cid")
         .select(col("vec_id"), col("cid").as("cluster_id"), col("n_members"))

@@ -27,6 +27,30 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The bounded-candidate word-set pair frame dd04 (Jaccard) and dd12
+    * (containment) share — ONE definition of the window bound, id cutoff
+    * and tokenization, so the two documented-as-same-shape operators
+    * cannot silently desynchronize. Each id emits its 20 candidate
+    * partner ids (offset explode — ids only, never the word arrays), the
+    * pair list equi-joins existence, and the word sets join back per
+    * surviving pair; a range-predicate join here would plan as a
+    * BroadcastNestedLoopJoin, the thing that cannot scale. Returns the
+    * joined pair frame (id1, id2, w1, w2) and the shared |w1 ∩ w2| column.
+    */
+  private def wordSetPairs(s: SparkSession, dir: String)
+      : (DataFrame, Column) = {
+    val w = docs(s, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("w"))
+    val candidates = w.select(col("doc_id").as("id1"),
+      explode(sequence(lit(1), lit(20))).as("k"))
+      .select(col("id1"), (col("id1") + col("k")).as("id2"))
+    val a = w.select(col("doc_id").as("id1"), col("w").as("w1"))
+    val b = w.select(col("doc_id").as("id2"), col("w").as("w2"))
+    (candidates.join(b, "id2").join(a, "id1"),
+      size(array_intersect(col("w1"), col("w2"))))
+  }
+
   /** Stopword markers; also the language-ID vote lists. */
   private val enWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val esWords = Seq("el", "la", "de", "y", "que", "en")
@@ -59,7 +83,7 @@ object TextOps {
     df.withColumn("quality_score", score)
       .withColumn("pred_lang", predLang)
       .filter(col("pred_lang") === "en" && col("quality_score") >= 0.12)
-      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
   }
 
   val queries: Map[String, Q] = ListMap(
@@ -80,16 +104,8 @@ object TextOps {
     // BroadcastNestedLoopJoin — broadcast of a whole table side, the thing
     // that cannot scale.
     "dd04_word_jaccard" -> ((s, dir) => {
-      val w = docs(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          array_distinct(split(lower(col("text")), " ")).as("w"))
-      val candidates = w.select(col("doc_id").as("id1"),
-        explode(sequence(lit(1), lit(20))).as("k"))
-        .select(col("id1"), (col("id1") + col("k")).as("id2"))
-      val a = w.select(col("doc_id").as("id1"), col("w").as("w1"))
-      val b = w.select(col("doc_id").as("id2"), col("w").as("w2"))
-      val inter = size(array_intersect(col("w1"), col("w2")))
-      candidates.join(b, "id2").join(a, "id1")
+      val (pairs, inter) = wordSetPairs(s, dir)
+      pairs
         .select(col("id1"), col("id2"),
           round(inter.cast("double")
             / (size(col("w1")) + size(col("w2")) - inter), 6).as("jaccard"))
@@ -102,16 +118,8 @@ object TextOps {
     // Emitted when either direction clears 0.5; same offset-explode
     // equi-join shape as dd04 (ids only, word sets join back per pair).
     "dd12_containment" -> ((s, dir) => {
-      val w = docs(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          array_distinct(split(lower(col("text")), " ")).as("w"))
-      val candidates = w.select(col("doc_id").as("id1"),
-        explode(sequence(lit(1), lit(20))).as("k"))
-        .select(col("id1"), (col("id1") + col("k")).as("id2"))
-      val a = w.select(col("doc_id").as("id1"), col("w").as("w1"))
-      val b = w.select(col("doc_id").as("id2"), col("w").as("w2"))
-      val inter = size(array_intersect(col("w1"), col("w2")))
-      candidates.join(b, "id2").join(a, "id1")
+      val (pairs, inter) = wordSetPairs(s, dir)
+      pairs
         .select(col("id1"), col("id2"),
           round(inter.cast("double") / size(col("w1")), 6).as("contain_1in2"),
           round(inter.cast("double") / size(col("w2")), 6).as("contain_2in1"))
@@ -176,7 +184,7 @@ object TextOps {
     // Document fingerprint: canonicalize whitespace+case, then hash.
     "tx04_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -250,7 +258,7 @@ object TextOps {
     // fast path, mirrored exactly by DuckDB's nfc_normalize.
     "tx13_normalize" -> ((s, dir) => {
       val stripped = trim(regexp_replace(
-        regexp_replace(col("text"), "<[^>]+>", " "), "\\s+", " "))
+        regexp_replace(col("text"), "<[^>]+>", " "), "[ \\t\\n\\f\\r]+", " "))
       docs(s, dir)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.nfc_normalize(stripped)
@@ -505,23 +513,23 @@ object TextOps {
     },
 
     "tx04_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx07_clean_corpus" ->
       s"""WITH scored AS ($scoredCteSql)
          |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
          | MAX(quality_score) AS quality_score,
-         | md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         | md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS fp
          |FROM scored
          |WHERE pred_lang = 'en' AND quality_score >= 0.12
-         |GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |GROUP BY md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))
          |ORDER BY keep_id""".stripMargin,
 
     "tx13_normalize" ->
       """WITH nrm AS (SELECT doc_id,
         |  nfc_normalize(trim(regexp_replace(
-        |    regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))
+        |    regexp_replace(text, '<[^>]+>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g')))
         |    AS norm_text
         | FROM documents)
         |SELECT doc_id, md5(norm_text) AS norm_md5,

@@ -54,7 +54,7 @@ object CorpusStream {
     // Streaming gate + state dedup == batch DISTINCT over the same gates.
     "st05_stream_clean_corpus" ->
       s"""WITH scored AS (${TextOps.scoredCteSql})
-         |SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |SELECT DISTINCT md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS fp
          |FROM scored
          |WHERE pred_lang = 'en' AND quality_score >= 0.12
          |ORDER BY fp""".stripMargin,
