@@ -98,13 +98,17 @@ object CorpusFilters {
           round(lit(1.0) -
             size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
             .as("dup_word_frac"),
+          topRun.as("top_n"),
           round(topRun.cast("double") /
             greatest(size(col("w")) - 1, lit(1)), 6).as("top_bigram_frac"))
         .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
           col("top_bigram_frac"),
-          // 0.18 (not lower): a clean k-word doc has top fraction ~1/(k-1),
-          // so short prose must clear the bar while true repetition can't
-          (col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18)
+          // the bigram signal needs an ACTUALLY repeated bigram (top_n >=
+          // 2): a clean k-word doc has top fraction 1/(k-1), which clears
+          // any fixed threshold for k <= 1 + 1/threshold — short prose
+          // must never be flagged on fraction alone
+          (col("dup_word_frac") > 0.8 ||
+            (col("top_bigram_frac") > 0.18 && col("top_n") >= 2))
             .cast("int").as("repetitive"))
         .orderBy("doc_id")
     }),
@@ -265,7 +269,13 @@ object CorpusFilters {
         .orderBy(desc("score_fp"), asc("word"))
       tf.join(dfreq, "word")
         .crossJoin(broadcast(n))
-        .withColumn("score_fp", expr("tf * 1000000 * n_docs div df"))
+        // decimal(38) intermediate: tf·10⁶·n_docs overflows signed 64-bit
+        // once n_docs reaches billions (the corpus scale these operators
+        // advertise); Spark would wrap silently where DuckDB errors —
+        // opposite failure modes on the same expression. div still
+        // returns BIGINT, so the output schema is unchanged.
+        .withColumn("score_fp",
+          expr("cast(tf as decimal(38,0)) * 1000000 * n_docs div df"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("word"), col("tf"), col("df"),
@@ -299,7 +309,9 @@ object CorpusFilters {
         .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
         .crossJoin(broadcast(n))
         .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
-          expr("c_ab * n_tokens * 1000000L div (c_a * c_b)").as("pmi_fp"))
+          // decimal(38): c_ab·N·10⁶ passes 2⁶³ near N ≈ 10¹³ tokens
+          expr("cast(c_ab as decimal(38,0)) * n_tokens * 1000000" +
+            " div (c_a * c_b)").as("pmi_fp"))
         .orderBy(desc("pmi_fp"), asc("a"), asc("b"))
         .limit(50)
     }),
@@ -387,8 +399,10 @@ object CorpusFilters {
     tf.join(broadcast(dfreq), "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
+      // decimal(38) numerator: idf·44·tf·avgdl passes 2⁶³ for rare terms
+      // at billions of docs (idf alone is N·10⁶ at df = 1)
       .withColumn("contrib", expr(
-        "(((n_docs * 1000000) div df) * 44 * tf * avgdl)" +
+        "(cast((n_docs * 1000000) div df as decimal(38,0)) * 44 * tf * avgdl)" +
           " div (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_fp"))
@@ -427,11 +441,12 @@ object CorpusFilters {
         |   i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg FROM w),
         | counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg
         |   GROUP BY doc_id, bg),
-        | top AS (SELECT doc_id,
+        | top AS (SELECT doc_id, MAX(c) AS top_n,
         |   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
         |  FROM counts GROUP BY doc_id)
         |SELECT r.doc_id, r.n_words, r.dup_word_frac, t.top_bigram_frac,
-        | CAST(r.dup_word_frac > 0.8 OR t.top_bigram_frac > 0.18 AS INT)
+        | CAST(r.dup_word_frac > 0.8 OR
+        |   (t.top_bigram_frac > 0.18 AND t.top_n >= 2) AS INT)
         |   AS repetitive
         |FROM rowstats r JOIN top t ON t.doc_id = r.doc_id
         |ORDER BY r.doc_id""".stripMargin,
@@ -496,7 +511,8 @@ object CorpusFilters {
         | df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
         | n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         | sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
-        |    (tf.tf * 1000000 * n.n_docs) // df.df AS score_fp
+        |    CAST((CAST(tf.tf AS HUGEINT) * 1000000 * n.n_docs) // df.df
+        |      AS BIGINT) AS score_fp
         |   FROM tf JOIN df USING (word) CROSS JOIN n),
         | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY score_fp DESC, word) AS rk FROM sc)
@@ -519,7 +535,8 @@ object CorpusFilters {
         | bg AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg0
         |   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
         |SELECT bg.a, bg.b, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
-        | (bg.c_ab * n.n_tokens * 1000000) // (ua.c * ub.c) AS pmi_fp
+        | CAST((CAST(bg.c_ab AS HUGEINT) * n.n_tokens * 1000000)
+        |   // (ua.c * ub.c) AS BIGINT) AS pmi_fp
         |FROM bg CROSS JOIN n
         | JOIN uni ua ON ua.t = bg.a
         | JOIN uni ub ON ub.t = bg.b
@@ -542,9 +559,10 @@ object CorpusFilters {
         | dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
         |   GROUP BY term),
         | sc AS (SELECT tf.doc_id,
-        |   (((st.n_docs * 1000000) // dfq.df) * 44 * tf.tf * st.avgdl)
+        |   CAST((CAST((st.n_docs * 1000000) // dfq.df AS HUGEINT)
+        |      * 44 * tf.tf * st.avgdl)
         |     // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * lens.dl)
-        |    AS contrib
+        |    AS BIGINT) AS contrib
         |  FROM tf JOIN dfq USING (term)
         |   JOIN lens ON tf.doc_id = lens.doc_id, st)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,

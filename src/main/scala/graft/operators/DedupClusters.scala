@@ -66,6 +66,7 @@ object DedupClusters {
     var lastCp: Option[DataFrame] = None
     var changed = 1L
     var round = 0
+    try {
     def propagate(): Unit = {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lab"))
@@ -95,12 +96,19 @@ object DedupClusters {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still improving); raise maxIter — component " +
         "diameter exceeds it")
-    val out = MinHashDedup.materialized(
+    // fingerprint from nodes+edges: the labels frame itself ends at a
+    // checkpoint (no input files), so without them a rewritten source
+    // would serve stale cluster ids from the scratch cache
+    MinHashDedup.materialized(
       labels.select(col("id"), col("lab").as("cluster_id")),
-      scratch._1, scratch._2)
-    lastCp.foreach(unpersistCheckpoint)
-    unpersistCheckpoint(sym)
-    out
+      scratch._1, scratch._2, fingerprintOf = Seq(nodes, edges))
+    } finally {
+      // failure paths (non-convergence, a failed scratch write) must not
+      // strand the round checkpoints + symmetrized edges in executor
+      // memory for the session's lifetime
+      lastCp.foreach(unpersistCheckpoint)
+      unpersistCheckpoint(sym)
+    }
   }
 
   val queries: Map[String, Q] = ListMap(

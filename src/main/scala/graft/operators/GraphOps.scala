@@ -65,9 +65,12 @@ object GraphOps {
       // final ranks land in a scratch table (lake pattern) so the last
       // checkpoint's executor storage is released too — the query leaves
       // zero persisted RDDs behind
+      // fingerprint from the edges scratch: ranks' lineage ends at a
+      // checkpoint (no input files), and the edges path changes whenever
+      // the embeddings content does — so the cache stays content-sensitive
       val out = MinHashDedup.materialized(
         ranks.select(col("node"), col("r").as("rank_scaled")),
-        "gr01_ranks", dir)
+        "gr01_ranks", dir, fingerprintOf = Seq(edges))
       lastCp.foreach(DedupClusters.unpersistCheckpoint)
       out.orderBy("node")
     }),
@@ -103,7 +106,7 @@ object GraphOps {
       val out = MinHashDedup.materialized(
         dist.filter(col("h").isNotNull)
           .select(col("node"), col("h").cast("int").as("hops")),
-        "gr03_hops", dir)
+        "gr03_hops", dir, fingerprintOf = Seq(edges))
       lastCp.foreach(DedupClusters.unpersistCheckpoint)
       out.orderBy("node")
     }),
@@ -117,8 +120,12 @@ object GraphOps {
     // near-dup graphs are bounded-degree, so the open-path frame stays
     // O(|E| · avg-degree) — the standard distributed triangle shape.
     "gr02_triangles" -> ((s, dir) => {
-      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
-        .select(col("id1"), col("id2"))
+      // materialized: the three join branches are independent subtrees —
+      // as lineage each would re-run the signature self-join + cosine
+      // scoring; from scratch parquet they are three cheap re-reads
+      val pairs = MinHashDedup.materialized(
+        SimilarityOps.embeddingNearDupPairs(s, dir)
+          .select(col("id1"), col("id2")), "gr_pairs", dir)
       val e1 = pairs.select(col("id1").as("a"), col("id2").as("b"))
       val e2 = pairs.select(col("id1").as("b"), col("id2").as("c"))
       val e3 = pairs.select(col("id1").as("a"), col("id2").as("c"))
@@ -141,9 +148,14 @@ object GraphOps {
     // planner integration on provably sparse graphs). [[recursiveWalk]]
     // refuses to detonate: a one-aggregate branching-factor estimate
     // rejects dense graphs before the loop runs.
+    // pairs materialized (shared with gr02): UnionLoopExec re-evaluates
+    // the recursive leg's subtree EVERY iteration, and the degree estimate
+    // is one more pass — un-materialized, the LSH candidate join + cosine
+    // scoring would run up to hops+1 times per query
     "rec01_recursive_cte" -> ((s, dir) =>
-      recursiveWalk(s, SimilarityOps.embeddingNearDupPairs(s, dir)
-        .select(col("id1"), col("id2")), MaxHops)),
+      recursiveWalk(s, MinHashDedup.materialized(
+        SimilarityOps.embeddingNearDupPairs(s, dir)
+          .select(col("id1"), col("id2")), "gr_pairs", dir), MaxHops)),
   )
 
   /** Estimated enumerated-path budget for [[recursiveWalk]]: the walk's
@@ -178,20 +190,27 @@ object GraphOps {
           s"$WalkRowBudget); this graph is too dense for walk enumeration " +
           "— use gr03_bfs_hops' checkpointed min-frontier loop instead")
     }
-    pairs.createOrReplaceTempView("rec01_pairs")
-    s.sql(
+    // invocation-unique view name, dropped right after analysis: a fixed
+    // name races concurrent invocations on one session (the second
+    // createOrReplace would silently swap the first query's graph), and an
+    // undropped view pins the pairs plan in the catalog past the query
+    val view =
+      s"rec01_pairs_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    pairs.createOrReplaceTempView(view)
+    try s.sql(
       s"""WITH RECURSIVE walk(node, h) AS (
-         |  SELECT MIN(id1) AS node, 0 AS h FROM rec01_pairs
+         |  SELECT MIN(id1) AS node, 0 AS h FROM $view
          |  UNION ALL
          |  SELECT e.dst, walk.h + 1
-         |  FROM (SELECT id1 AS src, id2 AS dst FROM rec01_pairs
+         |  FROM (SELECT id1 AS src, id2 AS dst FROM $view
          |        UNION ALL
-         |        SELECT id2, id1 FROM rec01_pairs) e
+         |        SELECT id2, id1 FROM $view) e
          |  JOIN walk ON walk.node = e.src
          |  WHERE walk.h < $hops
          |) SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
          |WHERE node IS NOT NULL
          |GROUP BY node ORDER BY node""".stripMargin)
+    finally s.catalog.dropTempView(view) // sql() analyzes eagerly
   }
 
   /** The five iterations unrolled as chained CTEs over the spliced dd07

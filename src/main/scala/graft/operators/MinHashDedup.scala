@@ -72,9 +72,17 @@ object MinHashDedup {
     *    backstops sessions that never call it.
     */
   private[operators] def materialized(
-      df: DataFrame, tag: String, cacheKey: String): DataFrame = {
+      df: DataFrame, tag: String, cacheKey: String,
+      fingerprintOf: Seq[DataFrame] = Nil): DataFrame = {
     val s = df.sparkSession
-    val key = (tag, cacheKey + "#" + inputFingerprint(df))
+    // A frame whose lineage ends at a localCheckpoint (LogicalRDD) has no
+    // inputFiles, so its own fingerprint is a CONSTANT and the cache key
+    // degrades to (tag, cacheKey) — a rewritten source table would serve
+    // stale results. Iterative callers (connected components, pagerank,
+    // BFS) pass their TRUE inputs via `fingerprintOf`; content sensitivity
+    // then comes from those frames' source files.
+    val fp = (df +: fingerprintOf).map(inputFingerprint).mkString("+")
+    val key = (tag, cacheKey + "#" + fp)
     val path = scratchCache.computeIfAbsent(key, _ => {
       val root = new org.apache.hadoop.fs.Path(
         s.conf.getOption("spark.graft.scratch.dir")
