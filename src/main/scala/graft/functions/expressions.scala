@@ -1,12 +1,35 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Analysis-time argument checking shared by the SQL-registered
+  * expressions: without `checkInputDataTypes` a wrong-typed SQL call
+  * (`cnpj_valid(123)`, `dot_product('a','b')`) passes analysis and then
+  * dies deep in codegen / `ClassCastException` on an executor — the user
+  * gets an opaque runtime crash instead of an error naming the expected
+  * type.
+  */
+private[functions] object ArgCheck {
+  def string(name: String, dt: DataType): TypeCheckResult = dt match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires a STRING argument, got ${other.sql}")
+  }
+  def floatArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
+        s"got ${other.sql}")
+  }
+}
 
 /** Native Catalyst expressions (SURVEY §7.2: promote codegen-hot scalars to
   * `Expression`s). Both participate in whole-stage codegen — no
@@ -16,6 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `cnpj_valid(string) → boolean`: CNPJ check-digit validation. */
 case class CnpjValid(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.string("cnpj_valid", child.dataType)
   override def nullSafeEval(v: Any): Any =
     Cnpj.isValid(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -38,6 +63,12 @@ case class CnpjValid(child: Expression) extends UnaryExpression {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ArgCheck.floatArray("dot_product", left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ArgCheck.floatArray("dot_product", right.dataType)
+  }
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -102,6 +133,8 @@ object TextNorm {
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.string("nfc_normalize", child.dataType)
   override def nullSafeEval(v: Any): Any =
     TextNorm.nfc(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -239,6 +239,25 @@ object Charsets {
         .onMalformedInput(CodingErrorAction.REPLACE)
         .onUnmappableCharacter(CodingErrorAction.REPLACE)
       new BufferedReader(new InputStreamReader(pb, dec))
+    } else if (cs == StandardCharsets.UTF_16LE || cs == StandardCharsets.UTF_16BE) {
+      // a BOM-detected UTF-16 file starts with FF FE / FE FF, and the
+      // JDK's UTF_16LE/BE decoders do NOT consume a BOM — undetected it
+      // decodes to U+FEFF, leaks into the corrected file's first field
+      // and corrupts the first row's key (c0 pattern audit). BOM-less
+      // UTF-16 detections (zero-pattern / validity scan) are untouched.
+      val pb = new java.io.PushbackInputStream(raw, 2)
+      val head = new Array[Byte](2)
+      val n = pb.read(head)
+      val isBom = n == 2 && (
+        (cs == StandardCharsets.UTF_16LE &&
+          (head(0) & 0xFF) == 0xFF && (head(1) & 0xFF) == 0xFE) ||
+        (cs == StandardCharsets.UTF_16BE &&
+          (head(0) & 0xFF) == 0xFE && (head(1) & 0xFF) == 0xFF))
+      if (!isBom && n > 0) pb.unread(head, 0, n)
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      new BufferedReader(new InputStreamReader(pb, dec))
     } else {
       val dec = cs.newDecoder()
         .onMalformedInput(CodingErrorAction.REPLACE)

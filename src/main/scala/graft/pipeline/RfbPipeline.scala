@@ -208,14 +208,25 @@ class RfbPipeline(
             Paths.get(e.caminhoZip).getFileName.toString.stripSuffix(".zip"))
           Files.createDirectories(archiveDir)
           val names = zf.entries().asScala.filterNot(_.isDirectory).toSeq
-          val outPaths = names.map { ze =>
-            val dest = archiveDir.resolve(
-              Paths.get(ze.getName).getFileName.toString)
-            val in = zf.getInputStream(ze)
-            try Files.copy(in, dest,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            finally in.close()
-            dest.toString
+          // intra-archive duplicate basenames (members in different zip
+          // subdirs — the reference's extractall keeps the subdirs, so it
+          // never collides) are disambiguated with a member-index PREFIX:
+          // last-wins flattening would silently drop one member's rows and
+          // double-load the survivor's with every count audit still green.
+          // A prefix keeps the dot-SUFFIX routing (RfbTables.route) intact.
+          val basenames =
+            names.map(ze => Paths.get(ze.getName).getFileName.toString)
+          val dups = basenames.groupBy(identity)
+            .collect { case (n, g) if g.size > 1 => n }.toSet
+          val outPaths = names.zip(basenames).zipWithIndex.map {
+            case ((ze, bn), idx) =>
+              val dest = archiveDir.resolve(
+                if (dups(bn)) s"m${idx}_$bn" else bn)
+              val in = zf.getInputStream(ze)
+              try Files.copy(in, dest,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              finally in.close()
+              dest.toString
           }
           e.copy(statusExtracao = Status.Sucesso, arquivosExtraidos = outPaths)
         } finally zf.close()
@@ -319,18 +330,22 @@ class RfbPipeline(
     }
     // Per-file expected line counts, computed on executors (one task per
     // file — same no-full-bytes-on-the-driver rule as the fix phase).
+    // Routed FIRST: route() is a pure driver-side string op, so files no
+    // table claims (layout/readme members) never cost a full-file scan.
     val allCorrected = candidates.flatMap(_._1.arquivosCorrigidos).distinct
+    val routable = allCorrected.filter(f => RfbTables.route(f).isDefined)
     val lineCounts: Map[String, Long] =
-      if (allCorrected.isEmpty) Map.empty
+      if (routable.isEmpty) Map.empty
       else spark.sparkContext
-        .parallelize(allCorrected, allCorrected.size)
+        .parallelize(routable, routable.size)
         .map(f => f -> Charsets.countLines(
           Paths.get(f), java.nio.charset.StandardCharsets.UTF_8))
         .collect().toMap
-    // (entryIdx, correctedFile, table?, lineCount) — per-file routing
+    // (entryIdx, correctedFile, table?, lineCount) — per-file routing;
+    // unroutable files carry -1 (never read by the table groups below)
     val files = candidates.flatMap { case (e, i) =>
       e.arquivosCorrigidos.map { f =>
-        (i, f, RfbTables.route(f), lineCounts(f))
+        (i, f, RfbTables.route(f), lineCounts.getOrElse(f, -1L))
       }
     }
     // unroutable-only entries → ignorada (reference main.py:192-194)
@@ -351,7 +366,13 @@ class RfbPipeline(
       val expected = group.map(_._4).sum
       val ok =
         try {
-          val nCols = firstLine(paths.head).count(_ == ';') + 1
+          // arity from the routing layer's layout knowledge, NOT sniffed
+          // from the first line of the first file: a blank/short first
+          // line would shrink the schema for the WHOLE table and
+          // PERMISSIVE mode would silently drop every extra column while
+          // the line-count audit still passed (the reference's pandas
+          // reader infers per file; the layout map is the stronger form)
+          val nCols = RfbTables.typedColumns(table).size
           val df = spark.read
             .options(Map("sep" -> ";", "header" -> "false",
               "encoding" -> "UTF-8", "mode" -> "PERMISSIVE"))
@@ -423,10 +444,12 @@ class RfbPipeline(
     done
   }
 
-  /** Typed view of a loaded raw table: public RFB column names + real types
-    * ([[RfbTyped]]) over the positional all-string layout (raw stays the
-    * source of truth).
+  /** Typed view of a loaded raw table for THIS run's snapshot: public RFB
+    * column names + real types ([[RfbTyped]]) over the positional
+    * all-string layout (raw stays the source of truth). Reads through the
+    * injected sink — a JDBC-sinked pipeline serves the view from the
+    * database, not from a parquet dir that was never written.
     */
   def typedView(table: String): DataFrame =
-    RfbTyped.typed(table, spark.read.parquet(s"$outDir/$table"))
+    RfbTyped.typed(table, sink.readBack(spark, table, refMonth))
 }

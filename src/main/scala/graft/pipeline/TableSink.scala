@@ -35,8 +35,27 @@ class ParquetSink(outDir: String) extends TableSink {
   private def dest(table: String, refMonth: String): String =
     s"$outDir/$table/ref_month=$refMonth"
 
-  override def overwrite(df: DataFrame, table: String, refMonth: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(dest(table, refMonth))
+  /** Staging-then-swap, NOT SaveMode.Overwrite on the final path: a plain
+    * Overwrite deletes the existing partition before writing, so a
+    * mid-write failure destroys the previously-loaded snapshot — the exact
+    * reference flaw (truncate-then-append leaving a gutted table,
+    * `main.py:198-216`) the pipeline doc says this sink fixes. The full
+    * write lands in a `_staging` sibling (underscore-prefixed: invisible
+    * to any parquet reader that scans the table dir), then the swap is two
+    * metadata ops. A crash before the swap leaves the old data intact and
+    * an inert staging dir the next successful overwrite clears.
+    */
+  override def overwrite(df: DataFrame, table: String, refMonth: String): Unit = {
+    val finalPath = new org.apache.hadoop.fs.Path(dest(table, refMonth))
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$outDir/$table/_staging_ref_month=$refMonth")
+    val fs = finalPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(finalPath, true)
+    if (!fs.rename(staging, finalPath)) throw new java.io.IOException(
+      s"rename $staging -> $finalPath failed")
+  }
 
   override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame =
     spark.read.parquet(dest(table, refMonth))

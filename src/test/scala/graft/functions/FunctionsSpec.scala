@@ -50,6 +50,25 @@ class FunctionsSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("wrong-typed arguments fail at ANALYSIS, not in codegen") {
+    // without checkInputDataTypes these pass analysis and die deep in
+    // generated Java / ClassCastException on an executor — an opaque
+    // runtime crash instead of an error naming the expected type
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(1).toDF("i").createOrReplaceTempView("typecheck_t")
+    for (bad <- Seq(
+      "SELECT cnpj_valid(i) FROM typecheck_t",
+      "SELECT dot_product('a', 'b')",
+      "SELECT dot_product(array(1, 2), array(3, 4))", // int arrays
+      "SELECT nfc_normalize(i) FROM typecheck_t")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(bad).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("requires"), s"$bad: $e")
+    }
+  }
+
   test("dot_product handles mixed float/double array inputs") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0, 0.5, 1.0))).toDF("f", "d")

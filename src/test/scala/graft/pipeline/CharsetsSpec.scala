@@ -63,6 +63,22 @@ class CharsetsSpec extends AnyFunSuite {
     }
   }
 
+  test("UTF-16 BOM is consumed, not decoded into the first field") {
+    // FF FE / FE FF routes detection to UTF_16LE/BE, whose JDK decoders do
+    // NOT consume a BOM — unstripped it decodes to U+FEFF and corrupts the
+    // first row's key in the corrected file
+    for ((cs, bom) <- Seq(
+      StandardCharsets.UTF_16LE -> Array(0xFF, 0xFE),
+      StandardCharsets.UTF_16BE -> Array(0xFE, 0xFF))) {
+      val src = tmpFile(bom.map(_.toByte) ++ "01;São Paulo\n".getBytes(cs))
+      assert(Charsets.detect(src) == cs)
+      val dest = Files.createTempFile("fixed", ".csv"); dest.toFile.deleteOnExit()
+      Charsets.transcode(src, cs, dest)
+      val out = Files.readAllBytes(dest)
+      assert(out(0) == '0'.toByte, s"BOM residue for $cs") // no U+FEFF
+    }
+  }
+
   test("detects BOM-less UTF-16 of NON-Latin text (CJK + Cyrillic) both ways") {
     // both bytes of most code units are nonzero — no NUL pattern for the
     // zero-parity heuristic; the decode-validity scan must catch these

@@ -92,6 +92,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.sucesso == 3 && rep.falhasOuPendentes == 1)
   }
 
+  test("intra-archive duplicate basenames: both members load (no last-wins loss)") {
+    // the reference's extractall keeps zip subdirs so 0/X and 1/X never
+    // collide; our per-archive flatten must disambiguate, or one member's
+    // rows vanish and the survivor's double-load with the audit still green
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Motivos.zip", Seq(
+      "0/K1.D509.MOTIV" -> "00;Sem motivo\n".getBytes(StandardCharsets.UTF_8),
+      "1/K1.D509.MOTIV" -> "01;Extinção\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Motivos.zip")).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.head.statusCarga == Status.Sucesso)
+    val rows = spark.read.parquet(s"$out/rfb_motivos").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows.map(_.getString(0)).toSet == Set("00", "01"))
+  }
+
   test("corrupt zip self-heals: download reset to pendente, next run loads (main.py:116-119)") {
     val (src, work, out) = freshDirs()
     Files.write(src.resolve("Quals.zip"),
