@@ -33,10 +33,15 @@ object Bench {
 
   /** Times each query against the materializing noop sink. A query that
     * throws lands in the second map (error text) and NEVER as a timing —
-    * a crash must not masquerade as a fast run in BENCH_rN deltas.
+    * a crash must not masquerade as a fast run in BENCH_rN deltas. The
+    * third map is the scratch-BUILD share of each query's wall time
+    * (seconds spent writing scratch parquet during that query), drained
+    * from the build meter per query so owners' numbers can be read as
+    * query-time + build-time instead of one conflated figure.
     */
   def run(spark: SparkSession, sfDir: String, queries: Seq[(String, Q)])
-      : (Map[String, Double], Map[String, String]) = {
+      : (Map[String, Double], Map[String, String], Map[String, Double]) = {
+    operators.MinHashDedup.drainBuildSeconds() // reset the meter
     val results = queries.map { case (name, fn) =>
       scratchOwner.get(name).foreach(prefix =>
         operators.MinHashDedup.clearScratch(_.startsWith(prefix)))
@@ -44,10 +49,12 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable => Some(t.toString) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val buildS = operators.MinHashDedup.drainBuildSeconds().values.sum
+      (name, (System.nanoTime() - t0) / 1e9, err, buildS)
     }
-    (results.collect { case (k, v, None) => (k, v) }.toMap,
-      results.collect { case (k, _, Some(e)) => (k, e) }.toMap)
+    (results.collect { case (k, v, None, _) => (k, v) }.toMap,
+      results.collect { case (k, _, Some(e), _) => (k, e) }.toMap,
+      results.collect { case (k, _, _, b) if b > 0 => (k, b) }.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,12 +107,21 @@ object Bench {
     // query two different neighborhoods and the min approaches its
     // isolated time. Scratch tables are cleared between passes so each one
     // computes its own materializations.
-    val (ok1, errMap1) = run(spark, sfDir, selected)
+    val (ok1, errMap1, build1) = run(spark, sfDir, selected)
     operators.MinHashDedup.clearScratch()
-    val (ok2, errMap2) = run(spark, sfDir, selected.reverse)
+    val (ok2, errMap2, build2) = run(spark, sfDir, selected.reverse)
     val ok = (ok1.keySet ++ ok2.keySet).map { k =>
       k -> math.min(ok1.getOrElse(k, Double.MaxValue),
         ok2.getOrElse(k, Double.MaxValue))
+    }.toMap
+    // Scratch-build attribution rides with the pass that supplied the
+    // reported (min) time, so query-time − build-time is internally
+    // consistent per query. Sub-5ms builds are noise, not attribution.
+    val buildS = (ok1.keySet ++ ok2.keySet).flatMap { k =>
+      val p1 = ok1.getOrElse(k, Double.MaxValue) <=
+        ok2.getOrElse(k, Double.MaxValue)
+      val b = if (p1) build1.getOrElse(k, 0.0) else build2.getOrElse(k, 0.0)
+      if (b > 0.005) Some(k -> b) else None
     }.toMap
     // a query that failed in EITHER pass reports as an error, never a time
     val errMap = errMap1 ++ errMap2
@@ -163,6 +179,8 @@ object Bench {
     val total = okClean.values.sum
     val fullQs = ordered.filter(okClean.contains)
       .map(k => jstr(k) + ":" + okClean(k)).mkString("{", ",", "}")
+    val buildJson = buildS.toSeq.sortBy(_._1)
+      .map { case (k, b) => jstr(k) + ":" + b }.mkString("{", ",", "}")
     val fullErrs = errMap.toSeq.map { case (k, e) =>
       jstr(k) + ":" + jstr(e.take(300))
     }.mkString("{", ",", "}")
@@ -191,7 +209,7 @@ object Bench {
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"sf":"$sfDir"$pipeSection}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"scratch_build_s":$buildJson,"sf":"$sfDir"$pipeSection}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sfName = new java.io.File(sfDir).getName
     val full =

@@ -95,10 +95,36 @@ object MinHashDedup {
       // about (retries mint a fresh UUID, permanently orphaning it)
       hadoopConf.compareAndSet(null, s.sparkContext.hadoopConfiguration)
       scratchDirs.add(p)
+      val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(p)
+      buildSeconds.merge(tag, (System.nanoTime() - t0) / 1e9,
+        (a, b) => a + b)
       p
     })
     s.read.parquet(path)
+  }
+
+  // Build-cost meter: seconds spent WRITING scratch tables since the last
+  // drain, keyed by tag. Bench drains it after each timed query so the
+  // scratch-build share of an owner query's wall time is reported
+  // separately (`scratch_build_s` in bench_detail.json) instead of
+  // silently inflating the owner's number — q59's r9 "regression"
+  // (1.7 → 2.7 s) was exactly this attribution artifact.
+  private val buildSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Snapshot-and-reset the per-tag scratch build seconds accumulated
+    * since the previous drain (or JVM start).
+    */
+  private[graft] def drainBuildSeconds(): Map[String, Double] = {
+    val snap = scala.collection.mutable.Map[String, Double]()
+    val it = buildSeconds.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      snap(e.getKey) = e.getValue
+      it.remove()
+    }
+    snap.toMap
   }
 
   /** Content fingerprint of `df`'s source files: md5 over each file's

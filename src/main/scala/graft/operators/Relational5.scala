@@ -210,22 +210,15 @@ object Relational5 {
     // ⌊p·(n−1)⌋ — pure BIGINT arithmetic, so both engines agree by
     // construction (and both state the same cum>idx lookup, no quantile
     // builtin to reconcile). Pipeline: parallel hash-agg to (value, freq)
-    // [NDV-sized], then a DISTRIBUTED prefix sum over the NDV rows — value
-    // range is cut into P deterministic buckets from a broadcast min/max
-    // (value-derived, so every branch of the plan assigns the same bucket;
-    // a repartitionByRange pid would be sample-nondeterministic across
-    // branches), cumsum runs per-bucket in parallel, and each bucket adds
-    // a broadcast offset from a P-row (≤32, constant-bounded) running
-    // total. This was the suite's last single-partition data window (the
-    // old ONE-partition cumsum was NDV-bounded but still serialized an
-    // unbounded-domain axis through one task). Three rank lookups fold
-    // into one tiny aggregate, broadcast back into a row-local bucket
-    // assignment + weighted 4-group count. At lake scale with unbounded
-    // NDV the boundaries would come from approx_percentile under q51's
-    // accuracy contract — the bucket pass is unchanged.
+    // [NDV-sized], then the shared DistributedCumsum prefix sum over the
+    // NDV rows (per-value-range-bucket cumsum + broadcast triangular
+    // offsets — see that object's scaladoc; this was the suite's last
+    // single-partition data window before the bucket treatment). Three
+    // rank lookups fold into one tiny aggregate, broadcast back into a
+    // row-local bucket assignment + weighted 4-group count. At lake scale
+    // with unbounded NDV the boundaries would come from approx_percentile
+    // under q51's accuracy contract — the bucket pass is unchanged.
     "q59_equidepth_hist" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val P = 32
       // The (value, freq) reduction feeds FOUR subtrees (global stats,
       // per-bucket sums, the cumsum, the final histogram); left as lineage
       // the plan re-scans lineitem once per subtree with zero exchange
@@ -238,25 +231,7 @@ object Relational5 {
           .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
           .groupBy("cents").agg(count(lit(1)).as("freq")),
         "q59_counts", dir)
-      val mm = counts.agg(min("cents").as("lo"), (max("cents") + 1).as("hi"),
-        sum("freq").as("n"))
-      val bucketed = counts.crossJoin(broadcast(mm))
-        .withColumn("pid",
-          (((col("cents") - col("lo")) * P) / (col("hi") - col("lo")))
-            .cast("int"))
-      // exclusive running total of the ≤P per-bucket sums = bucket offsets,
-      // as a P×P broadcast triangular join (≤1024 pairs) — not a window, so
-      // the plan carries ZERO partition-less WindowExecs
-      val psums = bucketed.groupBy("pid").agg(sum("freq").as("psum"))
-      val offsets = psums.as("a")
-        .join(broadcast(psums.as("b")), col("b.pid") < col("a.pid"), "left")
-        .groupBy(col("a.pid"))
-        .agg(coalesce(sum(col("b.psum")), lit(0L)).as("off"))
-      val wLocal = Window.partitionBy("pid").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bounds = bucketed.join(broadcast(offsets), "pid")
-        .select(col("cents"),
-          (sum("freq").over(wLocal) + col("off")).as("cum"), col("n"))
+      val bounds = DistributedCumsum.cumulative(counts, "cents", "freq")
         .agg(
           min(when(col("cum") > expr("(n - 1) div 4"), col("cents"))).as("b1"),
           min(when(col("cum") > expr("(n - 1) div 2"), col("cents"))).as("b2"),

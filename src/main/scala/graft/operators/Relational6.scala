@@ -3,7 +3,6 @@ package graft.operators
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,22 +16,19 @@ object Relational6 {
   type Q = (SparkSession, String) => DataFrame
 
   /** Rank-based tertile boundaries of `valueCol` over a pre-aggregated
-    * (value, freq) table — the q59 equi-depth pattern: the cumulative sum
-    * runs over NDV rows (bounded by the metric's distinct values, never by
-    * row count), and the two lookups fold into one 1-row aggregate fit for
-    * broadcast. boundary_p = min value whose cumulative count exceeds rank
-    * ⌊p·(n−1)⌋ — pure BIGINT arithmetic, identical in both engines.
+    * (value, freq) table — the q59 equi-depth pattern via the shared
+    * [[DistributedCumsum]] prefix sum: the cumsum runs per value-range
+    * bucket in parallel (never a partition-less window — the metric's NDV
+    * scales with customer count, so one sorted task would be the 100×
+    * straggler), and the two rank lookups fold into one 1-row aggregate
+    * fit for broadcast. boundary_p = min value whose cumulative count
+    * exceeds rank ⌊p·(n−1)⌋ — pure BIGINT arithmetic, identical in both
+    * engines.
     */
   private[operators] def tertiles(df: DataFrame, valueCol: String, prefix: String)
       : DataFrame = {
     val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("f"))
-    val wcum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
-      .select(col("v"), sum(col("f")).over(wcum).as("cum"),
-        sum(col("f")).over(wAll).as("n"))
+    DistributedCumsum.cumulative(counts, "v", "f")
       .agg(
         min(when(col("cum") > expr("(n - 1) div 3"), col("v")))
           .as(s"${prefix}_b1"),

@@ -15,10 +15,27 @@ class BenchSpec extends AnyFunSuite {
       "broken_plan" -> ((s, _) =>
         s.range(1).selectExpr("assert_true(id > 0, 'boom')")),
       "broken_build" -> ((_, _) => throw new RuntimeException("constructor")))
-    val (ok, errs) = Bench.run(spark, TestSpark.sf0001, queries.toSeq)
+    val (ok, errs, _) = Bench.run(spark, TestSpark.sf0001, queries.toSeq)
     assert(ok.keySet === Set("good"))
     assert(ok("good") > 0.0)
     assert(errs.keySet === Set("broken_plan", "broken_build"))
     assert(errs("broken_build").contains("constructor"))
+  }
+
+  test("scratch-build seconds are attributed to the building query") {
+    operators.MinHashDedup.drainBuildSeconds() // isolate from other specs
+    val queries: Map[String, Bench.Q] = Map(
+      // q59 is a scratch builder (materializes its counts table); q01 is
+      // scratch-free — builds must land on the former only
+      "q59_equidepth_hist" -> SparkEntry.queries("q59_equidepth_hist"),
+      "q01_pricing_summary" -> SparkEntry.queries("q01_pricing_summary"))
+    operators.MinHashDedup.clearScratch(_.startsWith("q59_"))
+    val (ok, _, builds) = Bench.run(spark, TestSpark.sf0001, queries.toSeq)
+    assert(ok.size == 2)
+    assert(builds.contains("q59_equidepth_hist"),
+      s"expected q59 to carry its scratch build cost, got $builds")
+    assert(!builds.contains("q01_pricing_summary"), builds.toString)
+    assert(builds("q59_equidepth_hist") > 0.0 &&
+      builds("q59_equidepth_hist") < ok("q59_equidepth_hist"))
   }
 }

@@ -430,18 +430,21 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q61/q62 score the fact table without fact-sized windows") {
-    // q61's only windows are the NDV-bounded boundary lookups (empty
-    // partition spec over per-value counts — the q59 shape); the bucket
-    // assignment itself must join BROADCAST frames. q62 has no window at
-    // all: stats are an aggregation joined back on the key.
+    // q61's boundary lookups run the shared DistributedCumsum prefix sum:
+    // every window is partitioned by the value-range bucket (never an
+    // empty partition spec — metric NDV scales with customer count) and
+    // reads a groupBy(value).count() aggregate, never the raw orders
+    // scan; the bucket assignment itself must join BROADCAST frames. q62
+    // has no window at all: stats are an aggregation joined back on the
+    // key.
     val q61 = SparkEntry.queries("q61_rfm_segments")(spark, TestSpark.sf0001)
     val p61 = q61.queryExecution.sparkPlan
     val w61 = p61.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    // boundary windows run over groupBy(value).count() outputs — their
-    // child must be an aggregate, never the raw orders scan
+    assert(w61.nonEmpty) // the per-bucket cumsums are still windows
     w61.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"tertile cumsum must be bucketed:\n$w")
       val sub = w.collectFirst {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
       }
@@ -589,6 +592,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(windows.nonEmpty) // the per-bucket cumsum is still a window
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
+  test("suite-wide: every partition-less WindowExec reads a k-cut") {
+    // THE no-exemptions rule (r9 verdict item 1): a WindowExec with an
+    // empty partition spec executes as one sorted task holding its whole
+    // input, so across ALL declared queries the only admissible shape is
+    // one whose input is provably k-bounded — a Limit/TakeOrdered below
+    // the window (ss11's top-k lists). Everything data- or NDV-scaled
+    // must be partitioned (per-key, or DistributedCumsum's value-range
+    // buckets — q59/q61). No per-query allowlist: a new query that
+    // sneaks in a global rank over an unbounded frame fails here by name.
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sf0001).queryExecution.sparkPlan
+      plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          val kcut = w.collectFirst {
+            case l: GlobalLimitExec => l
+            case t: TakeOrderedAndProjectExec => t
+            case c: CollectLimitExec => c
+          }
+          assert(kcut.nonEmpty,
+            s"$name: partition-less window over an unbounded frame:\n$w")
+        }
+    }
   }
 
   test("dd09 explodes + shuffles the gram stream ONCE (exchange reuse)") {
