@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative operators (PageRank, BFS, connected
+  * components): every round must cut its plan back to a leaf or the
+  * optimizer re-analyzes an O(rounds)-deep tree each iteration.
+  *
+  * Two modes, selected by `spark.graft.checkpoint.dir`:
+  *  - UNSET (default): `localCheckpoint` — blocks live in executor
+  *    memory/disk. Zero extra I/O, correct on local[n]; on a multi-node
+  *    cluster an executor loss kills the truncated lineage and the QUERY,
+  *    not just a task (the r9 verdict's remaining-gap #2).
+  *  - SET: reliable `checkpoint` to that directory (any Hadoop-FS scheme —
+  *    HDFS/S3/NFS on a cluster). Rounds survive executor loss; the cost is
+  *    one write+read of the round's frame, which for these operators is
+  *    bounded by |edges|, not the corpus.
+  *
+  * Eager in both modes: one job materializes the round. Checkpoint files
+  * under the reliable dir live until the context stops (Spark's standard
+  * reliable-checkpoint lifecycle; set a job-scoped dir and delete it after,
+  * or enable `spark.cleaner.referenceTracking.cleanCheckpoints`).
+  */
+private[graft] object Checkpoints {
+  def truncate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        // setCheckpointDir mints a UUID subdir under `dir`; only (re)set
+        // when the current one isn't already under it, so all rounds of a
+        // session share one subdir instead of minting one per round
+        if (!s.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
+}

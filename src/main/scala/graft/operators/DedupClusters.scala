@@ -23,9 +23,9 @@ import graft.Tables
   * transitive-closure pair blowup
   * (the oracle's recursive CTE enumerates reachability, which is only
   * tractable because the corpus is small; the Spark path scales).
-  * `localCheckpoint` truncates lineage each round so plans stay O(1); a
-  * 1000-executor deployment would use reliable `checkpoint` to shared
-  * storage instead.
+  * [[Checkpoints.truncate]] cuts lineage each round so plans stay O(1) —
+  * executor-local by default, reliable `checkpoint` to shared storage when
+  * `spark.graft.checkpoint.dir` is set (the 1000-executor mode).
   */
 object DedupClusters {
   type Q = (SparkSession, String) => DataFrame
@@ -61,7 +61,7 @@ object DedupClusters {
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     var labels = nodes.select(col("id"), col("id").as("lab"))
     var lastCp: Option[DataFrame] = None
     var changed = 1L
@@ -78,7 +78,7 @@ object DedupClusters {
         .groupBy("id")
         .agg(min("lab").as("lab"),
           max(when(col("own"), col("lab"))).as("oldLab"))
-        .localCheckpoint() // eager: one job materializes the round
+        .transform(Checkpoints.truncate) // eager: one job materializes the round
       changed = agg.filter(col("lab") < col("oldLab")).count() // cheap re-read
       lastCp.foreach(unpersistCheckpoint) // superseded round: free it NOW
       lastCp = Some(agg)

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * |edges| — the canonical distributed PageRank shape. The edge table (with
   * per-src degree baked in) is materialized ONCE via the scratch-table lake
   * pattern, so iterations re-read a parquet table instead of re-running LSH
-  * candidate generation; `localCheckpoint` truncates lineage per iteration
-  * (a multi-node deployment would use reliable `checkpoint`).
+  * candidate generation; [[Checkpoints.truncate]] cuts lineage per
+  * iteration — executor-local by default, reliable `checkpoint` when
+  * `spark.graft.checkpoint.dir` points at shared storage (the multi-node
+  * mode: rounds survive executor loss).
   */
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
@@ -58,7 +60,7 @@ object GraphOps {
           .agg(sum(col("contrib")).as("csum"))
           .select(col("dst").as("node"),
             (lit(Base) + expr("(csum * 17) div 20")).as("r"))
-          .localCheckpoint()
+          .transform(Checkpoints.truncate)
         lastCp.foreach(DedupClusters.unpersistCheckpoint) // superseded round
         lastCp = Some(ranks)
       }
@@ -99,7 +101,7 @@ object GraphOps {
           .filter(col("h").isNotNull)
           .select(col("dst").as("node"), (col("h") + 1).as("h"))
         dist = dist.union(prop).groupBy("node").agg(min("h").as("h"))
-          .localCheckpoint()
+          .transform(Checkpoints.truncate)
         lastCp.foreach(DedupClusters.unpersistCheckpoint)
         lastCp = Some(dist)
       }

@@ -206,18 +206,44 @@ object TxLog {
     * pointer move while newer commits + a cleanup happened) that rewound
     * the pointer would strand [[latestVersion]]'s forward probe below the
     * deleted range — a stale head, and a forked log once the next writer
-    * commits against it. The check-then-move window is not a CAS, but a
-    * loser inside it has by definition just read a CURRENT pointer, and
-    * cleanup additionally re-anchors the pointer itself before deleting.
+    * commits against it. The check-then-move pair runs under a FileLock on
+    * `_pointer.lock` (plus a per-table JVM monitor: POSIX file locks are
+    * process-scoped, and a second lock attempt from the same JVM throws
+    * OverlappingFileLockException instead of blocking), making the
+    * forward-only update a genuine CAS — a checkpointer that pauses
+    * arbitrarily long between its hint read and its move now re-reads
+    * INSIDE the exclusive section, so it can never rewind a pointer that
+    * a concurrent cleanup just re-anchored (the r9 ADVICE window). Lock
+    * unavailability (filesystems without byte-range locks) degrades to the
+    * pre-lock check-then-move, never to a failed checkpoint.
     */
-  private def movePointerForward(table: String, version: Long): Unit = {
-    if (checkpointHint(table).exists(_ >= version)) return
-    val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
-    Files.write(ptmp, s"""{"version":$version}""".getBytes(
-      StandardCharsets.UTF_8))
-    Files.move(ptmp, pointerFile(table),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  private[operators] def movePointerForward(table: String, version: Long): Unit = {
+    val monitor = pointerMonitors.computeIfAbsent(table, _ => new Object)
+    monitor.synchronized {
+      val locked =
+        try {
+          val ch = java.nio.channels.FileChannel.open(
+            logDir(table).resolve("_pointer.lock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try Some((ch, ch.lock()))
+          catch { case _: Exception => ch.close(); None }
+        } catch { case _: Exception => None }
+      try {
+        if (checkpointHint(table).exists(_ >= version)) return
+        val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
+        Files.write(ptmp, s"""{"version":$version}""".getBytes(
+          StandardCharsets.UTF_8))
+        Files.move(ptmp, pointerFile(table),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } finally locked.foreach { case (ch, lk) =>
+        try { lk.release(); ch.close() } catch { case _: Exception => () }
+      }
+    }
   }
+
+  private val pointerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Write `df` as the next version of `table` with an expected-version CAS:
     * data lands in a fresh UNIQUELY-NAMED staging dir first (never visible

@@ -225,13 +225,30 @@ object Charsets {
   /** Replace-not-fail decoder (reference `errors='replace'`, `main.py:145`),
     * also skipping a leading UTF-8 BOM if present.
     */
+  /** Fill `buf` from `in`, looping until full or EOF — `read` may legally
+    * return fewer bytes than available (r9 ADVICE: a short read here would
+    * leave a real BOM unstripped and decode U+FEFF into the first field).
+    * Returns the byte count actually read (readNBytes semantics, which
+    * InputStream only grew in JDK 9 — PushbackInputStream inherits it, but
+    * looping explicitly keeps the contract visible at the probe site).
+    */
+  private[pipeline] def readFully(in: java.io.InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    var n = 0
+    while (off < buf.length && n >= 0) {
+      n = in.read(buf, off, buf.length - off)
+      if (n > 0) off += n
+    }
+    off
+  }
+
   private def reader(path: Path, cs: Charset): BufferedReader = {
     val raw = Files.newInputStream(path)
     if (cs == StandardCharsets.UTF_8) {
       // consume BOM if present (utf-8-sig read semantics)
       val pb = new java.io.PushbackInputStream(raw, 3)
       val head = new Array[Byte](3)
-      val n = pb.read(head)
+      val n = readFully(pb, head)
       val isBom = n == 3 && (head(0) & 0xFF) == 0xEF &&
         (head(1) & 0xFF) == 0xBB && (head(2) & 0xFF) == 0xBF
       if (!isBom && n > 0) pb.unread(head, 0, n)
@@ -247,7 +264,7 @@ object Charsets {
       // UTF-16 detections (zero-pattern / validity scan) are untouched.
       val pb = new java.io.PushbackInputStream(raw, 2)
       val head = new Array[Byte](2)
-      val n = pb.read(head)
+      val n = readFully(pb, head)
       val isBom = n == 2 && (
         (cs == StandardCharsets.UTF_16LE &&
           (head(0) & 0xFF) == 0xFF && (head(1) & 0xFF) == 0xFE) ||

@@ -34,6 +34,8 @@ trait TableSink {
 class ParquetSink(outDir: String) extends TableSink {
   private def dest(table: String, refMonth: String): String =
     s"$outDir/$table/ref_month=$refMonth"
+  private def path(table: String, refMonth: String, prefix: String = "") =
+    new org.apache.hadoop.fs.Path(s"$outDir/$table/${prefix}ref_month=$refMonth")
 
   /** Staging-then-swap, NOT SaveMode.Overwrite on the final path: a plain
     * Overwrite deletes the existing partition before writing, so a
@@ -41,24 +43,57 @@ class ParquetSink(outDir: String) extends TableSink {
     * reference flaw (truncate-then-append leaving a gutted table,
     * `main.py:198-216`) the pipeline doc says this sink fixes. The full
     * write lands in a `_staging` sibling (underscore-prefixed: invisible
-    * to any parquet reader that scans the table dir), then the swap is two
-    * metadata ops. A crash before the swap leaves the old data intact and
-    * an inert staging dir the next successful overwrite clears.
+    * to any parquet reader that scans the table dir), then the swap is
+    * rename+rename — old data moves ASIDE (`_backup`), never away: a crash
+    * at ANY point leaves either the old snapshot readable or a COMPLETE
+    * staging dir that [[readBack]] (and the next overwrite) promotes. The
+    * previous delete-then-rename shape had a window where the old data was
+    * gone and the new still hidden, with no recovery path — the r9 ADVICE
+    * finding.
     */
   override def overwrite(df: DataFrame, table: String, refMonth: String): Unit = {
-    val finalPath = new org.apache.hadoop.fs.Path(dest(table, refMonth))
-    val staging = new org.apache.hadoop.fs.Path(
-      s"$outDir/$table/_staging_ref_month=$refMonth")
+    val finalPath = path(table, refMonth)
+    val staging = path(table, refMonth, "_staging_")
+    val backup = path(table, refMonth, "_backup_")
     val fs = finalPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(finalPath, true)
-    if (!fs.rename(staging, finalPath)) throw new java.io.IOException(
-      s"rename $staging -> $finalPath failed")
+    fs.delete(backup, true) // stale backup from an earlier crashed swap
+    if (fs.exists(finalPath) && !fs.rename(finalPath, backup))
+      throw new java.io.IOException(s"rename $finalPath -> $backup failed")
+    if (!fs.rename(staging, finalPath)) {
+      // restore the old snapshot before failing: rename back is the same
+      // metadata op that just succeeded forward, so this only fails if the
+      // filesystem itself is gone
+      fs.rename(backup, finalPath)
+      throw new java.io.IOException(s"rename $staging -> $finalPath failed")
+    }
+    fs.delete(backup, true)
   }
 
-  override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame =
+  /** Completed parquet writes carry a `_SUCCESS` marker (the default
+    * `FileOutputCommitter` contract) — the recovery discriminator between
+    * a COMPLETE orphaned staging dir (crash landed inside the swap after
+    * the write finished: promote it) and a partial one (crash mid-write:
+    * ignore it; the old data or backup is the truth).
+    */
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+
+  override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame = {
+    val finalPath = path(table, refMonth)
+    val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(finalPath)) {
+      // crash inside a swap: prefer the complete NEW snapshot (it was
+      // fully written — the swap just didn't finish), else the backup
+      val staging = path(table, refMonth, "_staging_")
+      val backup = path(table, refMonth, "_backup_")
+      if (isComplete(fs, staging)) fs.rename(staging, finalPath)
+      else if (fs.exists(backup)) fs.rename(backup, finalPath)
+    }
     spark.read.parquet(dest(table, refMonth))
+  }
 }
 
 /** Relational sink, parity with the reference's actual deployment

@@ -36,6 +36,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 150000000L))
   }
 
+  test("reliable-checkpoint mode (spark.graft.checkpoint.dir): identical results") {
+    // the multi-node mode: rounds checkpoint to a shared dir and survive
+    // executor loss; the result must be bit-identical to the local mode
+    val local = GraphOps.queries("gr01_pagerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // clear gr01's scratch so the second run actually re-iterates instead
+    // of re-reading the cached ranks table
+    MinHashDedup.clearScratch(_.startsWith("gr01_"))
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.conf.set("spark.graft.checkpoint.dir", ckptDir.toString)
+    try {
+      val reliable = GraphOps.queries("gr01_pagerank")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(reliable == local)
+      // prove the reliable path actually ran: checkpoint files landed
+      val s = java.nio.file.Files.list(ckptDir)
+      val landed = try s.iterator().hasNext finally s.close()
+      assert(landed, s"no checkpoint data under $ckptDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      MinHashDedup.clearScratch(_.startsWith("gr01_"))
+      org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
+    }
+  }
+
   test("recursiveWalk refuses a planted duplicate-clique blowup") {
     // K40: branching factor ≈ 39, estimated paths 1560 · 39⁷ ≈ 2·10¹⁴ —
     // walk enumeration would detonate; the guard must trip BEFORE the

@@ -149,6 +149,41 @@ class TxLogSpec extends AnyFunSuite {
       "UTF-8").contains("20"))
   }
 
+  test("pointer moves are serialized: stale checkpointers racing cleanup never rewind") {
+    val t = freshTable()
+    (1 to 100).foreach(v => TxLog.commit(t, v - 1, s"d$v")) // ckpts 10..100
+    val log = java.nio.file.Paths.get(t, "_txlog")
+    def pointerVersion(): Long = {
+      val txt = new String(Files.readAllBytes(log.resolve("_last_checkpoint")),
+        "UTF-8")
+      """\d+""".r.findFirstIn(txt).get.toLong
+    }
+    assert(pointerVersion() == 100L)
+    // rewind the pointer to a stale-but-valid anchor so the racing movers
+    // below actually enter the move path (a pointer already at 100 would
+    // short-circuit every check and exercise nothing)
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":10}""".getBytes("UTF-8"))
+    // 8 stale checkpointers replay old (checkpointed) versions while the
+    // main thread runs cleanups (which re-anchor to 100) — the FileLock'd
+    // check-then-move must end at the high-water mark through every
+    // interleaving; the unlocked shape could pass a low check, pause, and
+    // clobber the re-anchored pointer back down
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futures = (0 until 8).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          (1 to 25).foreach(j =>
+            TxLog.movePointerForward(t, ((i + j) % 10 + 1) * 10L))
+      })
+    }
+    (1 to 5).foreach(_ => TxLog.cleanupBefore(t, 100L))
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(pointerVersion() == 100L)
+    assert(TxLog.latestVersion(t).contains(100L))
+  }
+
   test("vacuum tolerates a concurrently-cleaned version; keeps checkpointed data") {
     val t = freshTable()
     // vacuum only considers v-prefixed dirs (the writer naming scheme)

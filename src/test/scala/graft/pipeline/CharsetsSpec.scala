@@ -156,4 +156,25 @@ class CharsetsSpec extends AnyFunSuite {
     assert(Charsets.countLines(
       java.nio.file.Paths.get("/nonexistent/x.csv"), StandardCharsets.UTF_8) == -1L)
   }
+
+  test("BOM probe survives a stingy stream (1 byte per read)") {
+    // InputStream.read may legally return fewer bytes than available; the
+    // probe must loop, or a real BOM goes unstripped (r9 ADVICE)
+    class Stingy(bytes: Array[Byte]) extends java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i >= bytes.length) -1 else { i += 1; bytes(i - 1) & 0xFF }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (i >= bytes.length) -1
+        else if (len == 0) 0
+        else { b(off) = bytes(i); i += 1; 1 } // never more than one byte
+    }
+    val bom3 = Array(0xEF, 0xBB, 0xBF, 'a'.toInt).map(_.toByte)
+    val buf = new Array[Byte](3)
+    assert(Charsets.readFully(new Stingy(bom3), buf) == 3)
+    assert(buf.toSeq == bom3.take(3).toSeq)
+    // short input: returns what exists, never loops forever
+    val buf2 = new Array[Byte](3)
+    assert(Charsets.readFully(new Stingy(Array(0xEF.toByte)), buf2) == 1)
+  }
 }
