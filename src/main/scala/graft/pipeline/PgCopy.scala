@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import java.sql.Connection
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+/** Bulk-ingest API for [[JdbcSink]]'s COPY mode — the README-claimed
+  * Postgres `COPY` path the reference never implemented (`READme.md:24`
+  * claims it; `main.py:205` actually ships batched INSERTs via
+  * `to_sql(method='multi')`).
+  *
+  * The seam is a tiny SAM so the Spark-side orchestration (DDL reuse,
+  * per-partition connections, streaming serialization) is testable without
+  * a live Postgres: production wires [[PgCopyApi]] (reflection onto the pg
+  * driver's CopyManager — the driver jar is a deploy-time presence, not a
+  * compile dependency); JdbcSinkSpec wires a Derby-backed stand-in that
+  * consumes the SAME text stream, proving both sink modes land identical
+  * table contents.
+  */
+trait CopyApi extends Serializable {
+  /** Execute `sql` (a `COPY ... FROM STDIN` form) feeding `rows`, the
+    * table data in COPY text format. Returns rows ingested.
+    */
+  def copyIn(conn: Connection, sql: String, rows: java.io.Reader): Long
+}
+
+/** COPY text-format serialization (PostgreSQL's default `COPY FROM STDIN`
+  * wire form: tab-separated fields, newline-terminated records, `\N` for
+  * NULL, backslash escapes). Kept as pure functions — the escaping rules
+  * are exactly what the spec's round-trip has to pin.
+  */
+object PgCopyText {
+  def copySql(table: String): String = s"COPY $table FROM STDIN"
+
+  /** One field. COPY text requires escaping ONLY backslash and the three
+    * structural characters (field/record separators); everything else
+    * passes through verbatim in the client encoding.
+    */
+  def encodeField(v: Any): String = v match {
+    case null => "\\N"
+    case b: Array[Byte] => // bytea hex form, itself backslash-escaped
+      "\\\\x" + b.map("%02x".format(_)).mkString
+    case other =>
+      val s = other.toString
+      if (s.indexOf('\\') < 0 && s.indexOf('\t') < 0 &&
+          s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+      else {
+        val sb = new StringBuilder(s.length + 8)
+        s.foreach {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        sb.toString
+      }
+  }
+
+  def encodeRow(row: Row, schema: StructType): String = {
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      val v =
+        if (row.isNullAt(i)) null
+        else if (schema(i).dataType == BinaryType) row.getAs[Array[Byte]](i)
+        else row.get(i)
+      sb.append(encodeField(v))
+      i += 1
+    }
+    sb.append('\n')
+    sb.toString
+  }
+
+  /** Streams pre-encoded records to the COPY consumer without ever holding
+    * a partition's data in one buffer — the executor-side memory contract
+    * at scale.
+    */
+  final class RecordsReader(records: Iterator[String]) extends java.io.Reader {
+    private var cur = ""
+    private var pos = 0
+    override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
+      while (pos >= cur.length) {
+        if (!records.hasNext) return -1
+        cur = records.next(); pos = 0
+      }
+      val n = math.min(len, cur.length - pos)
+      cur.getChars(pos, pos + n, cbuf, off)
+      pos += n
+      n
+    }
+    override def close(): Unit = ()
+  }
+}
+
+/** The production [[CopyApi]]: PostgreSQL JDBC's CopyManager, reached via
+  * reflection so the pg driver stays a runtime-classpath concern (this
+  * build ships none — Derby is the test database). Fails with a clear
+  * message when the connection isn't a pg one.
+  */
+object PgCopyApi extends CopyApi {
+  override def copyIn(conn: Connection, sql: String,
+      rows: java.io.Reader): Long = {
+    val base =
+      try Class.forName("org.postgresql.core.BaseConnection")
+      catch {
+        case _: ClassNotFoundException => throw new IllegalStateException(
+          "COPY mode needs the PostgreSQL JDBC driver on the classpath " +
+            "(org.postgresql.*); use the default batched-INSERT mode otherwise")
+      }
+    val cm = Class.forName("org.postgresql.copy.CopyManager")
+      .getConstructor(base)
+      .newInstance(conn.unwrap(base).asInstanceOf[AnyRef])
+    cm.getClass
+      .getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+      .invoke(cm, sql, rows)
+      .asInstanceOf[java.lang.Long].longValue()
+  }
+}

@@ -33,14 +33,26 @@ declare -A FAM=(
   [sources]="graft.sources.* *SourceFormatsSpec"
   [plans]="graft.plans.*"
 )
+NFAM=0
 for dir in "${!FAM[@]}"; do
-  if echo "$TOUCHED" | grep -q "graft/$dir/"; then SPECS="$SPECS ${FAM[$dir]}"; fi
+  if echo "$TOUCHED" | grep -q "graft/$dir/"; then
+    SPECS="$SPECS ${FAM[$dir]}"; NFAM=$((NFAM + 1))
+  fi
 done
+# Wide rounds escape slice selection's premise (that untouched families
+# can't break): >3 families touched means cross-family seams moved — run
+# the FULL suite, which at that point costs barely more than the slices.
+if [ "$NFAM" -gt 3 ]; then
+  echo "== gate 2: $NFAM families touched (>3) -> FULL sbt test =="
+  sbt -batch test >/tmp/preflight_test.log 2>&1 || {
+    tail -40 /tmp/preflight_test.log; echo "PREFLIGHT FAIL: full suite"; exit 1; }
+else
 echo "== gate 2: specs for touched families: $SPECS =="
 # testOnly with globs that match nothing is a no-op success, which is fine —
 # the QueriesSpec glob always matches and is the oracle-shaped end-to-end net.
 sbt -batch "Test/testOnly $SPECS" >/tmp/preflight_test.log 2>&1 || {
   tail -40 /tmp/preflight_test.log; echo "PREFLIGHT FAIL: specs"; exit 1; }
+fi
 # informational only — sbt's exit code above is the gate; '|| true' keeps a
 # phrasing change in sbt's summary from failing the preflight under set -e
 grep -E 'Tests: succeeded|All tests passed' /tmp/preflight_test.log | tail -3 || true
