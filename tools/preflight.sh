@@ -39,6 +39,8 @@ for dir in "${!FAM[@]}"; do
     SPECS="$SPECS ${FAM[$dir]}"; NFAM=$((NFAM + 1))
   fi
 done
+# streaming runs unconditionally as a slice but still counts toward width
+if echo "$TOUCHED" | grep -q "graft/streaming/"; then NFAM=$((NFAM + 1)); fi
 # Wide rounds escape slice selection's premise (that untouched families
 # can't break): >3 families touched means cross-family seams moved — run
 # the FULL suite, which at that point costs barely more than the slices.
