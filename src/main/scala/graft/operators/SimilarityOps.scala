@@ -68,9 +68,17 @@ object SimilarityOps {
     */
   private[operators] val TargetBucket = 4096L
   private[operators] val MinPlanes = 4
-  private[operators] def planesFor(n: Long): Int =
-    math.max(MinPlanes, math.ceil(
+  private[operators] def planesFor(n: Long): Int = {
+    val p = math.max(MinPlanes, math.ceil(
       math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt)
+    // the signature folds bit p as `1 << p` into an INT bucket: at 33+
+    // planes the shift wraps (1 << 32 == 1 in Java) and distinct plane
+    // outcomes silently collide into one bucket — unreachable below
+    // ~1.8e13 vectors, but fail loudly rather than corrupt signatures
+    require(p <= 31, s"planesFor($n) = $p exceeds the int signature's " +
+      "31 usable bits — widen hyperplaneSig to a long bucket id first")
+    p
+  }
 
   /** Multi-table hyperplane LSH signatures — (vec_id, tb, sig) with one row
     * per (vector, table). 3 independent tables amplify recall (candidate if
@@ -125,6 +133,85 @@ object SimilarityOps {
       .select(col("id1"), col("id2"),
         round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))
       .filter(col("cosine") >= 0.4)
+  }
+
+  /** The ×10⁴ fixed-point quantization of the embedding column — ONE
+    * definition for the three integer-exact vector operators (ss06
+    * centroids, ss07 k-means, ss09 PQ): the scale constant is a
+    * cross-engine contract mirrored in each oracle string, so a one-sided
+    * edit must fail loudly in all three gates, not silently in one.
+    */
+  private val fxQuant: Column =
+    expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
+
+  /** ss09's pinned PQ codebook (M=4 sub-spaces × K=4 codes × 16 dims) and
+    * encode — factored so PqCodeSpec can pin code DIVERSITY: the original
+    * grid formula's dead d-term made every vector encode to one shared
+    * code tuple (see the ss09 comment), and only a spec over the codes
+    * frame can see that (the oracle mirrors the formula, so the hash gate
+    * cannot).
+    */
+  private[operators] def pqCodebook(s: SparkSession): DataFrame =
+    s.range(4).select(col("id").cast("int").as("m"))
+      .crossJoin(s.range(4).select(col("id").cast("int").as("c")))
+      .select(col("m"), col("c"), expr(
+        "transform(sequence(0, 15), " +
+          "d -> cast((((m*31 + c*13 + d*11) % 8) - 4) * 500 as bigint))")
+        .as("cq"))
+
+  /** Squared L2 between sub-vector m of `vq` and the codeword `cq`. */
+  private[operators] val pqSqDist: Column =
+    expr("aggregate(zip_with(slice(vq, m * 16 + 1, 16), " +
+      "cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** Argmin-L2 PQ encode of a (vec_id, vq) frame: (vec_id, m, code). */
+  private[operators] def pqCodes(e: DataFrame, cb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("m"), pqSqDist.as("dist"), col("c"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("c"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.c").as("code"))
+
+  /** The embeddings table as (vec_id, vq) fixed-point rows — pqCodes'
+    * corpus input, shared by ss09 and PqCodeSpec.
+    */
+  private[operators] def fxEmb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(col("vec_id"), fxQuant.as("vq"))
+
+  /** ss10's MIPS kernel over any (vec_id, v, nrm) frame — the query binds
+    * it to the embeddings table; MipsPlantedSpec drives it with a
+    * VARIED-NORM fixture, because the oracle corpus is unit-normalized
+    * (augc ≈ 0 for every row) and so exercises the norm-augmentation math
+    * only degenerately (r10 review finding). Queries = vec_id < 3; the
+    * query's own row is excluded like every other ANN query here.
+    */
+  private[operators] def mipsTopK(e: DataFrame): DataFrame = {
+    val mrow = e.agg(max(col("nrm")).as("m"))
+    val aug = e.crossJoin(broadcast(mrow))
+      .select(col("vec_id"), col("v"),
+        sqrt(col("m") * col("m") - col("nrm") * col("nrm")).as("augc"))
+    val pl = planesSeeded(77, MinPlanes, 65)
+    def sigOf(augCol: Column): Column =
+      pl.indices.map { p =>
+        val first64 = array(pl(p).take(64).toIndexedSeq.map(lit): _*)
+        when(GraftFunctions.dot_product(col("v"), first64)
+          + lit(pl(p)(64)) * augCol > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+    val corpus = aug.select(col("vec_id"), col("v"),
+      sigOf(col("augc")).as("sig"))
+    val qs = aug.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        sigOf(lit(0.0)).as("sig"))
+    val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
+    corpus.join(broadcast(qs), "sig")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(GraftFunctions.dot_product(col("qv"), col("v")), 6).as("dot"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("qid", "rk")
   }
 
   val queries: Map[String, Q] = ListMap(
@@ -326,9 +413,7 @@ object SimilarityOps {
     "ss06_embedding_outliers" -> ((s, dir) => {
       val e = emb(s, dir)
       val fx = Tables(s, dir, "embeddings").select(col("label"),
-        posexplode(expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))"))
-          .as(Seq("idx", "q")))
+        posexplode(fxQuant).as(Seq("idx", "q")))
       val cents = fx.groupBy("label", "idx")
         .agg(sum("q").as("sq"), count(lit(1)).as("n"))
         .select(col("label"), col("idx"),
@@ -360,8 +445,7 @@ object SimilarityOps {
     "ss07_kmeans" -> ((s, dir) => {
       val k = 8
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
-          .as("vq"))
+        fxQuant.as("vq"))
       val init = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(k).select(col("vec_id").as("cid"), col("vq").as("cq"))
       val idot =
@@ -409,34 +493,7 @@ object SimilarityOps {
     // order-free, the augmented component is IEEE sqrt over doubles both
     // engines compute identically, and plane dots accumulate
     // sequentially with the augmented term added last.
-    "ss10_mips" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val mrow = e.agg(max(col("nrm")).as("m"))
-      val aug = e.crossJoin(broadcast(mrow))
-        .select(col("vec_id"), col("v"),
-          sqrt(col("m") * col("m") - col("nrm") * col("nrm")).as("augc"))
-      val pl = planesSeeded(77, MinPlanes, 65)
-      def sigOf(augCol: Column): Column =
-        pl.indices.map { p =>
-          val first64 = array(pl(p).take(64).toIndexedSeq.map(lit): _*)
-          when(GraftFunctions.dot_product(col("v"), first64)
-            + lit(pl(p)(64)) * augCol > 0, 1 << p).otherwise(0)
-        }.reduce(_ + _)
-      val corpus = aug.select(col("vec_id"), col("v"),
-        sigOf(col("augc")).as("sig"))
-      val qs = aug.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          sigOf(lit(0.0)).as("sig"))
-      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
-      corpus.join(broadcast(qs), "sig")
-        .select(col("qid"), col("vec_id"),
-          round(GraftFunctions.dot_product(col("qv"), col("v")), 6).as("dot"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("vec_id"), col("dot"),
-          col("rk").cast("int").as("rk"))
-        .orderBy("qid", "rk")
-    }),
+    "ss10_mips" -> ((s, dir) => mipsTopK(emb(s, dir))),
 
     // Product-quantization ANN — the memory-compression scale path for
     // vector search: each 64-dim vector is encoded as M=4 sub-space codes
@@ -447,36 +504,33 @@ object SimilarityOps {
     // Everything is exact BIGINT arithmetic on fixed-point (×10⁴)
     // components, and the codebook is a PINNED deterministic integer grid
     // (a trained codebook would come from ss07's integer k-means; pinning
-    // keeps the oracle closed-form). Scale shape: encode = one corpus scan
+    // keeps the oracle closed-form). The grid formula must keep the d term
+    // LIVE and the values at component scale: the original (…+ d*7) % 7
+    // killed the per-dimension term (d*7 ≡ 0 mod 7) and its ±0.75 values
+    // dwarfed unit-vector components (~0.125), so every vector encoded to
+    // the SAME code tuple and the query returned data-independent output —
+    // mirrored in the oracle, invisible to the hash gate (r10 review
+    // finding; PqCodeSpec now pins code diversity). d*11 % 8 cycles the
+    // pattern per dimension; ±4 × 500 spans [-0.20, 0.15] fixed-point,
+    // the scale of real components. Scale shape: encode = one corpus scan
     // × a 16-row broadcast codebook, codes-only (vec_id, m, code) through
     // every shuffle; probe = a 48-row broadcast distance table joined to
     // the codes, one partial-agg sum per (query, vector), and the top-3
-    // rank filter is a WindowGroupLimit (map-side partial top-k).
+    // rank filter is a WindowGroupLimit (map-side partial top-k). The
+    // query's own row is excluded (vec_id ≠ qid), like every other ANN
+    // query in the suite — without it rank 1 is always the query itself
+    // and effective top-k silently drops to 2.
     "ss09_pq_ann" -> ((s, dir) => {
-      val M = 4; val K = 4; val sub = 16
-      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
-          .as("vq"))
-      val cb = s.range(M).select(col("id").cast("int").as("m"))
-        .crossJoin(s.range(K).select(col("id").cast("int").as("c")))
-        .select(col("m"), col("c"), expr(
-          s"transform(sequence(0, ${sub - 1}), " +
-            "d -> cast((((m*31 + c*13 + d*7) % 7) - 3) * 2500 as bigint))")
-          .as("cq"))
-      val sqDist = expr(s"aggregate(zip_with(slice(vq, m * $sub + 1, $sub), " +
-        "cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-      val codes = e.crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("m"), sqDist.as("dist"), col("c"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("c"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.c").as("code"))
+      val e = fxEmb(s, dir)
+      val cb = pqCodebook(s)
+      val codes = pqCodes(e, cb)
       val dtab = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("vq"))
         .crossJoin(broadcast(cb))
-        .select(col("qid"), col("m"), col("c"), sqDist.as("qd"))
+        .select(col("qid"), col("m"), col("c"), pqSqDist.as("qd"))
       val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
       codes.join(broadcast(dtab), Seq("m"))
-        .where(col("code") === col("c"))
+        .where(col("code") === col("c") && col("vec_id") =!= col("qid"))
         .groupBy("qid", "vec_id")
         .agg(sum(col("qd")).as("adist"))
         .withColumn("rk", row_number().over(w))
@@ -752,7 +806,7 @@ object SimilarityOps {
          |   FROM a WHERE vec_id < 3),
          | j AS (SELECT q.qid, c.vec_id,
          |   round(list_inner_product(q.qv, c.v), 6) AS dot
-         |  FROM c JOIN q USING (sig))
+         |  FROM c JOIN q USING (sig) WHERE c.vec_id <> q.qid)
          |SELECT qid, vec_id, dot, CAST(rk AS INT) AS rk FROM (
          | SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |   ORDER BY dot DESC, vec_id) AS rk FROM j)
@@ -768,7 +822,7 @@ object SimilarityOps {
         |  FROM embeddings),
         | cb AS (SELECT t1.m, t2.c,
         |   list_transform(range(0, 16),
-        |     d -> CAST(((t1.m*31 + t2.c*13 + d*7) % 7 - 3) * 2500 AS BIGINT))
+        |     d -> CAST(((t1.m*31 + t2.c*13 + d*11) % 8 - 4) * 500 AS BIGINT))
         |     AS cq
         |  FROM range(4) t1(m), range(4) t2(c)),
         | enc AS (SELECT vec_id, m, c,
@@ -785,6 +839,7 @@ object SimilarityOps {
         |  FROM v CROSS JOIN cb WHERE v.vec_id < 3),
         | ad AS (SELECT qid, vec_id, CAST(SUM(qd) AS BIGINT) AS adist
         |  FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.c
+        |   AND codes.vec_id <> dt.qid
         |  GROUP BY qid, vec_id)
         |SELECT qid, vec_id, adist, CAST(rk AS INT) AS rk FROM (
         | SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
