@@ -263,11 +263,16 @@ object EventsStream {
       // a batch that crashes mid-write leaves an unpublished orphan dir,
       // never a readable half-version, and readers only ever see the
       // latest COMMITTED state. TxLogSpec proves the CAS/crash contracts.
+      // the lake table carries last_ts as a NATIVE timestamp: the merge
+      // key must order at full microsecond precision (a second-truncated
+      // string key let a chronologically older sub-second event win on
+      // the event_id tiebreak — the r10 review's latent regression);
+      // formatting to the oracle's string form happens only at read-out
       val seed = Tables(ss, dir, "customer")
         .filter(col("c_custkey").between(100, 199))
         .select(col("c_custkey").cast("long").as("user_id"),
           lit("seed").as("last_type"),
-          lit("1970-01-01 00:00:00").as("last_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp").as("last_ts"),
           lit(-1L).as("last_event_id"))
       graft.operators.TxLog.write(ss, lake, seed, 0L, action = "seed")
       val q = stream.writeStream.outputMode("update")
@@ -278,17 +283,25 @@ object EventsStream {
               .as("m"))
             .select(col("user_id"),
               col("m.event_type").as("last_type"),
-              date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+              col("m.ts").as("last_ts"),
               col("m.event_id").as("last_event_id"))
+          // ONE version resolution: the merge base is read BY the version
+          // the CAS will expect, so base and expectation cannot straddle a
+          // concurrent commit (read-latest-then-resolve-again was a TOCTOU
+          // seam, and a second pointer+probe pass per micro-batch)
           val cur = graft.operators.TxLog.latestVersion(lake).getOrElse(0L)
-          val merged =
-            mergeLatest(graft.operators.TxLog.read(sp, lake), latest)
+          val merged = mergeLatest(
+            graft.operators.TxLog.readVersion(sp, lake, cur), latest)
           graft.operators.TxLog.write(sp, lake, merged, cur, action = "merge")
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      graft.operators.TxLog.read(ss, lake).orderBy("user_id")
+      graft.operators.TxLog.read(ss, lake)
+        .select(col("user_id"), col("last_type"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("last_event_id"))
+        .orderBy("user_id")
     }),
 
     // Chained DEDUP → windowed aggregation — the other
@@ -348,11 +361,16 @@ object EventsStream {
   /** Order-insensitive MERGE step for st16: full-outer join of the current
     * table version and the batch's latest-row-per-user on `user_id`, keeping
     * whichever side carries the greater `struct(last_ts, last_event_id)`.
-    * `last_ts` is a `yyyy-MM-dd HH:mm:ss` string, so the struct comparison
-    * is lexicographically chronological; the seed rows' `1970-01-01` lose to
-    * any real event. Max-wins (not last-batch-wins) makes the sink
-    * idempotent under micro-batch reordering and retries: a late batch
-    * carrying only older events can never regress a user's row.
+    * `last_ts` must be the NATIVE timestamp (st16 stores it as one and
+    * formats only at read-out): a second-truncated string key collapses
+    * sub-second ordering onto the event_id tiebreak, which lets a
+    * chronologically OLDER event with a higher id win — the fixture's
+    * timestamps carry microseconds, so that divergence is real (r10
+    * review; MergeLatestSpec pins the sub-second case). The seed rows'
+    * `1970-01-01` lose to any real event. Max-wins (not last-batch-wins)
+    * makes the sink idempotent under micro-batch reordering and retries:
+    * a late batch carrying only older events can never regress a user's
+    * row.
     */
   private[streaming] def mergeLatest(
       cur: DataFrame, batch: DataFrame): DataFrame = {
@@ -440,12 +458,16 @@ object EventsStream {
     runStream(s, dir, sinkPrefix, "append")(xform)
 
   /** Sliding-window (1 h / 15 min) streaming agg; complete-mode output
-    * equals the batch `q36_sliding_windows` oracle.
+    * equals the batch `q36_sliding_windows` oracle. NO watermark: complete
+    * mode neither evicts state nor filters output, so one would be dead
+    * decoration implying a state bound that does not exist — complete-mode
+    * sliding windows retain EVERY window (the append-mode, genuinely
+    * watermark-bounded shape is st01's `hourlyAgg`, exercised by
+    * WatermarkSpec).
     */
   val slidingQuery: Q = (s, dir) => {
     runCompleteStream(s, dir, "st02_mem") { df =>
-      df.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
     }
@@ -454,6 +476,68 @@ object EventsStream {
         col("n"), col("sum_value"))
       .orderBy("window_start")
   }
+
+  /** The ONE DuckDB statement of the purchase↔signup interval match —
+    * st04's whole answer and the `m` CTE of st11/st12. One definition so
+    * the three join oracles cannot drift from each other (the twin-drift
+    * class commit 82ee721 repaired once already; r10 review flagged the
+    * remaining triplication).
+    */
+  private val matchedJoinSql: String =
+    """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+      |    p.user_id
+      |  FROM events p JOIN events s
+      |   ON p.event_type = 'purchase' AND s.event_type = 'signup'
+      |   AND p.user_id = s.user_id
+      |   AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin
+
+  /** The min-policy final watermark (each side's max event time, least,
+    * minus the 10-min delay) — shared by st11/st12.
+    */
+  private val minWatermarkCteSql: String =
+    """wm AS (SELECT least(
+      |    max(ts) FILTER (event_type = 'purchase'),
+      |    max(ts) FILTER (event_type = 'signup'))
+      |   - INTERVAL 10 MINUTE AS w FROM events)""".stripMargin
+
+  /** Unmatched purchases whose null verdict the watermark closed
+    * (pts < wm strictly) — st11's tail and st12's purchase-side tail.
+    */
+  private val unmatchedPurchaseCteSql: String =
+    """unp AS (
+      |  SELECT p.event_id AS purchase_id,
+      |    CAST(NULL AS BIGINT) AS signup_id, p.user_id
+      |  FROM events p, wm
+      |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+      |   AND NOT EXISTS (SELECT 1 FROM events s
+      |     WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+      |      AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts))""".stripMargin
+
+  /** The gap-sessionization CTE chain (g → f → sid: LAG, 30-min gap flag,
+    * running session id) shared verbatim by st07 and st13 — the two
+    * queries differ ONLY in how a session's `en` is stated and which
+    * close predicate applies, so those are the parameters.
+    */
+  private def sessionOracleSql(enExpr: String, closePred: String): String =
+    s"""WITH g AS (SELECT user_id, event_id, ts, value,
+       |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       | FROM events),
+       |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+       |  WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+       |    AS new_session FROM g),
+       |sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+       | FROM f),
+       |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS st, $enExpr AS en,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+       | FROM sid GROUP BY user_id, session_id),
+       |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+       |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+       | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+       | n_events, session_value
+       |FROM sess, wm WHERE $closePred
+       |ORDER BY user_id, session_start""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
     // Streaming complete-mode result == batch hourly aggregation.
@@ -479,14 +563,11 @@ object EventsStream {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
-    // Stream-stream interval join == the batch inequality join.
+    // Stream-stream interval join == the batch inequality join (the shared
+    // matched-pairs statement, ordered).
     "st04_stream_stream_join" ->
-      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
-        |FROM events p JOIN events s
-        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
-        |  AND p.user_id = s.user_id
-        |  AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
-        |ORDER BY purchase_id, signup_id""".stripMargin,
+      s"""$matchedJoinSql
+         |ORDER BY purchase_id, signup_id""".stripMargin,
 
     // Left-outer = the inner matches (emitted eagerly) plus the unmatched
     // purchases whose verdict the FINAL watermark closed. Each side's
@@ -498,54 +579,24 @@ object EventsStream {
     // scales: the emitted/withheld boundary tracks the min-policy
     // watermark, not the overall max ts.
     "st11_stream_outer_join" ->
-      """WITH m AS (
-        |  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
-        |    p.user_id
-        |  FROM events p JOIN events s
-        |   ON p.event_type = 'purchase' AND s.event_type = 'signup'
-        |   AND p.user_id = s.user_id
-        |   AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
-        | wm AS (SELECT least(
-        |    max(ts) FILTER (event_type = 'purchase'),
-        |    max(ts) FILTER (event_type = 'signup'))
-        |   - INTERVAL 10 MINUTE AS w FROM events),
-        | un AS (
-        |  SELECT p.event_id AS purchase_id,
-        |    CAST(NULL AS BIGINT) AS signup_id, p.user_id
-        |  FROM events p, wm
-        |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
-        |   AND NOT EXISTS (SELECT 1 FROM events s
-        |     WHERE s.event_type = 'signup' AND s.user_id = p.user_id
-        |      AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts))
-        |SELECT purchase_id, signup_id, user_id FROM m
-        |UNION ALL
-        |SELECT purchase_id, signup_id, user_id FROM un
-        |ORDER BY purchase_id, signup_id""".stripMargin,
+      s"""WITH m AS (
+         |  $matchedJoinSql),
+         | $minWatermarkCteSql,
+         | $unmatchedPurchaseCteSql
+         |SELECT purchase_id, signup_id, user_id FROM m
+         |UNION ALL
+         |SELECT purchase_id, signup_id, user_id FROM unp
+         |ORDER BY purchase_id, signup_id""".stripMargin,
 
     // Full outer = matches + both closure sets: purchases close at
     // pts < wm, signups at sts + 1 h < wm (the interval offset delays the
     // signup horizon — a later purchase could still match).
     "st12_stream_full_outer_join" ->
-      """WITH m AS (
-        |  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
-        |    p.user_id
-        |  FROM events p JOIN events s
-        |   ON p.event_type = 'purchase' AND s.event_type = 'signup'
-        |   AND p.user_id = s.user_id
-        |   AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
-        | wm AS (SELECT least(
-        |    max(ts) FILTER (event_type = 'purchase'),
-        |    max(ts) FILTER (event_type = 'signup'))
-        |   - INTERVAL 10 MINUTE AS w FROM events),
-        | unp AS (
-        |  SELECT p.event_id AS purchase_id,
-        |    CAST(NULL AS BIGINT) AS signup_id, p.user_id
-        |  FROM events p, wm
-        |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
-        |   AND NOT EXISTS (SELECT 1 FROM events s
-        |     WHERE s.event_type = 'signup' AND s.user_id = p.user_id
-        |      AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)),
-        | uns AS (
+      s"""WITH m AS (
+         |  $matchedJoinSql),
+         | $minWatermarkCteSql,
+         | $unmatchedPurchaseCteSql,
+         | uns AS (
         |  SELECT CAST(NULL AS BIGINT) AS purchase_id,
         |    s.event_id AS signup_id, s.user_id
         |  FROM events s, wm
@@ -575,25 +626,7 @@ object EventsStream {
     // strictly before the watermark); open tail sessions are withheld in
     // state by design.
     "st07_stream_sessionize" ->
-      """WITH g AS (SELECT user_id, event_id, ts, value,
-        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events),
-        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
-        |  WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
-        |    AS new_session FROM g),
-        |sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-        | FROM f),
-        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
-        |  MIN(ts) AS st, MAX(ts) AS en,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
-        | FROM sid GROUP BY user_id, session_id),
-        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
-        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
-        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
-        | n_events, session_value
-        |FROM sess, wm WHERE en + INTERVAL 30 MINUTE < w
-        |ORDER BY user_id, session_start""".stripMargin,
+      sessionOracleSql("MAX(ts)", "en + INTERVAL 30 MINUTE < w"),
 
     // Streaming complete-mode leaderboard == the batch top-5 by count.
     "st09_stream_topk" ->
@@ -618,25 +651,7 @@ object EventsStream {
     // (OuterJoinBoundarySpec); WindowCloseBoundarySpec pins both sides
     // of that asymmetry at exact equality.
     "st13_session_window" ->
-      """WITH g AS (SELECT user_id, event_id, ts, value,
-        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events),
-        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
-        |  WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
-        |    AS new_session FROM g),
-        |sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-        | FROM f),
-        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
-        |  MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
-        | FROM sid GROUP BY user_id, session_id),
-        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
-        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
-        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
-        | n_events, session_value
-        |FROM sess, wm WHERE en <= w
-        |ORDER BY user_id, session_start""".stripMargin,
+      sessionOracleSql("MAX(ts) + INTERVAL 30 MINUTE", "en <= w"),
 
     // Semi-join output = purchases with ≥ 1 signup in the preceding hour
     // (matched rows emit on match — no watermark cut on the oracle).

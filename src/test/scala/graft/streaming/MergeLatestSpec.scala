@@ -58,6 +58,29 @@ class MergeLatestSpec extends AnyFunSuite {
     assert(merged(Seq.empty, Seq(other)) == Set(other))
   }
 
+  test("sub-second ordering wins over a higher event_id (native-timestamp key)") {
+    // the r10 review's latent regression: a second-truncated STRING key
+    // ties 10:00:00.900 with 10:00:00.100 and falls to the id tiebreak,
+    // letting the chronologically older event (higher ingestion id) win.
+    // st16 stores last_ts as a native timestamp, where .900 > .100 decides
+    // before ids are consulted.
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def tsFrame(rows: Seq[(Long, String, String, Long)]) = {
+      import spark.implicits._
+      rows.toDF("user_id", "last_type", "raw_ts", "last_event_id")
+        .select(col("user_id"), col("last_type"),
+          to_timestamp(col("raw_ts")).as("last_ts"), col("last_event_id"))
+    }
+    val newerTsLowerId = (1L, "new", "2024-05-01 10:00:00.900", 500L)
+    val olderTsHigherId = (1L, "old", "2024-05-01 10:00:00.100", 700L)
+    val out = EventsStream.mergeLatest(
+      tsFrame(Seq(newerTsLowerId)), tsFrame(Seq(olderTsHigherId)))
+      .select(col("user_id"), col("last_type"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "new", 500L)),
+      s"older sub-second event must not win: $out")
+  }
+
   test("multi-batch sequence is order-insensitive: any arrival order of the same batches converges") {
     val b1 = Seq((1L, "a", "2024-05-01 09:00:00", 1L),
       (2L, "b", "2024-05-01 09:30:00", 2L))
