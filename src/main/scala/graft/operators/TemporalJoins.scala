@@ -143,14 +143,23 @@ object TemporalJoins {
     // signup closest in time either way. Same one-shuffle union shape as
     // asOf, but TWO window passes over the one sorted partition — a
     // running last() for the backward candidate and a first() over the
-    // following frame for the forward one — then a row-local integer
-    // seconds comparison picks the winner. No join, no per-key pair space.
+    // following frame for the forward one — then a row-local MICROSECOND
+    // distance comparison picks the winner (whole-second truncation tied
+    // 10:00:10.900 with 10:00:10.000 and could pick the farther side — a
+    // real misclassification on this fixture's µs timestamps, mirrored in
+    // the oracle so the gate couldn't see it; r10 review). No join, no
+    // per-key pair space. Null guards follow asOf's contract: null-ts or
+    // null-key signups match nothing (dropped before the window — under
+    // NULLS FIRST they'd pollute every match), and a null-ts purchase
+    // emits null match columns on both engines (its window reads would
+    // otherwise diverge: Spark sorts it first, DuckDB last).
     "aj04_asof_nearest" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), lit(1).as("_side"),
           col("event_id"), lit(null).cast("long").as("signup_id"))
-      val r = ev.filter(col("event_type") === "signup")
+      val r = ev.filter(col("event_type") === "signup"
+          && col("ts").isNotNull && col("user_id").isNotNull)
         .groupBy(col("user_id"), col("ts"))
         .agg(max("event_id").as("signup_id"))
         .select(col("user_id"), col("ts"), lit(0).as("_side"),
@@ -166,15 +175,19 @@ object TemporalJoins {
         .withColumn("_f",
           first(when(col("_side") === 0, packed), ignoreNulls = true).over(wF))
         .filter(col("_side") === 1)
-      val bd = unix_timestamp(col("ts")) - unix_timestamp(col("_b._ts"))
-      val fd = unix_timestamp(col("_f._ts")) - unix_timestamp(col("ts"))
+      val bd = unix_micros(col("ts")) - unix_micros(col("_b._ts"))
+      val fd = unix_micros(col("_f._ts")) - unix_micros(col("ts"))
       val useB = col("_f").isNull || (col("_b").isNotNull && bd <= fd)
+      val hasTs = col("ts").isNotNull
       u.select(col("event_id"), col("user_id"),
         date_format(col("ts"), TsFmt).as("ts"),
-        date_format(when(useB, col("_b._ts")).otherwise(col("_f._ts")), TsFmt)
+        when(hasTs, date_format(
+          when(useB, col("_b._ts")).otherwise(col("_f._ts")), TsFmt))
           .as("nearest_signup_ts"),
-        when(useB, col("_b._id")).otherwise(col("_f._id")).as("signup_id"),
-        when(col("_b").isNull && col("_f").isNull, lit(null).cast("string"))
+        when(hasTs, when(useB, col("_b._id")).otherwise(col("_f._id")))
+          .as("signup_id"),
+        when(!hasTs || (col("_b").isNull && col("_f").isNull),
+          lit(null).cast("string"))
           .when(useB, lit("backward")).otherwise(lit("forward"))
           .as("direction"))
         .orderBy(asc("event_id"))
@@ -250,7 +263,12 @@ object TemporalJoins {
     // non-negative, a data property (refund-style negative cents would
     // silently diverge) this integer-exact contract must not lean on.
     "ts05_ewma" -> ((s, dir) => {
+      // null event times are dropped on BOTH engines: they carry no
+      // position in the recurrence's order, and unfiltered they sort
+      // FIRST in Spark's sort_array but LAST under DuckDB's ORDER BY —
+      // a silent fold-order divergence on any corpus that has them
       Tables(s, dir, "events")
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), struct(col("ts"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents")).as("e"))
         .groupBy("user_id")
@@ -282,13 +300,18 @@ object TemporalJoins {
           round(col("value") * 100).cast("long").as("cents"))
         .withColumn("xs", sort_array(collect_list(col("cents")).over(w)))
         .select(col("user_id"), col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          date_format(col("ts"), TsFmt).as("ts"),
           // n_win states COUNT(*) (all frame rows), not size(xs):
           // collect_list skips nulls, so on a corpus with null values the
           // two diverge — the frame-row count is what the oracle says
           col("cents"), count(lit(1)).over(w).cast("int").as("n_win"),
-          when(size(col("xs")) % 2 === 1,
-            expr("cast(element_at(xs, cast((size(xs) + 1) div 2 as int)) as double)"))
+          // the empty-frame guard is load-bearing on that same corpus: an
+          // all-null frame gives xs = [] with size 0 (even), and the even
+          // branch's element_at(xs, 0) THROWS (index 0 is rejected in
+          // every ANSI mode) instead of matching the oracle median's NULL
+          when(size(col("xs")) === 0, lit(null).cast("double"))
+            .when(size(col("xs")) % 2 === 1,
+              expr("cast(element_at(xs, cast((size(xs) + 1) div 2 as int)) as double)"))
             .otherwise(expr("(element_at(xs, cast(size(xs) div 2 as int)) " +
               "+ element_at(xs, cast(size(xs) div 2 as int) + 1)) / 2.0"))
             .as("roll_median"))
@@ -351,12 +374,15 @@ object TemporalJoins {
     // skew), then one aggregation per island and one per user. Integer
     // epoch seconds end-to-end.
     "ts08_interval_union" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
         .orderBy(asc("st"), asc("event_id"))
       val prevMax = max(col("en"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      // a null event time opens no interval; unfiltered it would mint a
+      // phantom island in Spark (null st sorts first, prevMax null → ni=1)
+      // while DuckDB sorts it last — both engines drop it instead
       Tables(s, dir, "events")
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"),
           expr("cast(unix_timestamp(ts) as bigint)").as("st"))
         .withColumn("en", col("st") + 300L)
@@ -385,8 +411,11 @@ object TemporalJoins {
     // user-keyed aggregation. Keys with a constant series (den = 0)
     // report NULL — undefined, not zero.
     "ts09_autocorr" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // a null event time has no day in the lag-1 series; unfiltered its
+      // null-day row sorts first in Spark's lead() order and last in
+      // DuckDB's, pairing different neighbors — both engines drop it
       val daily = Tables(s, dir, "events")
+        .filter(col("ts").isNotNull)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
       val stats = daily.groupBy("user_id")
@@ -454,7 +483,8 @@ object TemporalJoins {
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
-        |       WHERE event_type = 'signup' GROUP BY user_id, ts),
+        |       WHERE event_type = 'signup' AND ts IS NOT NULL
+        |        AND user_id IS NOT NULL GROUP BY user_id, ts),
         | u AS (
         |  SELECT user_id, ts, 1 AS side, event_id,
         |         NULL::BIGINT AS signup_id FROM p
@@ -472,14 +502,17 @@ object TemporalJoins {
         |  FROM u),
         | x AS (SELECT *,
         |   (f IS NULL OR (b IS NOT NULL
-        |     AND date_diff('second', b.t, ts) <= date_diff('second', ts, f.t)))
+        |     AND epoch_us(ts) - epoch_us(b.t)
+        |       <= epoch_us(f.t) - epoch_us(ts)))
         |     AS useb
         |  FROM wn WHERE side = 1)
         |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        | strftime(CASE WHEN useb THEN b.t ELSE f.t END,
-        |   '%Y-%m-%d %H:%M:%S') AS nearest_signup_ts,
-        | CASE WHEN useb THEN b.i ELSE f.i END AS signup_id,
-        | CASE WHEN b IS NULL AND f IS NULL THEN NULL
+        | CASE WHEN ts IS NULL THEN NULL
+        |   ELSE strftime(CASE WHEN useb THEN b.t ELSE f.t END,
+        |     '%Y-%m-%d %H:%M:%S') END AS nearest_signup_ts,
+        | CASE WHEN ts IS NULL THEN NULL
+        |   WHEN useb THEN b.i ELSE f.i END AS signup_id,
+        | CASE WHEN ts IS NULL OR (b IS NULL AND f IS NULL) THEN NULL
         |   WHEN useb THEN 'backward' ELSE 'forward' END AS direction
         |FROM x ORDER BY event_id""".stripMargin,
 
@@ -524,7 +557,7 @@ object TemporalJoins {
       """WITH e AS (SELECT user_id,
         |   list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)
         |     AS cs
-        | FROM events GROUP BY user_id)
+        | FROM events WHERE ts IS NOT NULL GROUP BY user_id)
         |SELECT user_id, len(cs) AS n_events,
         | cs[len(cs)] AS last_cents,
         | list_reduce(cs, (a, b) -> (a + b) // 2) AS ewma_cents
@@ -580,7 +613,8 @@ object TemporalJoins {
     "ts08_interval_union" ->
       """WITH e AS (SELECT user_id, event_id,
         |   epoch_ms(ts) // 1000 AS st,
-        |   epoch_ms(ts) // 1000 + 300 AS en FROM events),
+        |   epoch_ms(ts) // 1000 + 300 AS en FROM events
+        |  WHERE ts IS NOT NULL),
         | g AS (SELECT *, MAX(en) OVER (PARTITION BY user_id
         |    ORDER BY st, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -601,7 +635,8 @@ object TemporalJoins {
     // r1 numerator divides identically.
     "ts09_autocorr" ->
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
-        |   CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |   CAST(COUNT(*) AS BIGINT) AS x FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1, 2),
         | st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
         |   CAST(SUM(x) AS BIGINT) AS s FROM daily GROUP BY user_id),
         | d AS (SELECT daily.user_id, st.n, st.n * daily.x - st.s AS d,
