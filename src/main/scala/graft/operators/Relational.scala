@@ -42,6 +42,13 @@ object Relational {
   private val one = lit(1).cast(DecimalType(4, 2))
   /** SUM(money) as an exact double. */
   private def msum(c: Column): Column = sum(money(c)).cast("double")
+  /** SUM(price × (1 − discount)) — the discounted-revenue aggregate, ONE
+    * definition for q01/q03/q05 (its oracle twin is `oDisc`): the decimal
+    * widths are a cross-engine exactness contract, so a policy change must
+    * not be hand-replicated per query.
+    */
+  private def mdisc(price: Column, disc: Column): Column =
+    sum(money(price) * (one - rate(disc))).cast("double")
 
   val queries: Map[String, Q] = ListMap(
     // --- aggregation / filter / projection ---------------------------------
@@ -52,8 +59,8 @@ object Relational {
         .agg(
           msum(col("l_quantity")).as("sum_qty"),
           msum(col("l_extendedprice")).as("sum_base_price"),
-          sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+          mdisc(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
@@ -81,8 +88,7 @@ object Relational {
       // partial-agg pushdown Catalyst doesn't do below joins.
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(mdisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(rev, o("o_orderkey") === col("l_orderkey"))
         .select(o("o_orderkey"),
@@ -116,8 +122,7 @@ object Relational {
         .join(su, li("l_suppkey") === su("s_suppkey")
           && su("s_nationkey") === c("c_nationkey"))
         .groupBy(n("n_name"))
-        .agg(sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(mdisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
@@ -215,7 +220,10 @@ object Relational {
         upper(col("p_name")).as("uname"),
         length(col("p_name")).as("name_len"),
         substring(col("p_name"), 1, 5).as("prefix"),
-        regexp_replace(col("p_brand"), "#", "-").as("brand_dash"),
+        // translate, not regexp_replace: the oracle's REPLACE is literal,
+        // so the Spark side must not reinterpret a future metacharacter
+        // pattern as a regex (and a literal map skips per-row regex cost)
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
         concat(col("p_type"), lit(":"), col("p_size").cast("string")).as("type_size"),
         regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
         reverse(col("p_name")).as("rname"),
@@ -274,7 +282,11 @@ object Relational {
       t(s, dir, "embeddings").select(col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast("double").as("e_first"),
-        element_at(col("embedding"), 64).cast("double").as("e_last"),
+        // size(), not a hardcoded 64: under ANSI mode a shorter vector
+        // would ABORT on an out-of-range literal index while the oracle's
+        // embedding[len(embedding)] returns the true last element
+        element_at(col("embedding"), size(col("embedding")))
+          .cast("double").as("e_last"),
         array_max(col("embedding")).cast("double").as("e_max"),
         array_min(col("embedding")).cast("double").as("e_min"))
         .orderBy("vec_id")
@@ -480,7 +492,7 @@ object Relational {
     "q21_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         | CAST(embedding[1] AS DOUBLE) AS e_first,
-        | CAST(embedding[64] AS DOUBLE) AS e_last,
+        | CAST(embedding[len(embedding)] AS DOUBLE) AS e_last,
         | CAST(list_max(embedding) AS DOUBLE) AS e_max,
         | CAST(list_min(embedding) AS DOUBLE) AS e_min
         |FROM embeddings ORDER BY vec_id""".stripMargin,
