@@ -45,6 +45,13 @@ object CorpusFilters {
   private[operators] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private[operators] val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 
+  /** Adjacent-token bigram pairs over the `w` token array — ONE
+    * definition for tx20 (PMI) and tx22 (LM fluency); the DuckDB twin is
+    * the `list_transform(range(1, len(w)), ...)` CTE each oracle states.
+    */
+  private val bigramPairsSql =
+    "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"
+
   val queries: Map[String, Q] = ListMap(
     // Benchmark decontamination: docs sharing 5-grams with the "eval set"
     // (here: every 20th doc stands in for a held-out benchmark). The eval
@@ -264,7 +271,11 @@ object CorpusFilters {
         explode(split(lower(col("text")), " ")).as("word"))
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val n = docs(s, dir).select(countDistinct("doc_id").as("n_docs"))
+      // count(*), not countDistinct: doc_id is the table's unique key
+      // (every dedup operator leans on that), and a distinct-aggregate
+      // builds O(n_docs) hash state for a number a plain count reads off
+      // the scan — the oracle states COUNT(*) for the same reason
+      val n = docs(s, dir).select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(desc("score_fp"), asc("word"))
       tf.join(dfreq, "word")
@@ -273,7 +284,11 @@ object CorpusFilters {
         // once n_docs reaches billions (the corpus scale these operators
         // advertise); Spark would wrap silently where DuckDB errors —
         // opposite failure modes on the same expression. div still
-        // returns BIGINT, so the output schema is unchanged.
+        // returns BIGINT, so the output schema is unchanged. If the
+        // QUOTIENT itself ever passes 2⁶³ (df=1 spam terms at ~3·10¹¹
+        // docs), both engines fail LOUDLY the same way: this build runs
+        // Spark 4's default ANSI mode, where the narrowing div raises
+        // ARITHMETIC_OVERFLOW exactly as DuckDB's HUGEINT→BIGINT cast does.
         .withColumn("score_fp",
           expr("cast(tf as decimal(38,0)) * 1000000 * n_docs div df"))
         .withColumn("rk", row_number().over(w))
@@ -299,9 +314,7 @@ object CorpusFilters {
         .groupBy("t").agg(count(lit(1)).as("c"))
       val n = toks.select(sum(size(col("w"))).as("n_tokens"))
       val bg = toks.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1)," +
-            " i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+        .select(explode(expr(bigramPairsSql)).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 5)
@@ -309,9 +322,13 @@ object CorpusFilters {
         .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
         .crossJoin(broadcast(n))
         .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
-          // decimal(38): c_ab·N·10⁶ passes 2⁶³ near N ≈ 10¹³ tokens
+          // decimal(38) BOTH sides of the div: c_ab·N·10⁶ passes 2⁶³ near
+          // N ≈ 10¹³ tokens, and the DENOMINATOR c_a·c_b does too once two
+          // stopword-frequency unigrams meet (c_a = c_b ≈ 5·10¹¹ gives
+          // 2.5·10²³) — the r9 widening covered the numerator and missed
+          // this (r10 review); the oracle mirrors with HUGEINT
           expr("cast(c_ab as decimal(38,0)) * n_tokens * 1000000" +
-            " div (c_a * c_b)").as("pmi_fp"))
+            " div (cast(c_a as decimal(38,0)) * c_b)").as("pmi_fp"))
         .orderBy(desc("pmi_fp"), asc("a"), asc("b"))
         .limit(50)
     }),
@@ -360,14 +377,18 @@ object CorpusFilters {
       val uni = toks.select(explode(col("w")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c_a"))
       val docbg = toks.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 1)," +
-            " i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+        .select(col("doc_id"), explode(expr(bigramPairsSql)).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       val bg = docbg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       docbg.join(bg, Seq("a", "b"))
         .join(uni.withColumnRenamed("t", "a"), "a")
-        .select(col("doc_id"), expr("(c_ab * 1000000) div c_a").as("cond_ppm"))
+        // decimal(38) intermediate: a hot bigram's c_ab·10⁶ passes 2⁶³
+        // once c_ab > 9.2·10¹² (0.1% of a 10¹³-token corpus) — same r9
+        // widening class; the quotient is a ppm ≤ 10⁶, so the output
+        // stays BIGINT
+        .select(col("doc_id"),
+          expr("(cast(c_ab as decimal(38,0)) * 1000000) div c_a")
+            .as("cond_ppm"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("sum_ppm"))
         .select(col("doc_id"), col("n_bigrams"),
@@ -509,7 +530,7 @@ object CorpusFilters {
         |   unnest(string_split(lower(text), ' ')) AS word FROM documents),
         | tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
         | df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
-        | n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
         | sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
         |    CAST((CAST(tf.tf AS HUGEINT) * 1000000 * n.n_docs) // df.df
         |      AS BIGINT) AS score_fp
@@ -536,7 +557,7 @@ object CorpusFilters {
         |   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
         |SELECT bg.a, bg.b, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
         | CAST((CAST(bg.c_ab AS HUGEINT) * n.n_tokens * 1000000)
-        |   // (ua.c * ub.c) AS BIGINT) AS pmi_fp
+        |   // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS pmi_fp
         |FROM bg CROSS JOIN n
         | JOIN uni ua ON ua.t = bg.a
         | JOIN uni ub ON ub.t = bg.b
@@ -583,7 +604,7 @@ object CorpusFilters {
         | dbg AS (SELECT doc_id, p.a AS a, p.b AS b FROM dbg0),
         | bg AS (SELECT a, b, COUNT(*) AS c_ab FROM dbg GROUP BY a, b),
         | sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |   CAST(SUM((bg.c_ab * 1000000) // uni.c_a) AS BIGINT)
+        |   CAST(SUM((CAST(bg.c_ab AS HUGEINT) * 1000000) // uni.c_a) AS BIGINT)
         |     // CAST(COUNT(*) AS BIGINT) AS mean_cond_ppm
         |  FROM dbg JOIN bg USING (a, b) JOIN uni ON uni.t = dbg.a
         |  GROUP BY doc_id)
