@@ -128,11 +128,17 @@ object Relational4 {
     // determinism. Per-user partitions are the standard formulation (real
     // user cardinality is high; the frame bound keeps state per row O(1h)).
     "q46_range_frame" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("tsec"))
-        .rangeBetween(-3600L, 0L)
+      // MICROSECOND range units: the oracle's RANGE INTERVAL 1 HOUR frame
+      // is µs-precise, and the fixture's timestamps carry µs — a frame on
+      // second-truncated epoch made two same-second rows peers (and
+      // included pairs up to 3600.999 s apart) where the oracle's frame
+      // doesn't (r10 review; dormant only because fixture purchases per
+      // user sit > 1 h apart)
+      val w = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0L)
       Tables(s, dir, "events").filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
-          unix_timestamp(col("ts")).as("tsec"),
+          unix_micros(col("ts")).as("tus"),
           col("value").cast("decimal(12,2)").as("v"))
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
@@ -267,12 +273,19 @@ object Relational4 {
         |WHERE a.p_partkey <= 100 AND b.p_partkey <= 100
         |ORDER BY id1""".stripMargin,
 
+    // guarded extraction, matching from_json's containment semantics:
+    // malformed JSON and a non-integer k both yield NULL in Spark, where
+    // a bare CAST(json_extract_string(...)) hard-errors on the former and
+    // ROUNDS the latter ("50.5" -> 51) — the r10 review verified both
+    // divergences live in DuckDB
     "q41_from_json" ->
-      """SELECT event_id,
-        | CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        | CAST(CAST(json_extract_string(props, '$.k') AS INT) > 50 AS INT)
-        |   AS k_high
-        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+      """WITH j AS (SELECT event_id,
+        |   CASE WHEN json_valid(props)
+        |     AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+        |    THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id, k, CAST(k > 50 AS INT) AS k_high
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q42_rank_family" ->
       """SELECT o_orderpriority, o_orderkey,
@@ -309,12 +322,18 @@ object Relational4 {
         |  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
         |ORDER BY c_custkey""".stripMargin,
 
+    // a manual UNION-ALL unpivot, NOT DuckDB's UNPIVOT: Spark's unpivot
+    // keeps NULL-valued rows by default while DuckDB's operator drops
+    // them (and has no INCLUDE NULLS form) — on any nullable measure the
+    // two would disagree on row count (r10 review)
     "q49_unpivot" ->
-      """SELECT c_custkey, measure, value FROM (
+      """WITH b AS (
         | SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
         |   CAST(c_nationkey AS DOUBLE) AS nationkey
         | FROM customer WHERE c_custkey < 100)
-        |UNPIVOT (value FOR measure IN (acctbal, nationkey))
+        |SELECT c_custkey, 'acctbal' AS measure, acctbal AS value FROM b
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey', nationkey FROM b
         |ORDER BY c_custkey, measure""".stripMargin,
 
     "q46_range_frame" ->
@@ -331,7 +350,8 @@ object Relational4 {
         | TRY_CAST(props AS INT) AS props_int,
         | CASE WHEN event_id % 3 = 0 THEN NULL
         |      ELSE value / CAST(event_id % 3 AS DOUBLE) END AS div3,
-        | CASE WHEN event_id = 0 THEN 9223372036854775807 ELSE NULL END AS ovf
+        | CASE WHEN event_id > 0 THEN NULL
+        |      ELSE 9223372036854775807 + event_id END AS ovf
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q45_approx_distinct" ->
