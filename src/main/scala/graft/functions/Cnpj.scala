@@ -17,7 +17,11 @@ object Cnpj {
 
   def isValidStr(raw: String): Boolean = {
     if (raw == null) return false
-    val digits = raw.filter(Character.isDigit)
+    // ASCII digits only: Character.isDigit also accepts fullwidth /
+    // Arabic-Indic digits, which pass the length gate and then feed
+    // charAt(i) - '0' values like 65249 into the mod-11 sums — an
+    // arbitrary verdict instead of a clean rejection
+    val digits = raw.filter(c => c >= '0' && c <= '9')
     if (digits.length != 14) return false
     if (digits.forall(_ == digits.head)) return false // 00000000000000 etc.
     val d = new Array[Int](14)

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Bounded-heap top-k per key as an AGGREGATION (SURVEY §2.2 UDAF row; the
@@ -16,47 +15,24 @@ import org.apache.spark.sql.functions.udaf
   * one task; this plan moves 3 per map task.
   *
   * Ordering: descending by `sortKey`, ascending `payload` as the
-  * deterministic tiebreak.
+  * deterministic tiebreak — through `java.lang.Double.compare`, which is
+  * TOTAL: NaN ranks above every other double (Spark's own sort order), so
+  * a NaN score cannot make the merge order-dependent (the bare `>` it
+  * replaces answered false both ways on NaN — reduce/merge stopped
+  * commuting and survivors varied with partitioning; r10 review). The
+  * sort key is a non-nullable primitive through the input encoder: rows
+  * with a null score must be filtered (or defaulted) by the caller, as
+  * the encoder rejects them at runtime.
   */
 object TopKPerKey {
 
   type Entry = (Double, Long) // (sortKey, payload)
 
-  /** `buf` is kept sorted best-first and truncated at k (k is small — the
-    * O(k) insertion beats heap constant factors and keeps merge trivial).
-    */
-  case class TopK(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
-    private def better(a: Entry, b: Entry): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-    override def zero: List[Entry] = Nil
-
-    override def reduce(buf: List[Entry], in: Entry): List[Entry] =
-      insert(buf, in, k)
-
-    private def insert(buf: List[Entry], in: Entry, room: Int): List[Entry] =
-      buf match {
-        case _ if room == 0 => Nil
-        case Nil => in :: Nil
-        case h :: t if better(h, in) => h :: insert(t, in, room - 1)
-        case _ => in :: buf.take(room - 1)
-      }
-
-    override def merge(a: List[Entry], b: List[Entry]): List[Entry] = {
-      @annotation.tailrec
-      def go(x: List[Entry], y: List[Entry], acc: List[Entry], room: Int): List[Entry] =
-        (x, y) match {
-          case _ if room == 0 => acc.reverse
-          case (Nil, Nil) => acc.reverse
-          case (xs, Nil) => acc.reverse ::: xs.take(room)
-          case (Nil, ys) => acc.reverse ::: ys.take(room)
-          case (xh :: xt, yh :: _) if better(xh, yh) => go(xt, y, xh :: acc, room - 1)
-          case (_, yh :: yt) => go(x, yt, yh :: acc, room - 1)
-        }
-      go(a, b, Nil, k)
+  case class TopK(k: Int) extends BoundedK[Entry](k) {
+    override protected def better(a: Entry, b: Entry): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
     }
-
-    override def finish(buf: List[Entry]): Seq[Entry] = buf
 
     override def bufferEncoder: Encoder[List[Entry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Entry]]()

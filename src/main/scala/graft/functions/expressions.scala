@@ -56,13 +56,18 @@ case class CnpjValid(child: Expression) extends UnaryExpression {
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,x) -> s+x)` but without
   * building the intermediate array.
   *
-  * Element nulls are not expected (embedding vectors are dense); a null
-  * element contributes whatever the backing array holds, as with the
-  * higher-order-function formulation.
+  * MISMATCHED lengths return NULL — the same answer the zip_with
+  * formulation gives (its pad-nulls poison the sum): silently truncating
+  * to the shorter side turned a corrupt or wrong-dimension embedding row
+  * into a plausible-but-wrong cosine instead of a visible null (r10
+  * review). Element nulls are not expected (embedding vectors are dense);
+  * a null element contributes whatever the backing array holds, as with
+  * the higher-order-function formulation.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val l = ArgCheck.floatArray("dot_product", left.dataType)
@@ -76,7 +81,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var acc = 0.0
@@ -98,12 +104,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

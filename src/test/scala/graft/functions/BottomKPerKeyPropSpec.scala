@@ -39,6 +39,27 @@ class BottomKPerKeyPropSpec extends AnyFunSuite {
     })
   }
 
+  test("null sort keys order FIRST (Spark ASC default), never NPE") {
+    val agg = BottomKPerKey.BottomK(2)
+    val xs = List((null: String, 5L), ("a", 1L), (null: String, 2L))
+    val out = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    assert(out == List((null, 2L), (null, 5L)))
+    // and merge handles a null-key buffer from either side
+    val l = agg.reduce(agg.zero, (null: String, 9L))
+    val r = agg.reduce(agg.zero, ("b", 1L))
+    assert(agg.merge(l, r) == agg.merge(r, l))
+  }
+
+  test("non-ASCII keys order by code point (UTF-8 binary), not UTF-16 units") {
+    // U+FFFD ('\uFFFD') must sort BEFORE U+1F600 (surrogate pair
+    // '\uD83D\uDE00'): that is the window's ORDER BY (UTF-8 byte order);
+    // String.compareTo ranks the surrogate lower and would flip the pick
+    val agg = BottomKPerKey.BottomK(1)
+    val xs = List(("😀", 1L), ("�", 2L))
+    assert(agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) ==
+      List(("�", 2L)))
+  }
+
   test("merge is order-insensitive and equals the global answer") {
     check("merge-commutativity", Prop.forAll(
       Gen.listOf(entryGen), Gen.listOf(entryGen), Gen.chooseNum(1, 6)) {

@@ -50,6 +50,24 @@ class FunctionsSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("dot_product returns NULL on mismatched lengths, like zip_with") {
+    // silent truncation to the shorter side turned a corrupt embedding
+    // row into a plausible-but-wrong cosine (r10 review); the documented
+    // zip_with twin yields NULL (pad-nulls poison the sum) — so must this
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.dot_product(col("a"), col("b")).as("native"),
+      expr("""aggregate(
+             |  zip_with(transform(a, x -> cast(x as double)),
+             |           transform(b, x -> cast(x as double)),
+             |           (x, y) -> x * y),
+             |  0D, (acc, x) -> acc + x)""".stripMargin).as("hof"))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
   test("wrong-typed arguments fail at ANALYSIS, not in codegen") {
     // without checkInputDataTypes these pass analysis and die deep in
     // generated Java / ClassCastException on an executor — an opaque

@@ -56,4 +56,19 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
     assert(whole === List((7.0, 1L), (7.0, 8L), (5.0, 2L)))
   }
+
+  test("NaN sort keys: merge commutes (total order — NaN ranks above all)") {
+    // the bare `>` this replaces answered false BOTH ways on NaN, so
+    // merge([(NaN,1)],[(5.0,2)]) != merge([(5.0,2)],[(NaN,1)]) and the
+    // survivor set depended on partitioning (r10 review)
+    val agg = TopKPerKey.TopK(1)
+    val a = List((Double.NaN, 1L))
+    val b = List((5.0, 2L))
+    val ab = agg.merge(a, b)
+    val ba = agg.merge(b, a)
+    assert(ab === ba)
+    // java.lang.Double.compare ranks NaN above every double — Spark's
+    // own sort order for doubles
+    assert(ab.head._2 === 1L)
+  }
 }

@@ -47,21 +47,23 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(rows.forall(_._3 === 4L)) // both clusters report 4 members
   }
 
-  test("ss09 PQ: a query and its duplicate hold the ADC floor, query first") {
+  test("ss09 PQ: a query's exact duplicate holds the ADC floor at zero") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("ss09").toString
     // each fixture vector sits exactly ON codebook entry c=i in every
-    // sub-space (×0.25 values are float-exact, so the ×10⁴ fixed-point
-    // floor reproduces the grid integers): codes(vec i) = (i,i,i,i) with
-    // zero quantization error, ADC(q, q) = 0, and any other vector's
-    // distinct codes score strictly positive — so {q, q+3 (its exact
-    // duplicate)} must occupy the top two ranks, the query first by the
-    // id tie-break.
+    // sub-space: the float (grid + 0.5)/10⁴ floors to the grid integer
+    // under the ×10⁴ fixed-point quantization even for negative grid
+    // values (the +0.5 keeps the double image strictly inside
+    // [grid, grid+1)), so codes(vec i) = (i,i,i,i) with zero
+    // quantization error. The query row itself is excluded (vec_id ≠
+    // qid), so its exact duplicate q+3 — same codes, ADC(q, q+3) =
+    // ADC(q, q) = 0 — must hold rank 1, and every non-duplicate's
+    // distinct codes score strictly positive.
     def vec(i: Int): Seq[Float] =
       Seq.tabulate(64) { dd =>
         val m = dd / 16; val d = dd % 16
-        ((m * 31 + i * 13 + d * 7) % 7 - 3) * 0.25f
+        ((((m * 31 + i * 13 + d * 11) % 8) - 4) * 500 + 0.5f) / 10000f
       }
     Seq((0L, vec(0), 0), (1L, vec(1), 0), (2L, vec(2), 0),
       (3L, vec(0), 0), (4L, vec(1), 1), (5L, vec(2), 1))
@@ -71,8 +73,10 @@ class SimilarityScaleSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     for (q <- 0L to 2L) {
       val g = rows.filter(_._1 == q).sortBy(_._4)
-      assert(g.map(_._2).take(2).toSeq === Seq(q, q + 3), g.mkString(","))
-      assert(g(0)._3 === g(1)._3, "duplicate vector must tie its query's ADC")
+      assert(g.head._2 === q + 3, g.mkString(","))
+      assert(g.head._3 === 0L, "exact duplicate must score ADC 0")
+      assert(g.tail.forall(_._3 > 0L),
+        "non-duplicates must score strictly positive ADC: " + g.mkString(","))
       val sorted = g.map(_._3)
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
     }
