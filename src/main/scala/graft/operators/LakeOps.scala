@@ -80,7 +80,11 @@ object LakeOps {
     * aggregation INSIDE the stream and the projection on the sink table.
     */
   private[graft] def ohlcAgg(df: DataFrame): DataFrame =
-    df.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+    df.filter(col("ts").isNotNull) // null event times would form a null
+      // hour bucket that sorts FIRST in Spark's dump but LAST under
+      // DuckDB's ORDER BY — the cross-engine null-ordering divergence
+      // TemporalJoins documents; drop them like ts05/ts08/ts09 do
+      .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
       .agg(
         min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
         max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
@@ -99,7 +103,7 @@ object LakeOps {
     */
   private[graft] val ohlcOracleSql: String =
     """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type, ts,
-      |   event_id, value FROM events),
+      |   event_id, value FROM events WHERE ts IS NOT NULL),
       | r AS (SELECT *,
       |   ROW_NUMBER() OVER (PARTITION BY hb, event_type
       |     ORDER BY ts, event_id) AS rf,
@@ -183,6 +187,11 @@ object LakeOps {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(asc("ts"), asc("event_id"))
       Tables(s, dir, "events")
+        // null event times sort FIRST under Spark's asc(ts) but LAST
+        // under DuckDB's ORDER BY inside LEAD — a silent valid_to fork on
+        // any corpus that has them (the TemporalJoins contract); a null
+        // ts also isn't a change point, so it has no interval to anchor
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts"), col("value"))
         .withColumn("next_ts", lead(col("ts"), 1).over(w))
@@ -499,7 +508,7 @@ object LakeOps {
         | CAST(LEAD(ts, 1) OVER (PARTITION BY user_id, event_type
         |   ORDER BY ts, event_id) IS NULL AS INT) AS is_current,
         | value
-        |FROM events
+        |FROM events WHERE ts IS NOT NULL
         |ORDER BY user_id, event_type, event_id""".stripMargin,
 
     // The diff restated set-wise: survivors that changed, deletions,

@@ -203,4 +203,33 @@ class LakeOpsSpec extends AnyFunSuite {
     // locality sanity: neighbors in x differ only in low interleaved bits
     assert(z(1, 0) == 1 && z(0, 1) == 2 && z(1, 1) == 3)
   }
+
+  test("ts03/ts04 drop null event times (cross-engine null-order contract)") {
+    // A null ts sorts FIRST under Spark's asc(ts) but LAST under DuckDB's
+    // ORDER BY — inside ts03's LEAD that silently forks valid_to/is_current
+    // for the REAL rows of the partition, and in ts04 it forms a null hour
+    // bucket whose dump position diverges. The frozen fixture is null-free,
+    // so only a fixture with one can pin the guard (r10 review).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("nullts").toString
+    Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:05:00")),
+        7L, "click", 1.0, "{}"),
+      (2L, None, 7L, "click", 2.0, "{}"),
+      (3L, Some(java.sql.Timestamp.valueOf("2024-01-01 11:20:00")),
+        7L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val scd2 = LakeOps.queries("ts03_scd2_intervals")(spark, d).collect()
+    assert(scd2.length === 2, scd2.mkString(","))
+    // with the null row dropped, event 1 closes at event 3's time and
+    // event 3 alone stays current — not the null row
+    assert(scd2.count(_.getInt(5) == 1) === 1)
+    assert(scd2.filter(_.getLong(2) == 1L)
+      .head.getString(4) === "2024-01-01 11:20:00")
+    val bars = LakeOps.queries("ts04_ohlc_bars")(spark, d).collect()
+    assert(bars.length === 2 && bars.forall(!_.isNullAt(0)),
+      bars.mkString(","))
+    assert(bars.map(_.getLong(6)).sum === 2L) // the null-ts event is out
+  }
 }
