@@ -219,7 +219,7 @@ object LakeOps {
     // fingerprint. Each batch doc is either new (no history fp match) or a
     // duplicate pointing at its canonical history doc.
     "dd10_incremental_dedup" -> ((s, dir) => {
-      val fp = md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
+      val fp = TextOps.canonFp // ONE canonical-fingerprint definition
       val d = Tables(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
       val hist = d.filter(col("doc_id") % 5 =!= 4)
         .groupBy("fp").agg(min("doc_id").as("canonical_id"))

@@ -37,15 +37,20 @@ object Multimodal {
   /** STUB decode: deterministic fake standing in for an image/audio codec.
     * Frames = 100-byte windows; per-frame hash + a 4-dim "feature" vector
     * derived from byte sums. Replace with a real codec at deployment.
+    * `withFeature = false` skips the feature pass for hash-only consumers
+    * (mm03/mm07) — the "decode only what the stage needs" contract a real
+    * codec call would honor; Catalyst cannot prune inside mapPartitions,
+    * so the kernel has to.
     */
-  def fakeDecode(docId: Long, bytes: Array[Byte]): Row = {
+  def fakeDecode(docId: Long, bytes: Array[Byte],
+      withFeature: Boolean = true): Row = {
     val n = bytes.length
     val nFrames = n / 100 + 1
     val frameHashes = (0 until nFrames).map { f =>
       val frame = bytes.slice(f * 100, math.min((f + 1) * 100, n))
       frame.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
     }.toArray
-    val feature = Array.tabulate(4) { i =>
+    val feature = if (!withFeature) null else Array.tabulate(4) { i =>
       val slice = bytes.indices.filter(_ % 4 == i).map(bytes(_).toInt)
       if (slice.isEmpty) 0f else slice.sum.toFloat / slice.length
     }
@@ -83,7 +88,9 @@ object Multimodal {
     val win = 50
     val stride = 25
     val n = bytes.length
-    val nWin = if (n <= win) 1 else (n - win) / stride + 1
+    // a zero-length recording has NO frames (the old nWin=1 emitted a
+    // 0-sample window whose rms was NaN vs the oracle's NULL — r10 review)
+    val nWin = if (n == 0) 0 else if (n <= win) 1 else (n - win) / stride + 1
     (0 until nWin).iterator.map { s =>
       val sl = bytes.slice(s * stride, math.min(s * stride + win, n))
       Row(docId, s, sl.length,
@@ -97,6 +104,26 @@ object Multimodal {
     StructField("win_idx", IntegerType),
     StructField("n_samples", IntegerType),
     StructField("energy", LongType)))
+
+  /** The decode plumbing shared by every media query — documents scan →
+    * binary cast → narrow mapPartitions under the given output schema
+    * (previously copy-pasted five times; a change to the decode contract
+    * had to be edited in five places — r10 review). Blobs never leave the
+    * executors; `maxId` prunes BEFORE the decode so the kernel only ever
+    * runs on surviving rows.
+    */
+  private def decoded(s: SparkSession, dir: String, schema: StructType,
+      maxId: Option[Long] = None)(
+      kernel: (Long, Array[Byte]) => Iterator[Row]): DataFrame = {
+    val base = Tables(s, dir, "documents")
+    val src = maxId.fold(base)(m => base.filter(col("doc_id") < m))
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    src.mapPartitions { it =>
+      it.flatMap(r => kernel(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(enc)
+  }
 
   val queries: Map[String, Q] = ListMap(
     // Binary metadata via pure expressions (oracle-checked).
@@ -114,29 +141,23 @@ object Multimodal {
     // deterministic byte arithmetic, so the oracle replicates it in SQL and
     // hash-gates the full mapPartitions → schema → batch plumbing.
     "mm02_decode_features" -> ((s, dir) => {
-      val src = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(featureSchema)
-      src.mapPartitions { it =>
-        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }(enc)
+      decoded(s, dir, featureSchema) { (id, b) =>
+        Iterator.single(fakeDecode(id, b))
+      }
         .select(col("doc_id"), col("byte_len"), col("n_frames"),
           element_at(col("frame_hashes"), 1).as("first_frame_hash"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+          // empty blob → NULL, matching the oracle's list_sum([]) (the
+          // kernel's 0f-for-empty is a per-slot placeholder, not a mean)
+          when(col("byte_len") > 0,
+            round(element_at(col("feature"), 1).cast("double"), 4)).as("f0"))
         .orderBy("doc_id")
     }),
     // Frame sampling: one row per (stub-)decoded frame — the shape of a
     // video/audio frame-extraction stage (explode after a narrow decode).
     "mm03_frame_sample" -> ((s, dir) => {
-      val src = Tables(s, dir, "documents")
-        .filter(col("doc_id") < 50)
-        .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(featureSchema)
-      src.mapPartitions { it =>
-        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }(enc)
+      decoded(s, dir, featureSchema, maxId = Some(50)) { (id, b) =>
+        Iterator.single(fakeDecode(id, b, withFeature = false))
+      }
         .select(col("doc_id"),
           posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
         .filter(col("frame_idx") % 2 === 0) // sample every 2nd frame
@@ -148,17 +169,19 @@ object Multimodal {
     // executors). Output pins the boundary cells — first block, last
     // (possibly short) block — so the oracle checks edge handling.
     "mm04_resize" -> ((s, dir) => {
-      val src = Tables(s, dir, "documents")
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(resizeSchema)
-      src.mapPartitions { it =>
-        it.map(r => fakeResize(r.getLong(0), r.getAs[Array[Byte]](1), 4))
-      }(enc)
+      decoded(s, dir, resizeSchema, maxId = Some(200)) { (id, b) =>
+        Iterator.single(fakeResize(id, b, 4))
+      }
+        // the when-guards keep ANSI element_at off the empty array an
+        // empty blob produces (INVALID_ARRAY_INDEX would kill the job;
+        // the oracle emits NULL boundary cells for it — r10 review)
         .select(col("doc_id"), col("byte_len"), col("resized_len"),
-          round(element_at(col("resized"), 1).cast("double"), 4).as("r_first"),
-          round(element_at(col("resized"), -1).cast("double"), 4).as("r_last"))
+          when(col("resized_len") > 0,
+            round(element_at(col("resized"), 1).cast("double"), 4))
+            .as("r_first"),
+          when(col("resized_len") > 0,
+            round(element_at(col("resized"), -1).cast("double"), 4))
+            .as("r_last"))
         .orderBy("doc_id")
     }),
 
@@ -167,14 +190,7 @@ object Multimodal {
     // of the same narrow mapPartitions contract. The kernel is integer
     // arithmetic end to end; rms is one codegen'd sqrt at the SQL layer.
     "mm05_audio_windows" -> ((s, dir) => {
-      val src = Tables(s, dir, "documents")
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(audioSchema)
-      src.mapPartitions { it =>
-        it.flatMap(r => fakeAudioWindows(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }(enc)
+      decoded(s, dir, audioSchema, maxId = Some(100))(fakeAudioWindows)
         .select(col("doc_id"), col("win_idx"), col("n_samples"), col("energy"),
           round(sqrt(col("energy").cast("double") / col("n_samples")), 4)
             .as("rms"))
@@ -200,8 +216,11 @@ object Multimodal {
         .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("j"),
           col("n_vecs"))
         .select(col("doc_id"),
+          // nullif: an empty embeddings table gives n_vecs = 0, where the
+          // oracle's `% 0` yields NULL (negatives drop in the join); the
+          // bare remainder is an ANSI DIVIDE_BY_ZERO abort (r10 review)
           ((col("doc_id") * lit(2654435761L) + col("j") * lit(40503L))
-            % col("n_vecs")).as("vec_id"),
+            % nullif(col("n_vecs"), lit(0L))).as("vec_id"),
           lit(0).as("is_positive"))
       pos.unionByName(neg)
         .join(emb, Seq("vec_id"))
@@ -219,13 +238,9 @@ object Multimodal {
     // scales with frame COUNT, not media size; the same shape as dd09's
     // text-span dedup, one modality over.
     "mm07_frame_dup" -> ((s, dir) => {
-      val src = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(featureSchema)
-      src.mapPartitions { it =>
-        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }(enc)
+      decoded(s, dir, featureSchema) { (id, b) =>
+        Iterator.single(fakeDecode(id, b, withFeature = false))
+      }
         .select(col("doc_id"),
           posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
         .groupBy("frame_hash")
@@ -246,6 +261,22 @@ object Multimodal {
     * divisible by 100) reduces to the bare seed on both engines.
     */
   private val hugeMod = "18446744073709551616::HUGEINT" // 2^64
+
+  /** The oracle's char≈byte assumption made LOUD: the ENGINE kernels fold
+    * real bytes (production-correct for arbitrary binary), while this SQL
+    * mirror folds `unicode(substr(...))` code points — equal only for
+    * ASCII. One non-ASCII document would silently fork every frame hash,
+    * so the mirror refuses it instead (tx18's raise_error pattern, on the
+    * oracle side because the fixture assumption lives HERE, not in the
+    * engine — r10 review).
+    */
+  private val asciiSrcSql: String =
+    """src AS (SELECT doc_id,
+      |   CASE WHEN octet_length(encode(text)) = length(text) THEN text
+      |     ELSE error('mm oracle: non-ASCII document ' || doc_id ||
+      |                ' — the byte-kernel SQL mirror is ASCII-only')
+      |   END AS text
+      |  FROM documents)""".stripMargin
   private def frameHashSql(frame: String): String =
     s"""list_reduce(
        |   list_prepend(1125899906842597::HUGEINT,
@@ -266,10 +297,11 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm02_decode_features" ->
-      s"""WITH b AS (
+      s"""WITH $asciiSrcSql,
+         | b AS (
          |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
          |         substr(text, 1, 100) AS frame0, text
-         |  FROM documents),
+         |  FROM src),
          | h AS (
          |  SELECT doc_id, byte_len,
          |    CAST(FLOOR(byte_len / 100) + 1 AS INT) AS n_frames,
@@ -284,9 +316,10 @@ object Multimodal {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "mm03_frame_sample" ->
-      s"""WITH b AS (
+      s"""WITH $asciiSrcSql,
+         | b AS (
          |  SELECT doc_id, octet_length(encode(text)) AS n, text
-         |  FROM documents WHERE doc_id < 50),
+         |  FROM src WHERE doc_id < 50),
          | fr AS (
          |  SELECT doc_id,
          |    unnest(range(0, CAST(FLOOR(n / 100) + 1 AS INT))) AS frame_idx,
@@ -300,9 +333,10 @@ object Multimodal {
          |FROM fh ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm04_resize" ->
-      """WITH b AS (
+      s"""WITH $asciiSrcSql,
+        | b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n, text
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM src WHERE doc_id < 200),
         | r AS (
         |  SELECT doc_id, n,
         |    CAST(FLOOR((n + 3) / 4) AS INT) AS rl,
@@ -313,18 +347,21 @@ object Multimodal {
         |      i -> unicode(substr(text, i, 1))) AS lb
         |  FROM b)
         |SELECT doc_id, CAST(n AS INT) AS byte_len, rl AS resized_len,
-        | ROUND(CAST(CAST(list_sum(fb) AS FLOAT) / len(fb) AS DOUBLE), 4)
-        |   AS r_first,
-        | ROUND(CAST(CAST(list_sum(lb) AS FLOAT) / len(lb) AS DOUBLE), 4)
-        |   AS r_last
+        | CASE WHEN rl = 0 THEN NULL ELSE
+        |   ROUND(CAST(CAST(list_sum(fb) AS FLOAT) / len(fb) AS DOUBLE), 4)
+        | END AS r_first,
+        | CASE WHEN rl = 0 THEN NULL ELSE
+        |   ROUND(CAST(CAST(list_sum(lb) AS FLOAT) / len(lb) AS DOUBLE), 4)
+        | END AS r_last
         |FROM r ORDER BY doc_id""".stripMargin,
 
     // ASCII text: unicode(substr(..)) == the byte the Spark kernel squares.
     "mm05_audio_windows" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
-        |  FROM documents WHERE doc_id < 100),
+      s"""WITH $asciiSrcSql,
+        | b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
+        |  FROM src WHERE doc_id < 100),
         | w AS (SELECT doc_id, n, text,
-        |    unnest(range(0, CASE WHEN n <= 50 THEN 1
+        |    unnest(range(0, CASE WHEN n = 0 THEN 0 WHEN n <= 50 THEN 1
         |      ELSE CAST((n - 50) // 25 AS INT) + 1 END)) AS win_idx
         |   FROM b),
         | f AS (SELECT doc_id, win_idx,
@@ -357,9 +394,10 @@ object Multimodal {
     // mm03's frame-hash CTEs over the FULL corpus (no sampling), grouped
     // by the signed hash.
     "mm07_frame_dup" ->
-      s"""WITH b AS (
+      s"""WITH $asciiSrcSql,
+         | b AS (
          |  SELECT doc_id, octet_length(encode(text)) AS n, text
-         |  FROM documents),
+         |  FROM src),
          | fr AS (
          |  SELECT doc_id,
          |    unnest(range(0, CAST(FLOOR(n / 100) + 1 AS INT))) AS frame_idx,

@@ -62,29 +62,42 @@ object TextOps {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** ONE definition each of the quality-score formula, the language vote,
+    * and the canonical fingerprint — tx02/tx03/tx04 used to restate them
+    * inline (and the drift hazard is real: a weight tweak here must reach
+    * every consumer or two "same-formula" queries silently diverge, the
+    * exact failure mode the [[wordSetPairs]] comment documents).
+    */
+  private def qualityScore(words: Column): Column = {
+    val nWords = size(words)
+    round(least(lit(1.0), nWords.cast("double") / 200) * 0.5
+      + (hitCount(words, enWords).cast("double") / nWords) * 0.5, 6)
+  }
+
+  /** Marker-word vote over LOWERCASED words; tie order en > es > de. */
+  private def langVote(lowWords: Column): Column = {
+    val en = hitCount(lowWords, enWords)
+    val es = hitCount(lowWords, esWords)
+    val de = hitCount(lowWords, deWords)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** Whitespace/case-canonical text fingerprint (tx04, tx07/st05; also
+    * dd10's incremental-dedup key in [[LakeOps]]).
+    */
+  private[operators] def canonFp: Column =
+    md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
+
   /** The tx07 cleaning gates as one row-local stage: quality score +
     * language vote + whitespace-canonical fingerprint, filtered to
     * good-quality English. Shared by the batch pipeline (tx07) and its
     * streaming twin (st05) so both provably run the same expressions.
     */
-  private[graft] def scoredEnglish(df: DataFrame): DataFrame = {
-    val rawWords = split(col("text"), " ")
-    val lowWords = split(lower(col("text")), " ")
-    val nWords = size(rawWords)
-    val nStop = hitCount(rawWords, enWords)
-    val score = round(
-      least(lit(1.0), nWords.cast("double") / 200) * 0.5
-        + (nStop.cast("double") / nWords) * 0.5, 6)
-    val en = hitCount(lowWords, enWords)
-    val es = hitCount(lowWords, esWords)
-    val de = hitCount(lowWords, deWords)
-    val predLang = when(en >= es && en >= de, "en")
-      .when(es >= de, "es").otherwise("de")
-    df.withColumn("quality_score", score)
-      .withColumn("pred_lang", predLang)
+  private[graft] def scoredEnglish(df: DataFrame): DataFrame =
+    df.withColumn("quality_score", qualityScore(split(col("text"), " ")))
+      .withColumn("pred_lang", langVote(split(lower(col("text")), " ")))
       .filter(col("pred_lang") === "en" && col("quality_score") >= 0.12)
-      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
-  }
+      .withColumn("fp", canonFp)
 
   val queries: Map[String, Q] = ListMap(
     // Exact dedup: hash-groupBy on full text; survivor = min doc_id.
@@ -148,9 +161,7 @@ object TextOps {
         nStop.as("n_stopwords"),
         round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
         round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
-        round(
-          least(lit(1.0), nWords.cast("double") / 200) * 0.5
-            + (nStop.cast("double") / nWords) * 0.5, 6).as("quality_score"))
+        qualityScore(words).as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -162,8 +173,7 @@ object TextOps {
       val de = hitCount(words, deWords)
       docs(s, dir).select(col("doc_id"),
         en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
-        when(en >= es && en >= de, "en")
-          .when(es >= de, "es").otherwise("de").as("pred_lang"),
+        langVote(words).as("pred_lang"),
         col("lang").as("labeled_lang"))
         .orderBy("doc_id")
     }),
@@ -183,8 +193,7 @@ object TextOps {
 
     // Document fingerprint: canonicalize whitespace+case, then hash.
     "tx04_fingerprint" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")).as("fp"))
+      docs(s, dir).select(col("doc_id"), canonFp.as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -299,15 +308,6 @@ object TextOps {
         .withColumn("keep", (col("logit") > 0L).cast("int"))
         .orderBy("doc_id")),
 
-    // Inverted-index build — the search-index / corpus-lookup artifact:
-    // term → document frequency + a BOUNDED posting sample (the 20
-    // smallest doc_ids). df comes from an ordinary count over distinct
-    // (term, doc) pairs; the sample rides [[graft.functions.BottomKPerKey]]
-    // so each map task ships ≤ 20 postings per term — a hot stopword's
-    // full posting list (millions of docs at corpus scale) is never
-    // collected or co-located. Emitted terms are bounded to df ≥ 50 (the
-    // index head); doc_ids are zero-padded so the aggregator's string
-    // order IS numeric order.
     // BPE encoding with a PINNED merge table — the tokenizer-application
     // stage: lowercase/strip, mark word boundaries with '_', explode to a
     // space-separated char stream, then apply the 8 merge rules IN RANK
@@ -338,6 +338,15 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Inverted-index build — the search-index / corpus-lookup artifact:
+    // term → document frequency + a BOUNDED posting sample (the 20
+    // smallest doc_ids). df comes from an ordinary count over distinct
+    // (term, doc) pairs; the sample rides [[graft.functions.BottomKPerKey]]
+    // so each map task ships ≤ 20 postings per term — a hot stopword's
+    // full posting list (millions of docs at corpus scale) is never
+    // collected or co-located. Emitted terms are bounded to df ≥ 50 (the
+    // index head); doc_ids are zero-padded so the aggregator's string
+    // order IS numeric order.
     "tx18_inverted_index" -> ((s, dir) => {
       val sample = graft.functions.BottomKPerKey.bottomK(20)
       docs(s, dir)
@@ -396,7 +405,11 @@ object TextOps {
         col("n_chars"))
       .select(col("doc_id"),
         expr("(ns * 1000000) div nw").as("stop_micro"),
-        expr("(np * 1000000) div n_chars").as("punct_micro"),
+        // nullif: an empty doc (n_chars = 0) must yield NULL like the
+        // oracle's DuckDB `// 0`, not an ANSI DIVIDE_BY_ZERO that kills
+        // the whole tx17/dd13 job (nw needs no guard — split('') is [''],
+        // so nw >= 1 on both engines)
+        expr("(np * 1000000) div nullif(n_chars, 0)").as("punct_micro"),
         least(col("nw"), lit(500L)).as("len_cap"))
       .withColumn("logit",
         lit(-800000L) + lit(3L) * col("stop_micro")
@@ -417,7 +430,7 @@ object TextOps {
        |   n_chars FROM documents),
        | qm AS (SELECT doc_id,
        |   (ns * 1000000) // nw AS stop_micro,
-       |   (np * 1000000) // n_chars AS punct_micro,
+       |   (np * 1000000) // nullif(n_chars, 0) AS punct_micro,
        |   LEAST(nw, 500) AS len_cap FROM qf),
        | ql AS (SELECT doc_id,
        |   -800000 + 3 * stop_micro - 2 * punct_micro + 1000 * len_cap
@@ -577,7 +590,7 @@ object TextOps {
          |   n_chars FROM documents),
          | m AS (SELECT doc_id,
          |   (ns * 1000000) // nw AS stop_micro,
-         |   (np * 1000000) // n_chars AS punct_micro,
+         |   (np * 1000000) // nullif(n_chars, 0) AS punct_micro,
          |   LEAST(nw, 500) AS len_cap FROM f)
          |SELECT doc_id, stop_micro, punct_micro, len_cap,
          | -800000 + 3 * stop_micro - 2 * punct_micro + 1000 * len_cap
