@@ -114,17 +114,18 @@ object Bench {
       k -> math.min(ok1.getOrElse(k, Double.MaxValue),
         ok2.getOrElse(k, Double.MaxValue))
     }.toMap
+    // a query that failed in EITHER pass reports as an error, never a time
+    val errMap = errMap1 ++ errMap2
     // Scratch-build attribution rides with the pass that supplied the
     // reported (min) time, so query-time − build-time is internally
-    // consistent per query. Sub-5ms builds are noise, not attribution.
-    val buildS = (ok1.keySet ++ ok2.keySet).flatMap { k =>
+    // consistent per query. Sub-5ms builds are noise, not attribution, and
+    // errored queries carry no time for a build entry to be read against.
+    val buildS = (ok1.keySet ++ ok2.keySet -- errMap.keys).flatMap { k =>
       val p1 = ok1.getOrElse(k, Double.MaxValue) <=
         ok2.getOrElse(k, Double.MaxValue)
       val b = if (p1) build1.getOrElse(k, 0.0) else build2.getOrElse(k, 0.0)
       if (b > 0.005) Some(k -> b) else None
     }.toMap
-    // a query that failed in EITHER pass reports as an error, never a time
-    val errMap = errMap1 ++ errMap2
     val okClean = ok -- errMap.keys
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -196,12 +197,20 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).trim
         // expected shape {"pipeline":{...}} — splice its body as a sibling
         // key; anything else is ignored rather than corrupting the detail.
-        // The artifact's age rides along: the file may be a committed
-        // artifact from an earlier run, and unstamped it would read as
-        // "measured by this bench run".
+        // PARSE-validated, not shape-sniffed: a truncated-then-rewritten
+        // file can still start with '{' and end with '}' while being
+        // invalid JSON, and splicing it verbatim would make the whole
+        // detail file unparseable (r10 review). The artifact's age rides
+        // along: the file may be a committed artifact from an earlier run,
+        // and unstamped it would read as "measured by this bench run".
         val ageS = (System.currentTimeMillis -
           java.nio.file.Files.getLastModifiedTime(p).toMillis) / 1000
-        if (t.startsWith("{") && t.endsWith("}") && t.length > 2)
+        val parses =
+          try {
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(t).isObject
+          } catch { case _: Exception => false }
+        if (parses && t.startsWith("{") && t.endsWith("}") && t.length > 2)
           "," + t.substring(1, t.length - 1) +
             s""","pipeline_bench_age_s":$ageS"""
         else ""
@@ -209,11 +218,11 @@ object Bench {
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"scratch_build_s":$buildJson,"sf":"$sfDir"$pipeSection}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"scratch_build_s":$buildJson,"sf":${jstr(sfDir)}$pipeSection}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sfName = new java.io.File(sfDir).getName
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfName)}}"""
     // Hard invariant: the line plus sbt's "[success] Total time: ..."
     // trailer (~75 chars) must fit the driver's 2000-char tail — 1900 is
     // the measured-safe budget (169 error-free queries are 1880 chars; the
@@ -224,7 +233,7 @@ object Bench {
     val line =
       if (full.length < 1900) full
       else
-        s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":{},"errors":{"_overflow":${jstr(s"line ${full.length} chars; ${okClean.size} ok, ${errMap.size} err — see bench_detail.json")}},"sf":"$sfName"}"""
+        s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":{},"errors":{"_overflow":${jstr(s"line ${full.length} chars; ${okClean.size} ok, ${errMap.size} err — see bench_detail.json")}},"sf":${jstr(sfName)}}"""
     operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
     // Emitted LAST — after spark.stop() — so no shutdown logging lands

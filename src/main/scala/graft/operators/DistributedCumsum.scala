@@ -39,9 +39,18 @@ private[graft] object DistributedCumsum {
     // axis in the suite.
     val mm = counts.agg(min(v).as("lo"), (max(v) + 1).as("hi"),
       sum(col(freqCol)).as("n"))
+    // a NULL value takes pid -1: it sorts BEFORE every bucket, exactly
+    // where the partition-less `Window.orderBy(value)` this helper
+    // replaces would cum it (Spark ASC = nulls first). The arithmetic pid
+    // is null for a null value, and the inner offsets join would silently
+    // DROP the row while `n` still counted its freq — every rank-based
+    // boundary downstream then reads against an unreachable total (r10
+    // review; current callers are non-null, but the precondition doc
+    // never excluded nulls).
     val bucketed = counts.crossJoin(broadcast(mm))
       .withColumn("pid",
-        (((v - col("lo")) * buckets) / (col("hi") - col("lo"))).cast("int"))
+        when(v.isNull, lit(-1)).otherwise(
+          (((v - col("lo")) * buckets) / (col("hi") - col("lo"))).cast("int")))
     val psums = bucketed.groupBy("pid").agg(sum(col(freqCol)).as("psum"))
     val offsets = psums.as("a")
       .join(broadcast(psums.as("b")), col("b.pid") < col("a.pid"), "left")

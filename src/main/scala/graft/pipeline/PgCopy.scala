@@ -31,7 +31,17 @@ trait CopyApi extends Serializable {
   * are exactly what the spec's round-trip has to pin.
   */
 object PgCopyText {
-  def copySql(table: String): String = s"COPY $table FROM STDIN"
+  /** The column list is NOT optional: a bare `COPY t FROM STDIN` loads by
+    * physical column position, so a pre-created table whose column order
+    * differs from the frame's schema (the DDL-preservation scenario the
+    * sink explicitly supports) would be silently misloaded — while the
+    * INSERT mode targets columns by name (r10 review).
+    * Names are double-quoted exactly as Spark's JDBC writer quotes them
+    * when creating the table and targeting the INSERTs — both modes then
+    * share one identifier-case behavior.
+    */
+  def copySql(table: String, columns: Seq[String]): String =
+    s"""COPY $table (${columns.map(c => "\"" + c + "\"").mkString(", ")}) FROM STDIN"""
 
   /** One field. COPY text requires escaping ONLY backslash and the three
     * structural characters (field/record separators); everything else
@@ -113,9 +123,16 @@ object PgCopyApi extends CopyApi {
     val cm = Class.forName("org.postgresql.copy.CopyManager")
       .getConstructor(base)
       .newInstance(conn.unwrap(base).asInstanceOf[AnyRef])
-    cm.getClass
+    try cm.getClass
       .getMethod("copyIn", classOf[String], classOf[java.io.Reader])
       .invoke(cm, sql, rows)
       .asInstanceOf[java.lang.Long].longValue()
+    catch {
+      // unwrap: the actionable error is the server's SQLException, not
+      // the reflection wrapper it would otherwise headline the task
+      // failure with
+      case e: java.lang.reflect.InvocationTargetException
+          if e.getCause != null => throw e.getCause
+    }
   }
 }

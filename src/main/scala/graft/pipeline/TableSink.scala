@@ -32,8 +32,6 @@ trait TableSink {
   * [[RfbPipeline]].
   */
 class ParquetSink(outDir: String) extends TableSink {
-  private def dest(table: String, refMonth: String): String =
-    s"$outDir/$table/ref_month=$refMonth"
   private def path(table: String, refMonth: String, prefix: String = "") =
     new org.apache.hadoop.fs.Path(s"$outDir/$table/${prefix}ref_month=$refMonth")
 
@@ -92,7 +90,7 @@ class ParquetSink(outDir: String) extends TableSink {
       if (isComplete(fs, staging)) fs.rename(staging, finalPath)
       else if (fs.exists(backup)) fs.rename(backup, finalPath)
     }
-    spark.read.parquet(dest(table, refMonth))
+    spark.read.parquet(finalPath.toString)
   }
 }
 
@@ -164,6 +162,19 @@ class JdbcSink(
           .jdbc(url, qualified(table, refMonth), props)
       case Some(api) =>
         val target = qualified(table, refMonth)
+        // the COPY text encoder serializes scalars (and bytea); a complex
+        // column would go through toString as a Scala debug string where
+        // the INSERT mode writes a real array — refuse it loudly instead
+        // of a silent mode-switch fidelity regression
+        val complex = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.MapType
+             | _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(complex.isEmpty,
+          s"COPY mode supports scalar columns only; ${complex.map(_.name)
+            .mkString(", ")} need the batched-INSERT mode (copy = None)")
         // DDL through the same writer both modes use (identical TRUNCATE
         // semantics + type mapping), on an EMPTY frame — zero data rows
         // travel the INSERT path
@@ -171,7 +182,8 @@ class JdbcSink(
           .mode(SaveMode.Overwrite)
           .option("truncate", "true")
           .jdbc(url, target, props)
-        val (u, p, sql) = (url, props, PgCopyText.copySql(target))
+        val (u, p, sql) =
+          (url, props, PgCopyText.copySql(target, df.schema.fieldNames))
         val schema = df.schema
         df.coalesce(math.min(numPartitions,
             df.rdd.getNumPartitions).max(1))

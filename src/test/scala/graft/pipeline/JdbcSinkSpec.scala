@@ -111,6 +111,44 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(copySink.readBack(spark, "rfb_paises", "202402").count() === 1)
   }
 
+  test("COPY targets columns BY NAME — a reordered pre-created table loads correctly") {
+    // the DDL-preservation scenario: a DBA pre-creates the table with a
+    // DIFFERENT physical column order; truncate mode keeps that DDL, and
+    // the COPY column list must land values by name, exactly as the
+    // INSERT mode does (a bare `COPY t FROM STDIN` would load c1 into c0)
+    val url = freshDb()
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        // quoted-lowercase names, exactly what Spark's JDBC writer creates
+        // — the pre-created table differs only in COLUMN ORDER
+        st.executeUpdate("CREATE SCHEMA RFB_202403")
+        st.executeUpdate("CREATE TABLE RFB_202403.RFB_PAISES " +
+          """("c1" VARCHAR(50), "c0" VARCHAR(50))""")
+      } finally st.close()
+    } finally conn.close()
+    val copySink = new JdbcSink(url, props, numPartitions = 2,
+      copy = Some(DerbyCopyStandIn))
+    copySink.overwrite(
+      Seq(("k1", "v1"), ("k2", "v2")).toDF("c0", "c1"),
+      "rfb_paises", "202403")
+    val got = copySink.readBack(spark, "rfb_paises", "202403")
+      .select("c0", "c1")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("k1", "v1"), ("k2", "v2")))
+  }
+
+  test("COPY mode refuses complex-typed columns loudly") {
+    val url = freshDb()
+    val sink = new JdbcSink(url, props, copy = Some(DerbyCopyStandIn))
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "tags")
+    val e = intercept[IllegalArgumentException] {
+      sink.overwrite(df, "rfb_paises", "202404")
+    }
+    assert(e.getMessage.contains("tags"))
+  }
+
   test("COPY text encoding: escapes, nulls, bytea") {
     import org.apache.spark.sql.types._
     assert(PgCopyText.encodeField(null) === "\\N")
@@ -195,7 +233,16 @@ class JdbcSinkSpec extends AnyFunSuite {
 object DerbyCopyStandIn extends CopyApi {
   override def copyIn(conn: java.sql.Connection, sql: String,
       rows: java.io.Reader): Long = {
-    val table = sql.stripPrefix("COPY ").stripSuffix(" FROM STDIN")
+    // `COPY t ("a", "b") FROM STDIN` — the QUOTED column list is part of
+    // the contract (COPY loads by position; the list makes it by-name with
+    // the same quoted-identifier case behavior as the INSERT mode)
+    val m = """COPY (\S+) \(([^)]*)\) FROM STDIN""".r
+    val (table, columns) = sql match {
+      case m(t, cs) => (t, cs.split(",").map(_.trim).toSeq)
+      case _ => throw new IllegalArgumentException(s"unexpected COPY sql: $sql")
+    }
+    require(columns.forall(c => c.startsWith("\"") && c.endsWith("\"")),
+      s"COPY columns must arrive quoted: $sql")
     val text = {
       val sb = new StringBuilder
       val buf = new Array[Char](4096)
@@ -220,9 +267,9 @@ object DerbyCopyStandIn extends CopyApi {
     }
     val records = text.split("\n").filter(_.nonEmpty)
     if (records.isEmpty) return 0L
-    val arity = records.head.split("\t", -1).length
     val ps = conn.prepareStatement(
-      s"INSERT INTO $table VALUES (${Seq.fill(arity)("?").mkString(",")})")
+      s"INSERT INTO $table (${columns.mkString(", ")}) " +
+        s"VALUES (${Seq.fill(columns.length)("?").mkString(",")})")
     try {
       records.foreach { rec =>
         rec.split("\t", -1).zipWithIndex.foreach { case (f, i) =>
