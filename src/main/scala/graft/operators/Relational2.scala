@@ -31,13 +31,19 @@ object Relational2 {
 
     // Distinct + statistical aggregates.
     "q25_stat_aggs" -> ((s, dir) => {
+      // nanvl: on a degenerate group (one row, or zero variance) Spark's
+      // sample stats return NaN where DuckDB returns NULL — align on NULL
+      // (the frozen fixture's segments are all non-degenerate, but the
+      // divergence class is real; r10 review)
+      def asNull(c: org.apache.spark.sql.Column) =
+        nanvl(c, lit(null).cast("double"))
       Tables(s, dir, "customer").groupBy("c_mktsegment")
         .agg(
           countDistinct("c_nationkey").as("n_nations"),
           count(lit(1)).as("n_customers"),
-          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
-          round(var_samp(col("c_acctbal")), 2).as("var_bal"),
-          round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 4)
+          round(asNull(stddev_samp(col("c_acctbal"))), 4).as("sd_bal"),
+          round(asNull(var_samp(col("c_acctbal"))), 2).as("var_bal"),
+          round(asNull(corr(col("c_acctbal"), col("c_nationkey").cast("double"))), 4)
             .as("corr_bal_nation"))
         .orderBy("c_mktsegment")
     }),
@@ -55,9 +61,15 @@ object Relational2 {
 
     // Array explode / unnest with ordinality.
     "q27_explode_unnest" -> ((s, dir) => {
+      // the when-guard keeps sequence() off an empty embedding: Spark's
+      // sequence(1, 0) DESCENDS to [1, 0] and pos 0 is an ANSI
+      // element_at error — an empty vector contributes no rows instead
+      // (the oracle's range(1, len+1) is empty likewise; r10 review)
       Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(1), size(col("embedding")))).as("pos"))
+          explode(when(size(col("embedding")) > 0,
+            sequence(lit(1), size(col("embedding"))))
+            .otherwise(array().cast("array<int>"))).as("pos"))
         .select(col("vec_id"), col("pos"),
           element_at(col("embedding"), col("pos")).cast("double").as("val"))
         .orderBy("vec_id", "pos")
@@ -76,6 +88,11 @@ object Relational2 {
     "q29_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val withGap = Tables(s, dir, "events")
+        // null event times sort FIRST under Spark's window ORDER BY but
+        // LAST under DuckDB's, forking session assignment — and an
+        // unstamped event belongs to no session anyway (the ts03/ts04/
+        // ts05 convention)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("prev_ts", lag("ts", 1).over(byUser))
         .withColumn("new_session",
@@ -133,8 +150,10 @@ object Relational2 {
 
     "q27_explode_unnest" ->
       """SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
-        |FROM embeddings CROSS JOIN range(1, 65) t(i)
-        |WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin,
+        |FROM (SELECT vec_id, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings WHERE vec_id < 5)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q28_pivot" ->
       """SELECT o_orderpriority,
@@ -147,7 +166,7 @@ object Relational2 {
       """WITH g AS (
         | SELECT user_id, event_id, ts, value,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events),
+        | FROM events WHERE ts IS NOT NULL),
         |f AS (
         | SELECT *, CASE WHEN prev_ts IS NULL THEN 1
         |   WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session

@@ -80,6 +80,11 @@ object Relational3 {
     // overlapping windows; batch twin of the streaming windowed agg.
     "q36_sliding_windows" -> ((s, dir) => {
       Tables(s, dir, "events")
+        // Spark's window() silently DROPS null-ts rows (the TimeWindowing
+        // rule's predicate is null) while the oracle's bucket arithmetic
+        // would group them under a NULL window — filter explicitly on
+        // both sides so the semantics are declared, not incidental
+        .filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
@@ -176,7 +181,8 @@ object Relational3 {
         |FROM (
         | SELECT time_bucket(INTERVAL '15 minutes', ts)
         |   - k * (INTERVAL '15 minutes') AS ws, value
-        | FROM events CROSS JOIN range(0, 4) t(k))
+        | FROM events CROSS JOIN range(0, 4) t(k)
+        | WHERE ts IS NOT NULL)
         |GROUP BY ws ORDER BY window_start""".stripMargin,
 
     "q38_column_profile" -> {

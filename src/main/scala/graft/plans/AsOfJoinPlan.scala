@@ -105,8 +105,15 @@ case class AsOfJoinExec(
       val keyOrd = InterpretedOrdering.forSchema(types.take(nKeys))
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
+      // project the joined output to UnsafeRow (SortMergeJoinExec's
+      // resultProj contract): parents like shuffle, sort, cache and the
+      // collect path's getByteArrayRdd CAST rows to UnsafeRow, and a raw
+      // JoinedRow there is a ClassCastException. Every in-repo caller
+      // happened to put a codegen'd select above the exec, masking it
+      // (r10 review).
+      val resultProj = UnsafeProjection.create(output, output)
 
-      new Iterator[InternalRow] {
+      val joined = new Iterator[InternalRow] {
         private var rHead: InternalRow = _      // fetched, not yet consumed
         private var rHeadKey: UnsafeRow = _
         private var lastMatch: InternalRow = _  // latest right row consumed
@@ -150,6 +157,7 @@ case class AsOfJoinExec(
           }
         }
       }
+      joined.map(resultProj)
     }
   }
 }

@@ -36,6 +36,19 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> None))
   }
 
+  test("raw exec output survives UnsafeRow-requiring parents (no select above)") {
+    // collect() straight off the exec (getByteArrayRdd casts each row to
+    // UnsafeRow), and a sort DIRECTLY above it (UnsafeExternalRowSorter) —
+    // both died with ClassCastException before the resultProj (r10 review)
+    val df = AsOfJoinPlan.asOfJoin(leftDf, rightDf,
+      Seq("k"), Seq("rk"), "ts", "rts")
+    val raw = df.collect()
+    assert(raw.length === 4)
+    val sorted = df.orderBy("payload").collect()
+    assert(sorted.length === 4)
+    assert(df.groupBy("k").count().count() === 3)
+  }
+
   test("plan uses AsOfJoinExec with requirements satisfied by the planner") {
     val df = AsOfJoinPlan.asOfJoin(leftDf, rightDf,
       Seq("k"), Seq("rk"), "ts", "rts")
