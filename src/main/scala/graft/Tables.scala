@@ -31,11 +31,23 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     normalizeEvents(rawEvents(spark, sfDir))
 
-  /** Raw events read; ts may surface as LONG nanos (legacy mode). */
+  /** Raw events read; ts may surface as LONG nanos (legacy mode). The
+    * legacy conf is SCOPED to this read — the schema is resolved eagerly
+    * inside `spark.read.parquet`, so restoring the prior value afterwards
+    * keeps nanos-as-long semantics from leaking to every later parquet
+    * read in the caller's session (r10 review; the CorpusStream
+    * convention).
+    */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }
+    try {
+      try spark.conf.set(key, "true") catch { case _: Throwable => () }
+      spark.read.parquet(s"$sfDir/events.parquet")
+    } finally {
+      try prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Normalize a raw events frame: LONG-nanos or TIMESTAMP_NTZ ts → µs

@@ -12,6 +12,14 @@ object Verify {
     // always calls with two args — full surface.
     val only = if (args.length > 2)
       Some(args(2).split(",").map(_.trim).toSet) else None
+    // a typo'd name must fail LOUDLY: a silently-empty selection writes
+    // oracle_sql.json = {} with exit 0 and the compare reports a
+    // vacuously clean round (r10 review)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected[T](m: Map[String, T]): Map[String, T] = only match {
       case Some(names) => m.filter(kv => names(kv._1))
       case None => m

@@ -56,6 +56,10 @@ object Compaction {
     // parquet row count comes from footer metadata — no data scan
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    // repartition takes an Int: past this the .toInt below would wrap
+    // NEGATIVE and crash after the count already ran (r10 review)
+    require(nFiles <= Int.MaxValue,
+      s"compaction would need $nFiles files; raise targetRowsPerFile")
     val shaped =
       if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles.toInt, clusterBy.map(col): _*)

@@ -19,6 +19,14 @@ object Skew {
       probeKey: String, buildKey: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // the build side is REPLICATED per salt, so any join type that emits
+    // unmatched BUILD rows (right/full outer) would emit them `salts`
+    // times — breaking the documented same-multiset contract. Refuse
+    // loudly; only probe-side-preserving types are salt-safe.
+    val jt = org.apache.spark.sql.catalyst.plans.JoinType(joinType).toString
+    require(Set("Inner", "LeftOuter", "LeftSemi", "LeftAnti", "Cross")(jt),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti/cross; " +
+        s"$joinType would duplicate unmatched build rows $salts times")
     val saltCol: Column =
       pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(salts))
     val p = probe.withColumn("__salt", saltCol.cast("int"))

@@ -33,6 +33,9 @@ object RfbTables {
     val base = java.nio.file.Paths.get(fileName).getFileName.toString
       .replace("__corrigido", "")
     val parts = base.split('.')
+    // an all-dots name splits to ZERO tokens — unroutable, not an
+    // ArrayIndexOutOfBounds (r10 review)
+    if (parts.isEmpty) return None
     val id = (if (parts.length > 1) parts.last else parts(0)).toUpperCase
     routing.get(id)
   }

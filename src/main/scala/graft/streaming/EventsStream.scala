@@ -190,7 +190,13 @@ object EventsStream {
     // the oracle states both contracts against the same batch sessions.
     "st13_session_window" -> ((s, dir) => {
       runAppendStream(s, dir, "st13_mem") { df =>
-        df.withWatermark("ts", "10 minutes")
+        // second-truncated like Sessionize (the batch twin's
+        // unix_timestamp arithmetic; session_window MERGES at the exact
+        // 1800 s boundary just like the oracle's `diff > 1800` — probed,
+        // not assumed) and null-ts dropped per the q29 convention
+        df.filter(col("ts").isNotNull)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .withWatermark("ts", "10 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(12,2)")).cast("double")
@@ -519,9 +525,12 @@ object EventsStream {
     * close predicate applies, so those are the parameters.
     */
   private def sessionOracleSql(enExpr: String, closePred: String): String =
-    s"""WITH g AS (SELECT user_id, event_id, ts, value,
+    s"""WITH e AS (SELECT user_id, event_id,
+       |  date_trunc('second', ts) AS ts, value
+       |  FROM events WHERE ts IS NOT NULL),
+       | g AS (SELECT user_id, event_id, ts, value,
        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-       | FROM events),
+       | FROM e),
        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
        |  WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
        |    AS new_session FROM g),
@@ -532,7 +541,7 @@ object EventsStream {
        |  MIN(ts) AS st, $enExpr AS en,
        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
        | FROM sid GROUP BY user_id, session_id),
-       |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+       |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
        | n_events, session_value

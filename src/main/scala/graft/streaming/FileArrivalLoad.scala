@@ -26,11 +26,17 @@ import graft.pipeline.RfbTables
   */
 object FileArrivalLoad {
 
-  /** In-query filename → table routing column ([[RfbTables.routing]]). */
+  /** In-query filename → table routing column ([[RfbTables.routing]]).
+    * The suffix regex takes the last NON-EMPTY dot token (trailing dots
+    * ignored) — exactly what the batch twin's `split('.')` does, which
+    * drops trailing empty tokens; the old `([^.]*)$` matched the empty
+    * string after a trailing dot and silently dropped a file the batch
+    * path routes (r10 review).
+    */
   def tableFor(fileName: Column): Column = {
     val base = regexp_replace(
       regexp_extract(fileName, "[^/]+$", 0), "__corrigido", "")
-    val suffix = upper(regexp_extract(base, "([^.]*)$", 1))
+    val suffix = upper(regexp_extract(base, "([^.]+)\\.*$", 1))
     RfbTables.routing.foldLeft(lit(null).cast("string")) {
       case (acc, (suf, table)) => when(suffix === suf, lit(table)).otherwise(acc)
     }

@@ -29,6 +29,20 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join refuses join types that duplicate unmatched build rows") {
+    import spark.implicits._
+    val probe = Seq((1L, "a")).toDF("k", "v")
+    val build = Seq((1L, "x"), (2L, "unmatched")).toDF("bk", "bv")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(probe, build, "k", "bk", salts = 8,
+        joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("duplicate unmatched build rows"))
+    // the allowed left-preserving types still work
+    assert(Skew.saltedJoin(probe, build, "k", "bk", salts = 8,
+      joinType = "left_anti").count() === 0L)
+  }
+
   test("salted join key includes the salt (spreads a hot key)") {
     import spark.implicits._
     // a pathologically hot key: 1000 probe rows, one build row

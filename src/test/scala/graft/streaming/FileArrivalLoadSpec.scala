@@ -50,7 +50,11 @@ class FileArrivalLoadSpec extends AnyFunSuite {
     import spark.implicits._
     val names = Seq(
       "/x/K1.D509__corrigido.CNAECSV", "/x/K2.EMPRECSV",
-      "/x/K3.D509__corrigido.ESTABELE", "/x/SIMPLES", "/x/weird.UNKNOWN")
+      "/x/K3.D509__corrigido.ESTABELE", "/x/SIMPLES", "/x/weird.UNKNOWN",
+      // trailing-dot and all-dots forms: split('.') drops trailing empty
+      // tokens, so "X." routes like dotless "X" — the stream regex must
+      // agree, and "..." is unroutable on both, not a crash (r10 review)
+      "/x/EMPRECSV.", "/x/K4.SOCIOCSV..", "/x/...")
     val got = names.toDF("f")
       .select(FileArrivalLoad.tableFor($"f").as("t"))
       .as[Option[String]].collect().toSeq

@@ -80,24 +80,74 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event within the watermark extends the session START backward") {
+    // the old merge kept start frozen at the first-seen event, so a
+    // late-but-admitted earlier event produced a session starting AFTER
+    // one of its own events — diverging from the batch sort (r10 review)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Sessionize.sessionize(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      ms.addData(Event(1L, t("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable() // watermark 11:50
+      ms.addData(Event(1L, t("2024-01-01 11:55:00"), 2.0)) // late, admitted
+      q.processAllAvailable()
+      ms.addData(Event(99L, t("2024-01-01 15:00:00"), 0.0)) // close all
+      q.processAllAvailable()
+      val got = spark.table("sess_late").as[Sessionize.Session]
+        .collect().filter(_.user_id == 1L)
+        .map(s => (s.session_start.toString, s.session_end.toString,
+          s.n_events, s.session_value))
+      assert(got.toSeq ===
+        Seq(("2024-01-01 11:55:00.0", "2024-01-01 12:00:00.0", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session_value rounds per event like SUM(CAST(value AS DECIMAL(12,2)))") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Sessionize.sessionize(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_round").start()
+    try {
+      // 0.125 -> 0.13 (HALF_UP per event); 0.004+0.004 -> 0.00+0.00, not
+      // rint(0.8)/100 = 0.01 (the old accumulate-then-round-half-even)
+      ms.addData(Event(1L, t("2024-01-01 10:00:00"), 0.125),
+        Event(2L, t("2024-01-01 10:00:00"), 0.004),
+        Event(2L, t("2024-01-01 10:00:01"), 0.004))
+      q.processAllAvailable()
+      ms.addData(Event(99L, t("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_round").as[Sessionize.Session]
+        .collect().map(s => s.user_id -> s.session_value).toMap
+      assert(got(1L) === 0.13 && got(2L) === 0.0)
+    } finally q.stop()
+  }
+
   test("st07 emits exactly the batch q29 sessions the final watermark closed") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
     val streamed = EventsStream.queries("st07_stream_sessionize")(spark, sf)
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
       .toSet
     val batch = graft.operators.Relational2
       .queries("q29_sessionize")(spark, sf)
       .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"))
+        col("n_events"), col("session_value"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
       .toSet
     // the watermark the stream ends with: max event time − 10 min delay
     val maxTs = graft.Tables(spark, sf, "events")
       .agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
-    val closed = batch.filter { case (_, _, end, _) =>
+    val closed = batch.filter { case (_, _, end, _, _) =>
       java.sql.Timestamp.valueOf(end).getTime / 1000 + 1800 < maxTs - 600
     }
     assert(streamed == closed,
