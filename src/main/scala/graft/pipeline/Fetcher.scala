@@ -41,11 +41,48 @@ final class HttpFetcher(timeout: Duration = Duration.ofSeconds(60))
     val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).build()
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
     val rsp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
-    if (rsp.statusCode() / 100 != 2)
+    if (rsp.statusCode() / 100 != 2) {
+      // the body stream is already open on a non-2xx — close it or the
+      // connection leaks once per retry attempt (r10 review)
+      try rsp.body().close() catch { case _: java.io.IOException => () }
       throw new java.io.IOException(s"HTTP ${rsp.statusCode()} for $url")
+    }
     val in = rsp.body()
-    try Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    // HttpRequest.timeout only bounds time-to-HEADERS; the body read has
+    // no timeout of its own, so a server that stalls mid-body would hang
+    // the download thread forever (the reference's requests timeout=60
+    // applies per socket READ — main.py:87). A watchdog closes the stream
+    // when no bytes arrive for `timeout`, which surfaces as an
+    // IOException out of Files.copy and feeds the normal retry path.
+    val lastRead = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val guarded = new java.io.FilterInputStream(in) {
+      override def read(): Int =
+        { val n = super.read(); lastRead.set(System.nanoTime()); n }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        { val n = super.read(b, off, len); lastRead.set(System.nanoTime()); n }
+    }
+    val watchdog = new Thread({ () =>
+      try {
+        var stop = false
+        while (!stop && !done.get()) {
+          val idleMs = (System.nanoTime() - lastRead.get()) / 1000000L
+          if (idleMs > timeout.toMillis) {
+            try in.close() catch { case _: java.io.IOException => () }
+            stop = true
+          } else Thread.sleep(math.max(50L, timeout.toMillis - idleMs))
+        }
+      } catch { case _: InterruptedException => () }
+    }: Runnable)
+    watchdog.setDaemon(true)
+    watchdog.start()
+    try Files.copy(guarded, dest, StandardCopyOption.REPLACE_EXISTING)
+    finally {
+      done.set(true)
+      watchdog.interrupt()
+      try in.close() catch { case _: java.io.IOException => () }
+    }
+    ()
   }
 }
 

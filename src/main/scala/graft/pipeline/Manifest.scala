@@ -49,32 +49,18 @@ object Manifest {
   def exists(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path))
 
+  // Jackson (Spark's own bundled copy + scala module) instead of the old
+  // hand-rolled field-by-field writer: that one had to be kept in lockstep
+  // with ManifestEntry by hand, and a field added to the case class but
+  // not to save() silently vanished on the round-trip (r10 review)
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
   def save(path: String, entries: Seq[ManifestEntry]): Unit = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    def arr(xs: Seq[String]): String = xs.map(q).mkString("[", ",", "]")
-    val lines = entries.map { e =>
-      s"""{"arquivo":${q(e.arquivo)},"url":${q(e.url)}""" +
-        s""","statusDownload":${q(e.statusDownload)}""" +
-        s""","statusExtracao":${q(e.statusExtracao)}""" +
-        s""","statusCorrecao":${q(e.statusCorrecao)}""" +
-        s""","statusCarga":${q(e.statusCarga)}""" +
-        s""","tentativasDownload":${e.tentativasDownload}""" +
-        s""","caminhoZip":${q(e.caminhoZip)}""" +
-        s""","arquivosExtraidos":${arr(e.arquivosExtraidos)}""" +
-        s""","arquivosCorrigidos":${arr(e.arquivosCorrigidos)}""" +
-        s""","tabelasDestino":${arr(e.tabelasDestino)}""" +
-        s""","linhasOriginais":${e.linhasOriginais}""" +
-        s""","linhasCorrigidas":${e.linhasCorrigidas}""" +
-        s""","registrosCarregados":${e.registrosCarregados}}"""
-    }
+    val lines = entries.map(mapper.writeValueAsString)
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     val tmp = java.nio.file.Paths.get(path + ".tmp")
@@ -88,7 +74,14 @@ object Manifest {
   def load(spark: SparkSession, path: String): Seq[ManifestEntry] = {
     import spark.implicits._
     if (!exists(path)) Seq.empty
-    else spark.read.schema(schema).json(path).as[ManifestEntry].collect().toSeq
+    // pin the file:// scheme: save/exists are driver-local java.nio, but a
+    // schemeless path here would resolve against fs.defaultFS — on an HDFS
+    // cluster exists() says true and the read then misses the file,
+    // breaking exactly the crash-resume this manifest exists for (r10
+    // review)
+    else spark.read.schema(schema)
+      .json(java.nio.file.Paths.get(path).toAbsolutePath.toUri.toString)
+      .as[ManifestEntry].collect().toSeq
   }
 
   def toDataset(spark: SparkSession, entries: Seq[ManifestEntry])

@@ -22,6 +22,14 @@ trait Reporter {
     * INTERROMPIDO" branch, `main.py:281-282`).
     */
   def interrupted(listingUrl: String): Unit
+
+  /** The run DIED — an exception escaped the phases (listing re-fetch,
+    * a Spark job failure, a rethrown worker cause). Without this hook the
+    * hardest failures were exactly the ones that never alerted (r10
+    * review); default keeps existing implementors source-compatible.
+    */
+  def failed(listingUrl: String, error: Throwable): Unit =
+    println(s"\n--- PROCESSO FALHOU: ${error.toString} ---")
 }
 
 /** Default reporter: the reference's stdout report, verbatim. */

@@ -33,8 +33,12 @@ object RfbMain {
         .map(workDir.resolve)
         .filter(Files.exists(_))
         .foreach { dir =>
-          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          // Files.walk holds directory handles until closed (its javadoc
+          // mandates try-with-resources)
+          val s = Files.walk(dir)
+          try s.sorted(Comparator.reverseOrder[Path]())
             .forEach(p => Files.delete(p))
+          finally s.close()
         }
       true
     }
@@ -77,10 +81,17 @@ object RfbMain {
       Period.refMonth(year, month), fetcher, backoffMs = 5000L,
       strictAudits = strictAudits, sink0 = sink0)
     cleanWorkspace(workDir, pipe.manifestPath)
-    val entries = pipe.run(listingUrl)
-    val report = pipe.report(entries)
-    reporter.completed(report)
-    Some(report)
+    try {
+      val entries = pipe.run(listingUrl)
+      val report = pipe.report(entries)
+      reporter.completed(report)
+      Some(report)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // exactly one Reporter hook per run — a crash must alert too
+        reporter.failed(listingUrl, e)
+        throw e
+    }
   }
 
   /** Mirror of `relatorio_final` (`main.py:222-237`). */

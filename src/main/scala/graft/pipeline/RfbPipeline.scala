@@ -84,7 +84,14 @@ class RfbPipeline(
     */
   @volatile var lastAudits: Map[String, Audits.AuditResult] = Map.empty
 
-  val manifestPath: String = workDir.resolve("manifesto.json").toString
+  // namespaced BY PERIOD: with one shared manifesto.json, a new month's
+  // run against the same workDir found the previous month's completed
+  // manifest, skipped the workspace wipe, saw every status sucesso, did
+  // zero work and reported last month's success as this month's (r10
+  // review). One manifest per refMonth makes "resume" mean resume THIS
+  // period.
+  val manifestPath: String =
+    workDir.resolve(s"manifesto_$refMonth.json").toString
   private val downloadDir = workDir.resolve("downloads")
   private val extractDir = workDir.resolve("extracted")
   private val fixedDir = workDir.resolve("fixed")

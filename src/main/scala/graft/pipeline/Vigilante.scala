@@ -52,8 +52,13 @@ class Vigilante(
     while (polls < maxPolls) {
       polls += 1
       val zips =
+        // only I/O failures mean "not published yet": the old blanket
+        // Exception catch swallowed InterruptedException (turning a
+        // shutdown request into another 24 h sleep) and converted
+        // permanent config errors (malformed baseUrl) into a silent
+        // poll-budget burn (r10 review)
         try RfbPipeline.parseListing(fetcher.fetchText(listingUrl))
-        catch { case _: Exception => Seq.empty }
+        catch { case _: java.io.IOException => Seq.empty }
       if (zips.nonEmpty) return Some(zips)
       if (polls < maxPolls) sleeper(pollIntervalMs)
     }

@@ -81,10 +81,13 @@ class RfbMainSpec extends AnyFunSuite {
   private class RecordingReporter extends Reporter {
     var completedWith: Option[PipelineReport] = None
     var interruptedWith: Option[String] = None
+    var failedWith: Option[Throwable] = None
     override def completed(report: PipelineReport): Unit =
       completedWith = Some(report)
     override def interrupted(listingUrl: String): Unit =
       interruptedWith = Some(listingUrl)
+    override def failed(listingUrl: String, error: Throwable): Unit =
+      failedWith = Some(error)
   }
 
   test("reporter hook fires with the final report on completion") {
@@ -123,6 +126,56 @@ class RfbMainSpec extends AnyFunSuite {
       work.resolve("manifesto.json").toString)
     assert(wiped)
     assert(!Files.exists(stale))
+  }
+
+  test("reporter hook fires when the run DIES (exactly one hook per run)") {
+    // the publication poll succeeds, then the pipeline's own listing
+    // re-fetch explodes: the crash must reach the Reporter (the old code
+    // alerted on success and on no-publication, but never on the hardest
+    // failures — r10 review)
+    val src = Files.createTempDirectory("rfb-src")
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    writeListing(src, Seq("Paises.zip"))
+    val flaky = new Fetcher {
+      private var calls = 0
+      private val inner = new LocalFetcher(src)
+      override def fetchText(url: String): String = {
+        calls += 1
+        if (calls > 1) throw new RuntimeException("listing vanished")
+        inner.fetchText(url)
+      }
+      override def fetchFile(url: String, dest: Path): Unit =
+        inner.fetchFile(url, dest)
+    }
+    val rep = new RecordingReporter
+    val e = intercept[RuntimeException] {
+      RfbMain.run(spark, 2026, 6, "http://rfb/", root, work, flaky,
+        reporter = rep)
+    }
+    assert(rep.failedWith.contains(e))
+    assert(rep.completedWith.isEmpty && rep.interruptedWith.isEmpty)
+  }
+
+  test("a NEW period never resumes the previous period's manifest") {
+    // one shared manifesto.json made month N+1 find month N's completed
+    // manifest, skip the wipe, see every status sucesso and do ZERO work
+    // while reporting success (r10 review); per-period names fix it
+    val src = Files.createTempDirectory("rfb-src")
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-work")
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    writeListing(src, Seq("Paises.zip"))
+    val first = RfbMain.run(spark, 2026, 7, "http://rfb/", root, work,
+      new LocalFetcher(src)).get
+    assert(first.sucesso === 1)
+    // same workDir, next month: must do its own full load, not no-op
+    val second = RfbMain.run(spark, 2026, 8, "http://rfb/", root, work,
+      new LocalFetcher(src)).get
+    assert(second.sucesso === 1)
+    val dest = RfbMain.destDir(root, 2026, 8)
+    assert(spark.read.parquet(s"$dest/rfb_paises").count() === 1L)
   }
 
   test("resumable period (manifest exists) keeps partial downloads") {
