@@ -50,6 +50,11 @@ object EventAnalytics {
     // join-back attaches a weeks-cardinality aggregate (broadcast).
     "ev02_cohort_retention" -> ((s, dir) => {
       val act = events(s, dir)
+        // a null event time would give BOTH engines a NULL week_offset
+        // row that Spark's final sort places first and DuckDB's last —
+        // drop it on both sides (the ts03/q29 convention); an unstamped
+        // event evidences no week of activity anyway
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
         .distinct()
       val first = act.groupBy("user_id").agg(min(col("aw")).as("cohort"))
@@ -75,12 +80,6 @@ object EventAnalytics {
         .select(col("user_id"), col("event_type"), col("ts"),
           col("event_id")))),
 
-    // Path mining: the top-10 opening 3-event paths (first three events
-    // per user, ts then event_id order). The rn ≤ 3 filter on row_number
-    // is the WindowGroupLimit shape — Spark pushes a map-side per-key
-    // top-3 below the shuffle, so the window never sorts a full user
-    // history; the path pivot is a per-user aggregation and the final
-    // top-10 cut is TakeOrdered (bounded heap per partition).
     // Conversion-lag distribution: seconds from first view to the
     // ordered-funnel purchase (ev01's chain), summarized as exact
     // percentiles. The percentile input is PRE-AGGREGATED to (lag, freq)
@@ -92,9 +91,13 @@ object EventAnalytics {
     // exact integer second count in both engines (floor-epoch
     // difference == boundary-crossing count for positive timestamps).
     "ev05_conversion_lag" -> ((s, dir) => {
-      val lags = funnelTimes(events(s, dir)
+      // only the v and p stage tables: the old path paid funnelTimes'
+      // full kernel — the distinct-users base scan over ALL events plus
+      // three left joins — and then threw away everything but converted
+      // users; p already implies the whole chain (r10 review)
+      val (v, _, p) = funnelStageTimes(events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts")))
-        .filter(col("pts").isNotNull)
+      val lags = p.join(v, "user_id")
         .select((col("pts").cast("long") - col("vts").cast("long"))
           .as("lag_s"))
       lags.groupBy("lag_s").agg(count(lit(1)).as("f"))
@@ -109,9 +112,18 @@ object EventAnalytics {
           max(col("lag_s")).as("max_s"))
     }),
 
+    // Path mining: the top-10 opening 3-event paths (first three events
+    // per user, ts then event_id order). The rn ≤ 3 filter on row_number
+    // is the WindowGroupLimit shape — Spark pushes a map-side per-key
+    // top-3 below the shuffle, so the window never sorts a full user
+    // history; the path pivot is a per-user aggregation and the final
+    // top-10 cut is TakeOrdered (bounded heap per partition). Null event
+    // times are dropped: they'd open every affected user's path in Spark
+    // (nulls-first window order) but close it in DuckDB.
     "ev04_top_paths" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val r = events(s, dir)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -133,7 +145,17 @@ object EventAnalytics {
     * ev05 (conversion-lag distribution); exposed for planted-fixture
     * specs.
     */
-  private[operators] def funnelTimes(ev: DataFrame): DataFrame = {
+  /** The three chained stage tables (v, c, p) — each one (user_id,
+    * min-ts) and only ever shrinking. ev05 consumes just v and p; ev01
+    * left-joins all three onto the user base via [[funnelTimes]]. The
+    * null-user filter mirrors the oracle's COUNT(DISTINCT user_id) base,
+    * which excludes NULL — without it the engine's base counted one
+    * phantom user and every stage's conv_ppm skewed (r10 review; st16's
+    * mergeLatest pins the same null-user contract).
+    */
+  private[operators] def funnelStageTimes(ev0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ev = ev0.filter(col("user_id").isNotNull)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("vts"))
     val c = ev.filter(col("event_type") === "click")
@@ -142,7 +164,13 @@ object EventAnalytics {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("ts") > col("cts"))
       .groupBy("user_id").agg(min(col("ts")).as("pts"))
-    ev.select(col("user_id")).distinct()
+    (v, c, p)
+  }
+
+  private[operators] def funnelTimes(ev: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStageTimes(ev)
+    ev.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
       .join(v, Seq("user_id"), "left")
       .join(c, Seq("user_id"), "left")
       .join(p, Seq("user_id"), "left")
@@ -172,7 +200,11 @@ object EventAnalytics {
     */
   private[operators] def transitionMatrix(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tr = ev.select(col("user_id"), col("event_type").as("from_ev"),
+    // null-ts drop: Spark's window order puts a null-ts event FIRST in
+    // the user's sequence, DuckDB's LAST — different (from, to) pairs
+    // (the q29/ev04 convention)
+    val tr = ev.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_ev"),
         col("ts"), col("event_id"))
       .withColumn("to_ev", lead(col("from_ev"), 1).over(w))
       .filter(col("to_ev").isNotNull)
@@ -184,17 +216,29 @@ object EventAnalytics {
       .orderBy("from_ev", "to_ev")
   }
 
+  /** ONE funnel CTE chain (v → c → p) for ev01 and ev05 — previously
+    * copy-pasted verbatim into both oracles, the twin-drift smell the
+    * shared sessionOracleSql builder exists to prevent (r10 review). The
+    * null-user filter on v mirrors the engines' base contract
+    * (COUNT(DISTINCT user_id) excludes NULL): without it the oracle's
+    * per-stage COUNT(*) would count a phantom null-user group the engine
+    * filters.
+    */
+  private val funnelCteSql: String =
+    """v AS (SELECT user_id, MIN(ts) AS vts FROM events
+      |   WHERE event_type = 'view' AND user_id IS NOT NULL
+      |   GROUP BY user_id),
+      | c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
+      |   JOIN v ON e.user_id = v.user_id
+      |   WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+      | p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e
+      |   JOIN c ON e.user_id = c.user_id
+      |   WHERE e.event_type = 'purchase' AND e.ts > c.cts
+      |   GROUP BY e.user_id)""".stripMargin
+
   val oracle: Map[String, String] = ListMap(
     "ev01_funnel" ->
-      """WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
-        |   WHERE event_type = 'view' GROUP BY user_id),
-        | c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
-        |   JOIN v ON e.user_id = v.user_id
-        |   WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
-        | p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e
-        |   JOIN c ON e.user_id = c.user_id
-        |   WHERE e.event_type = 'purchase' AND e.ts > c.cts
-        |   GROUP BY e.user_id),
+      s"""WITH $funnelCteSql,
         | a AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS base_n
         |   FROM events),
         | st AS (
@@ -211,7 +255,7 @@ object EventAnalytics {
 
     "ev02_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
-        |   FROM events),
+        |   FROM events WHERE ts IS NOT NULL),
         | f AS (SELECT user_id, MIN(aw) AS cohort FROM act GROUP BY user_id),
         | sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
         |   FROM f GROUP BY cohort),
@@ -230,7 +274,7 @@ object EventAnalytics {
       """WITH tr AS (SELECT event_type AS from_ev,
         |   LEAD(event_type) OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS to_ev
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         | c AS (SELECT from_ev, to_ev, CAST(COUNT(*) AS BIGINT) AS n
         |   FROM tr WHERE to_ev IS NOT NULL GROUP BY from_ev, to_ev),
         | t AS (SELECT from_ev, CAST(SUM(n) AS BIGINT) AS total
@@ -241,15 +285,7 @@ object EventAnalytics {
         |ORDER BY c.from_ev, c.to_ev""".stripMargin,
 
     "ev05_conversion_lag" ->
-      """WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
-        |   WHERE event_type = 'view' GROUP BY user_id),
-        | c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
-        |   JOIN v ON e.user_id = v.user_id
-        |   WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
-        | p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e
-        |   JOIN c ON e.user_id = c.user_id
-        |   WHERE e.event_type = 'purchase' AND e.ts > c.cts
-        |   GROUP BY e.user_id),
+      s"""WITH $funnelCteSql,
         | lag AS (SELECT date_diff('second', v.vts, p.pts) AS lag_s
         |   FROM p JOIN v ON p.user_id = v.user_id)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
@@ -263,7 +299,7 @@ object EventAnalytics {
       """WITH r AS (SELECT user_id, event_type,
         |   ROW_NUMBER() OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS rn
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         | p AS (SELECT user_id,
         |   MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
         |   MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,

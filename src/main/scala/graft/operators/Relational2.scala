@@ -90,9 +90,10 @@ object Relational2 {
       val withGap = Tables(s, dir, "events")
         // null event times sort FIRST under Spark's window ORDER BY but
         // LAST under DuckDB's, forking session assignment — and an
-        // unstamped event belongs to no session anyway (the ts03/ts04/
-        // ts05 convention)
-        .filter(col("ts").isNotNull)
+        // unstamped event belongs to no session, nor a userless event to
+        // any per-user session (the ts03/ts04/ts05 + st07 convention;
+        // null user_id GROUPS sort at opposite ends of the dump too)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("prev_ts", lag("ts", 1).over(byUser))
         .withColumn("new_session",
@@ -166,7 +167,7 @@ object Relational2 {
       """WITH g AS (
         | SELECT user_id, event_id, ts, value,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events WHERE ts IS NOT NULL),
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |f AS (
         | SELECT *, CASE WHEN prev_ts IS NULL THEN 1
         |   WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session

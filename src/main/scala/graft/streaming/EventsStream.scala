@@ -29,7 +29,11 @@ object EventsStream {
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def hourlyAgg(df: DataFrame): DataFrame =
-    df.withWatermark("ts", "10 minutes")
+    // explicit, not incidental: Spark's window() silently drops null-ts
+    // rows, while the oracle's GROUP BY date_trunc would keep a NULL
+    // bucket the stream never emits (the q36 convention; r10 review)
+    df.filter(col("ts").isNotNull)
+      .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
@@ -193,8 +197,9 @@ object EventsStream {
         // second-truncated like Sessionize (the batch twin's
         // unix_timestamp arithmetic; session_window MERGES at the exact
         // 1800 s boundary just like the oracle's `diff > 1800` — probed,
-        // not assumed) and null-ts dropped per the q29 convention
-        df.filter(col("ts").isNotNull)
+        // not assumed); null ts and null users dropped per the session
+        // convention
+        df.filter(col("ts").isNotNull && col("user_id").isNotNull)
           .withColumn("ts", date_trunc("second", col("ts")))
           .withWatermark("ts", "10 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -473,7 +478,8 @@ object EventsStream {
     */
   val slidingQuery: Q = (s, dir) => {
     runCompleteStream(s, dir, "st02_mem") { df =>
-      df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      df.filter(col("ts").isNotNull) // declared, like hourlyAgg/q36
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
     }
@@ -527,7 +533,7 @@ object EventsStream {
   private def sessionOracleSql(enExpr: String, closePred: String): String =
     s"""WITH e AS (SELECT user_id, event_id,
        |  date_trunc('second', ts) AS ts, value
-       |  FROM events WHERE ts IS NOT NULL),
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
        | g AS (SELECT user_id, event_id, ts, value,
        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
        | FROM e),
@@ -554,7 +560,8 @@ object EventsStream {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Streaming sliding windows == the batch sliding-window oracle.
     "st02_stream_sliding" ->
@@ -564,7 +571,8 @@ object EventsStream {
         |FROM (
         | SELECT time_bucket(INTERVAL '15 minutes', ts)
         |   - k * (INTERVAL '15 minutes') AS ws, value
-        | FROM events CROSS JOIN range(0, 4) t(k))
+        | FROM events CROSS JOIN range(0, 4) t(k)
+        | WHERE ts IS NOT NULL)
         |GROUP BY ws ORDER BY window_start""".stripMargin,
 
     // Streaming keyed dedup == batch DISTINCT over the keys.

@@ -55,7 +55,10 @@ object Sessionize {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val longEnc = Encoders.scalaLong
     events.toDF()
-      .filter(col("ts").isNotNull) // the q29/ts03/ts04 convention
+      // the q29/ts03/ts04 convention — and a null user has no session at
+      // all (the non-nullable Event encoder would otherwise ABORT the
+      // whole stream on the first null-user event)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .withColumn("ts", date_trunc("second", col("ts")))
       .as(Encoders.product[Event])
       .withWatermark("ts", "10 minutes")
