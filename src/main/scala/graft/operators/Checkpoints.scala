@@ -28,9 +28,18 @@ private[graft] object Checkpoints {
       case Some(dir) if dir.nonEmpty =>
         // setCheckpointDir mints a UUID subdir under `dir`; only (re)set
         // when the current one isn't already under it, so all rounds of a
-        // session share one subdir instead of minting one per round
-        if (!s.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
-          s.sparkContext.setCheckpointDir(dir)
+        // session share one subdir instead of minting one per round. The
+        // comparison must be against the QUALIFIED form: Spark stores
+        // e.g. 'file:/mnt/ckpt/<uuid>' while the configured value is
+        // '/mnt/ckpt', and a raw prefix test never matched — every
+        // truncate() re-set the dir and minted a fresh subdir per round
+        // (r10 review)
+        val sc = s.sparkContext
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified =
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        if (!sc.getCheckpointDir.exists(_.startsWith(qualified)))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

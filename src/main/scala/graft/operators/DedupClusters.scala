@@ -59,6 +59,13 @@ object DedupClusters {
       nodes: DataFrame, edges: DataFrame,
       scratch: (String, String) = ("cc", java.util.UUID.randomUUID.toString),
       maxIter: Int = 20): DataFrame = {
+    // cache peek FIRST: the key is derivable from (tag, key, inputs)
+    // alone, and every propagation round below is an EAGER job — without
+    // this, dd06/tx16/dd13 each re-ran the whole loop and the cache only
+    // saved the final write (r10 review)
+    val cached = MinHashDedup.cachedScratch(nodes.sparkSession,
+      scratch._1, scratch._2, Seq(nodes, edges))
+    if (cached.isDefined) return cached.get
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .transform(Checkpoints.truncate)
@@ -79,7 +86,14 @@ object DedupClusters {
         .agg(min("lab").as("lab"),
           max(when(col("own"), col("lab"))).as("oldLab"))
         .transform(Checkpoints.truncate) // eager: one job materializes the round
-      changed = agg.filter(col("lab") < col("oldLab")).count() // cheap re-read
+      // a null oldLab is a node REACHED for the first time through an
+      // edge (its id was absent from `nodes`): it must count as changed
+      // or the loop converges one round early and the chain beyond it
+      // never gets labeled — silently incomplete clusters whenever the
+      // node set doesn't cover every edge endpoint (r10 review; with a
+      // covering node set oldLab is never null and nothing changes)
+      changed = agg.filter(col("oldLab").isNull ||
+        col("lab") < col("oldLab")).count() // cheap re-read
       lastCp.foreach(unpersistCheckpoint) // superseded round: free it NOW
       lastCp = Some(agg)
       labels = agg.select(col("id"), col("lab"))

@@ -41,40 +41,18 @@ object GraphOps {
     // Nodes = vectors with at least one near-dup edge; rank_scaled is the
     // fixed-point rank after 5 iterations (uniform 1.0 start).
     "gr01_pagerank" -> ((s, dir) => {
-      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
-        .select(col("id1"), col("id2"))
+      // pairs from the SHARED gr_pairs scratch (gr02/rec01's table): the
+      // LSH candidate join + exact-cosine scoring runs once per session
+      // across all four graph queries instead of once per edge table
+      // (r10 review)
+      val pairs = sharedPairs(s, dir)
       val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       // (src, dst, deg-of-src), materialized once — iterations re-read it
       val edges = MinHashDedup.materialized(
         sym.join(deg, "src"), "gr01_edges", dir)
-      var ranks = edges.select(col("src").as("node")).distinct()
-        .withColumn("r", lit(Scale))
-      var lastCp: Option[DataFrame] = None
-      for (_ <- 1 to Iters) {
-        ranks = edges.join(ranks, edges("src") === ranks("node"))
-          // integer div: exact, order-independent
-          .select(col("dst"), expr("r div deg").as("contrib"))
-          .groupBy("dst")
-          .agg(sum(col("contrib")).as("csum"))
-          .select(col("dst").as("node"),
-            (lit(Base) + expr("(csum * 17) div 20")).as("r"))
-          .transform(Checkpoints.truncate)
-        lastCp.foreach(DedupClusters.unpersistCheckpoint) // superseded round
-        lastCp = Some(ranks)
-      }
-      // final ranks land in a scratch table (lake pattern) so the last
-      // checkpoint's executor storage is released too — the query leaves
-      // zero persisted RDDs behind
-      // fingerprint from the edges scratch: ranks' lineage ends at a
-      // checkpoint (no input files), and the edges path changes whenever
-      // the embeddings content does — so the cache stays content-sensitive
-      val out = MinHashDedup.materialized(
-        ranks.select(col("node"), col("r").as("rank_scaled")),
-        "gr01_ranks", dir, fingerprintOf = Seq(edges))
-      lastCp.foreach(DedupClusters.unpersistCheckpoint)
-      out.orderBy("node")
+      pageRanks(s, dir, edges).orderBy("node")
     }),
 
     // Bounded-hop BFS: hop distance (≤ 8) from the graph's canonical
@@ -85,32 +63,11 @@ object GraphOps {
     // rounds past convergence are idempotent, so fixed-k needs no
     // convergence count. Unreached nodes are excluded (null distance).
     "gr03_bfs_hops" -> ((s, dir) => {
-      val pairs = SimilarityOps.embeddingNearDupPairs(s, dir)
-        .select(col("id1"), col("id2"))
+      val pairs = sharedPairs(s, dir) // see gr01 — one cosine stage
       val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       val edges = MinHashDedup.materialized(sym, "gr03_edges", dir)
-      val srcDf = pairs.agg(min(col("id1")).as("s"))
-      var dist = edges.select(col("src").as("node")).distinct()
-        .crossJoin(broadcast(srcDf))
-        .select(col("node"),
-          when(col("node") === col("s"), 0L).as("h"))
-      var lastCp: Option[DataFrame] = None
-      for (_ <- 1 to MaxHops) {
-        val prop = edges.join(dist, edges("src") === dist("node"))
-          .filter(col("h").isNotNull)
-          .select(col("dst").as("node"), (col("h") + 1).as("h"))
-        dist = dist.union(prop).groupBy("node").agg(min("h").as("h"))
-          .transform(Checkpoints.truncate)
-        lastCp.foreach(DedupClusters.unpersistCheckpoint)
-        lastCp = Some(dist)
-      }
-      val out = MinHashDedup.materialized(
-        dist.filter(col("h").isNotNull)
-          .select(col("node"), col("h").cast("int").as("hops")),
-        "gr03_hops", dir, fingerprintOf = Seq(edges))
-      lastCp.foreach(DedupClusters.unpersistCheckpoint)
-      out.orderBy("node")
+      bfsHops(s, dir, edges, pairs).orderBy("node")
     }),
 
     // Per-node triangle count over the same near-dup graph — the local
@@ -125,9 +82,7 @@ object GraphOps {
       // materialized: the three join branches are independent subtrees —
       // as lineage each would re-run the signature self-join + cosine
       // scoring; from scratch parquet they are three cheap re-reads
-      val pairs = MinHashDedup.materialized(
-        SimilarityOps.embeddingNearDupPairs(s, dir)
-          .select(col("id1"), col("id2")), "gr_pairs", dir)
+      val pairs = sharedPairs(s, dir)
       val e1 = pairs.select(col("id1").as("a"), col("id2").as("b"))
       val e2 = pairs.select(col("id1").as("b"), col("id2").as("c"))
       val e3 = pairs.select(col("id1").as("a"), col("id2").as("c"))
@@ -155,10 +110,83 @@ object GraphOps {
     // is one more pass — un-materialized, the LSH candidate join + cosine
     // scoring would run up to hops+1 times per query
     "rec01_recursive_cte" -> ((s, dir) =>
-      recursiveWalk(s, MinHashDedup.materialized(
-        SimilarityOps.embeddingNearDupPairs(s, dir)
-          .select(col("id1"), col("id2")), "gr_pairs", dir), MaxHops)),
+      recursiveWalk(s, sharedPairs(s, dir), MaxHops)),
   )
+
+  /** The ONE materialized near-dup pair table all four graph queries
+    * build on (gr02/rec01 always used it; gr01/gr03 used to re-run the
+    * LSH candidate join + cosine scoring into their own edge tables).
+    */
+  private def sharedPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.materialized(
+      SimilarityOps.embeddingNearDupPairs(s, dir)
+        .select(col("id1"), col("id2")), "gr_pairs", dir)
+
+  /** gr01's iteration loop behind a scratch-cache PEEK (the rounds are
+    * eager jobs — a cached result must skip them entirely, not just the
+    * final write) and a try/finally that releases the last round's
+    * checkpoint on ANY exit (a failed scratch write used to strand it in
+    * executor storage for the session — r10 review; the
+    * connectedComponents discipline).
+    */
+  private def pageRanks(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
+    val hit = MinHashDedup.cachedScratch(s, "gr01_ranks", dir, Seq(edges))
+    if (hit.isDefined) return hit.get
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(Scale))
+    var lastCp: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to Iters) {
+        ranks = edges.join(ranks, edges("src") === ranks("node"))
+          // integer div: exact, order-independent
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy("dst")
+          .agg(sum(col("contrib")).as("csum"))
+          .select(col("dst").as("node"),
+            (lit(Base) + expr("(csum * 17) div 20")).as("r"))
+          .transform(Checkpoints.truncate)
+        lastCp.foreach(DedupClusters.unpersistCheckpoint) // superseded round
+        lastCp = Some(ranks)
+      }
+      // final ranks land in a scratch table (lake pattern) so the last
+      // checkpoint's executor storage is released too — the query leaves
+      // zero persisted RDDs behind. Fingerprint from the edges scratch:
+      // ranks' lineage ends at a checkpoint (no input files), and the
+      // edges path changes whenever the embeddings content does.
+      MinHashDedup.materialized(
+        ranks.select(col("node"), col("r").as("rank_scaled")),
+        "gr01_ranks", dir, fingerprintOf = Seq(edges))
+    } finally lastCp.foreach(DedupClusters.unpersistCheckpoint)
+  }
+
+  /** gr03's relaxation loop — same peek + finally discipline as gr01. */
+  private def bfsHops(s: SparkSession, dir: String,
+      edges: DataFrame, pairs: DataFrame): DataFrame = {
+    val hit = MinHashDedup.cachedScratch(s, "gr03_hops", dir, Seq(edges))
+    if (hit.isDefined) return hit.get
+    val srcDf = pairs.agg(min(col("id1")).as("s"))
+    var dist = edges.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(srcDf))
+      .select(col("node"),
+        when(col("node") === col("s"), 0L).as("h"))
+    var lastCp: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to MaxHops) {
+        val prop = edges.join(dist, edges("src") === dist("node"))
+          .filter(col("h").isNotNull)
+          .select(col("dst").as("node"), (col("h") + 1).as("h"))
+        dist = dist.union(prop).groupBy("node").agg(min("h").as("h"))
+          .transform(Checkpoints.truncate)
+        lastCp.foreach(DedupClusters.unpersistCheckpoint)
+        lastCp = Some(dist)
+      }
+      MinHashDedup.materialized(
+        dist.filter(col("h").isNotNull)
+          .select(col("node"), col("h").cast("int").as("hops")),
+        "gr03_hops", dir, fingerprintOf = Seq(edges))
+    } finally lastCp.foreach(DedupClusters.unpersistCheckpoint)
+  }
 
   /** Estimated enumerated-path budget for [[recursiveWalk]]: the walk's
     * running UNION ALL set must stay far below shuffle-spill scale, since

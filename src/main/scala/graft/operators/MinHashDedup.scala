@@ -127,6 +127,24 @@ object MinHashDedup {
     snap.toMap
   }
 
+  /** Cache PEEK for iterative operators: the scratch frame the eventual
+    * `materialized(result, tag, cacheKey, fingerprintOf)` call would
+    * serve, for a `result` whose lineage ends at a checkpoint (no input
+    * files — its own fingerprint contribution is the md5-of-nothing
+    * constant). Checked BEFORE the rounds run: the cache used to be
+    * consulted only after the eager propagation loop had already executed
+    * every iteration, so a repeat invocation saved nothing but the final
+    * parquet write (r10 review).
+    */
+  private[operators] def cachedScratch(s: SparkSession, tag: String,
+      cacheKey: String, fingerprintOf: Seq[DataFrame]): Option[DataFrame] = {
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest().map("%02x".format(_)).mkString
+    val fp = (emptyFp +: fingerprintOf.map(inputFingerprint)).mkString("+")
+    Option(scratchCache.get((tag, cacheKey + "#" + fp)))
+      .map(s.read.parquet(_))
+  }
+
   /** Content fingerprint of `df`'s source files: md5 over each file's
     * (path, length, modificationTime), gathered with ONE listStatus per
     * distinct parent directory (the statuses of all part-files in a dir

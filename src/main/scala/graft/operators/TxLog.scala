@@ -146,20 +146,44 @@ object TxLog {
     * present — O(commits since checkpoint), not O(commits).
     */
   def latestVersion(table: String): Option[Long] = {
-    val start = checkpointHint(table) match {
-      case Some(v) => v
-      case None => versions(table).lastOption.getOrElse(0L)
+    def probeFrom(start: Long): Long = {
+      var v = start
+      while (Files.isRegularFile(commitFile(table, v + 1))) v += 1
+      v
     }
-    var v = start
-    while (Files.isRegularFile(commitFile(table, v + 1))) v += 1
+    var v = probeFrom(checkpointHint(table) match {
+      case Some(h) => h
+      case None => versions(table).lastOption.getOrElse(0L)
+    })
+    // re-read the hint after probing: a concurrent cleanupBefore may have
+    // re-anchored the pointer and DELETED the range the probe walked, in
+    // which case the probe stalled below the true head — a stale answer a
+    // subsequent commit would fork the log against (r10 review). Hints
+    // only move forward, so this loop terminates.
+    var hint = checkpointHint(table)
+    while (hint.exists(_ > v)) {
+      v = probeFrom(hint.get)
+      hint = checkpointHint(table)
+    }
     if (v == 0L) None else Some(v)
   }
 
   def commitRecord(table: String, version: Long): Commit = {
     val f = commitFile(table, version)
-    val src = // cleaned-up versions survive through their checkpoint record
-      if (Files.isRegularFile(f)) f else checkpointFile(table, version)
-    val txt = new String(Files.readAllBytes(src), StandardCharsets.UTF_8)
+    // cleaned-up versions survive through their checkpoint record; the
+    // fallback also covers the TOCTOU where a concurrent cleanupBefore
+    // deletes the plain file between the existence check and the read —
+    // the checkpoint record it anchored to is still there (r10 review)
+    val txt =
+      try {
+        val src = if (Files.isRegularFile(f)) f else checkpointFile(table, version)
+        new String(Files.readAllBytes(src), StandardCharsets.UTF_8)
+      } catch {
+        case _: java.nio.file.NoSuchFileException
+            if Files.isRegularFile(checkpointFile(table, version)) =>
+          new String(Files.readAllBytes(checkpointFile(table, version)),
+            StandardCharsets.UTF_8)
+      }
     val node = mapper.readTree(txt)
     def field(k: String): String =
       Option(node.get(k)).map(_.asText).getOrElse(
@@ -181,9 +205,24 @@ object TxLog {
     val cur = latestVersion(table).getOrElse(0L)
     if (cur != expected) throw CommitConflict(table, cur)
     Files.createDirectories(logDir(table))
-    val rec =
-      s"""{"version":"$version","dataDir":"$dataDir","action":"$action"}"""
-    val bytes = rec.getBytes(StandardCharsets.UTF_8)
+    // through the mapper, not string interpolation: `action` and
+    // `dataDir` are caller-supplied, and a quote or backslash in either
+    // wrote a syntactically invalid record that bricked every later read
+    // of the version (r10 review). version stays a STRING field — the
+    // on-disk record shape is unchanged.
+    val recNode = mapper.createObjectNode()
+    recNode.put("version", version.toString)
+    recNode.put("dataDir", dataDir)
+    recNode.put("action", action)
+    val bytes = mapper.writeValueAsString(recNode)
+      .getBytes(StandardCharsets.UTF_8)
+    // last-instant stale-head guard: if a cleanup re-anchored the pointer
+    // PAST this version since `cur` was computed, our link would recreate
+    // a just-deleted commit below the pointer — a forked log. (The
+    // latestVersion re-probe makes this window sub-microsecond; checking
+    // the hint here collapses the remaining practical exposure.)
+    if (checkpointHint(table).exists(_ >= version))
+      throw CommitConflict(table, version)
     val tmp = Files.createTempFile(logDir(table), s".tmp-$version-", ".json")
     Files.write(tmp, bytes)
     try Files.createLink(commitFile(table, version), tmp)
@@ -232,10 +271,13 @@ object TxLog {
       try {
         if (checkpointHint(table).exists(_ >= version)) return
         val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
-        Files.write(ptmp, s"""{"version":$version}""".getBytes(
-          StandardCharsets.UTF_8))
-        Files.move(ptmp, pointerFile(table),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        try {
+          Files.write(ptmp, s"""{"version":$version}""".getBytes(
+            StandardCharsets.UTF_8))
+          Files.move(ptmp, pointerFile(table),
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(ptmp) // a failed move (e.g. no
+        // ATOMIC_MOVE on this fs) must not deposit an orphan per attempt
       } finally locked.foreach { case (ch, lk) =>
         try { lk.release(); ch.close() } catch { case _: Exception => () }
       }

@@ -22,6 +22,19 @@ class DedupClustersSpec extends AnyFunSuite {
       99L -> 99L))
   }
 
+  test("edge endpoints missing from the node set still get full labels") {
+    // nodes covers only node 1; the 1-2-3 chain reaches 2 and 3 through
+    // edges alone. A first-seen node has no own row, so its null oldLab
+    // must COUNT as changed — the old comparison returned null and the
+    // loop converged one round early, silently dropping node 3 (r10
+    // review)
+    val nodes = Seq(1L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = DedupClusters.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("convergence exactly at maxIter is accepted; beyond it throws") {
     // chain 0-1-2-3-4: min-label propagation needs 4 improving rounds
     val nodes = (0L to 4L).toDF("id")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -50,10 +52,14 @@ class GraphOpsSpec extends AnyFunSuite {
       val reliable = GraphOps.queries("gr01_pagerank")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(reliable == local)
-      // prove the reliable path actually ran: checkpoint files landed
+      // prove the reliable path actually ran: checkpoint files landed —
+      // in exactly ONE session subdir (the startsWith guard must compare
+      // against the QUALIFIED path Spark stores, or every round re-sets
+      // the dir and mints a fresh UUID subdir — r10 review)
       val s = java.nio.file.Files.list(ckptDir)
-      val landed = try s.iterator().hasNext finally s.close()
-      assert(landed, s"no checkpoint data under $ckptDir")
+      val subdirs = try s.iterator().asScala.size finally s.close()
+      assert(subdirs === 1,
+        s"expected one shared checkpoint subdir under $ckptDir, got $subdirs")
     } finally {
       spark.conf.unset("spark.graft.checkpoint.dir")
       MinHashDedup.clearScratch(_.startsWith("gr01_"))

@@ -32,6 +32,18 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() == 1L)
   }
 
+  test("commit records escape caller-supplied strings (quotes in action)") {
+    // the record used to be raw string interpolation: a quote in `action`
+    // wrote invalid JSON that bricked every later read of the version
+    // (r10 review)
+    val t = freshTable()
+    import spark.implicits._
+    TxLog.write(spark, t, Seq((1, "a")).toDF("k", "v"), 0L,
+      action = """restore "gold" snapshot\path""")
+    assert(TxLog.commitRecord(t, 1L).action === """restore "gold" snapshot\path""")
+    assert(TxLog.read(spark, t).count() === 1L)
+  }
+
   test("expected-version CAS rejects a stale writer; its data dir is inert") {
     val t = freshTable()
     import spark.implicits._
