@@ -28,7 +28,11 @@ object Relational5 {
     "q52_higher_order" -> ((s, dir) => {
       Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+        // round-then-cast (the q57 pattern): Spark's bare cast TRUNCATES
+        // toward zero while the oracle's CAST rounds — divergent on any
+        // non-integral quantity (the fixture's are integral; r10 review)
+        .agg(sort_array(collect_list(
+          round(col("l_quantity")).cast("long"))).as("qs"))
         .select(
           col("l_orderkey"),
           size(col("qs")).as("n_items"),
@@ -325,7 +329,8 @@ object Relational5 {
   val oracle: Map[String, String] = ListMap(
     "q52_higher_order" ->
       """WITH g AS (SELECT l_orderkey,
-        |   list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)) AS qs
+        |   list(CAST(round(l_quantity) AS BIGINT)
+        |        ORDER BY CAST(round(l_quantity) AS BIGINT)) AS qs
         | FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
         |SELECT l_orderkey, len(qs) AS n_items,
         | CAST(COALESCE(list_sum(qs), 0) AS BIGINT) AS total_qty,

@@ -296,6 +296,10 @@ object TemporalJoins {
       val w = Window.partitionBy("user_id")
         .orderBy(asc("ts"), asc("event_id")).rowsBetween(-10, 0)
       Tables(s, dir, "events")
+        // null-ts guard like ts05/ts08/ts09: nulls sort FIRST in Spark's
+        // frame order but LAST in DuckDB's, shifting every early frame's
+        // membership (r10 review)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts"),
           round(col("value") * 100).cast("long").as("cents"))
         .withColumn("xs", sort_array(collect_list(col("cents")).over(w)))
@@ -572,7 +576,7 @@ object TemporalJoins {
         | CAST(COUNT(*) OVER w AS INT) AS n_win,
         | CAST(median(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
         |   AS roll_median
-        |FROM events
+        |FROM events WHERE ts IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
@@ -608,12 +612,16 @@ object TemporalJoins {
         |ORDER BY purchase_id, touch_id NULLS FIRST""".stripMargin,
 
     // The same island construction; SUMs cast back from HUGEINT. Seconds
-    // via epoch_ms // 1000 — integer FLOOR like Spark's unix_timestamp
-    // (CAST(epoch(...)) would ROUND fractional seconds and drift by 1).
+    // via floor(epoch_ms / 1000) — genuine FLOOR like Spark's
+    // unix_timestamp. NOT `epoch_ms // 1000`: DuckDB's `//` truncates
+    // toward zero (its own ts09 comment), which differs from floor on
+    // pre-1970 fractional-second timestamps (-0.5 s → 0, Spark → -1);
+    // and CAST(epoch(...)) would ROUND. epoch_ms fits double exactly for
+    // any realistic timestamp (|ms| < 2^53).
     "ts08_interval_union" ->
       """WITH e AS (SELECT user_id, event_id,
-        |   epoch_ms(ts) // 1000 AS st,
-        |   epoch_ms(ts) // 1000 + 300 AS en FROM events
+        |   CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) AS st,
+        |   CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) + 300 AS en FROM events
         |  WHERE ts IS NOT NULL),
         | g AS (SELECT *, MAX(en) OVER (PARTITION BY user_id
         |    ORDER BY st, event_id
