@@ -202,6 +202,27 @@ object Charsets {
     } catch { case _: Exception => -1L }
   }
 
+  /** Count CSV RECORDS — the lines Spark's reader actually parses: the
+    * physical count ([[countLines]], reference-parity telemetry) includes
+    * fully-empty lines, which univocity skips, so one blank line made the
+    * load audit fail a table whose data was completely loaded (r10
+    * review). -1 on error, like countLines.
+    */
+  def countCsvRecords(path: Path, cs: Charset): Long = {
+    try {
+      val r = reader(path, cs)
+      try {
+        var n = 0L
+        var line = r.readLine()
+        while (line != null) {
+          if (line.nonEmpty) n += 1
+          line = r.readLine()
+        }
+        n
+      } finally r.close()
+    } catch { case _: Exception => -1L }
+  }
+
   /** Transcode `src` (at `cs`, replace-don't-fail) to UTF-8 at `dest`;
     * returns (linesRead, linesWritten). Reference `main.py:140-158`.
     */
@@ -218,7 +239,11 @@ object Charsets {
         read += 1
         line = in.readLine()
       }
-    } finally { in.close(); out.close() }
+    } finally {
+      // out.close() must run even when in.close() throws: a skipped close
+      // leaks the writer AND strands its last buffer unflushed
+      try in.close() finally out.close()
+    }
     (read, countLines(dest, StandardCharsets.UTF_8))
   }
 
@@ -228,17 +253,13 @@ object Charsets {
   /** Fill `buf` from `in`, looping until full or EOF — `read` may legally
     * return fewer bytes than available (r9 ADVICE: a short read here would
     * leave a real BOM unstripped and decode U+FEFF into the first field).
-    * Returns the byte count actually read (readNBytes semantics, which
-    * InputStream only grew in JDK 9 — PushbackInputStream inherits it, but
-    * looping explicitly keeps the contract visible at the probe site).
+    * Returns the byte count actually read (readNBytes semantics).
     */
   private[pipeline] def readFully(in: java.io.InputStream, buf: Array[Byte]): Int = {
-    var off = 0
-    var n = 0
-    while (off < buf.length && n >= 0) {
-      n = in.read(buf, off, buf.length - off)
-      if (n > 0) off += n
-    }
+    // delegate to the JDK-9 primitive this file already uses in detect()
+    // — the hand-rolled loop it replaces was duplicate logic with a spin
+    // hazard on a stream that returns 0 (r10 review)
+    val off = in.readNBytes(buf, 0, buf.length)
     off
   }
 

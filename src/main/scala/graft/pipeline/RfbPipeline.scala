@@ -186,7 +186,10 @@ class RfbPipeline(
       while (!ok && attempt < maxRetries) {
         attempt += 1
         try { fetcher.fetchFile(e.url, Paths.get(e.caminhoZip)); ok = true }
-        catch { case _: Exception => if (backoffMs > 0) Thread.sleep(backoffMs) }
+        catch { case _: Exception =>
+          // no backoff after the FINAL attempt — nothing follows it (the
+          // reference sleeps there too, but that is pure pool-thread idle)
+          if (attempt < maxRetries && backoffMs > 0) Thread.sleep(backoffMs) }
       }
       if (ok) e.copy(statusDownload = Status.Sucesso)
       else e.copy(statusDownload = Status.Falhou,
@@ -205,7 +208,13 @@ class RfbPipeline(
     }.map(_._2)
     perFileParallel(entries0, pending) { e =>
       try {
-        val zf = new ZipFile(e.caminhoZip)
+        // Cp437 fallback charset, like Python's zipfile: the charset only
+        // applies to member names WITHOUT the UTF-8 flag, so real UTF-8
+        // names are unaffected — while the JDK default threw MALFORMED
+        // IllegalArgumentException on any legal cp437-named member and
+        // killed the whole phase (r10 review)
+        val zf = new ZipFile(new java.io.File(e.caminhoZip),
+          java.nio.charset.Charset.forName("Cp437"))
         try {
           // per-archive subdirectory: two archives may legally carry members
           // with the same basename; a shared flat dir would make concurrent
@@ -238,14 +247,21 @@ class RfbPipeline(
           e.copy(statusExtracao = Status.Sucesso, arquivosExtraidos = outPaths)
         } finally zf.close()
       } catch {
-        case _: ZipException | _: java.io.IOException =>
-          // Self-heal: corrupt archive ⇒ force re-download next run.
-          // The reference marks extraction `falhou` here (main.py:117),
-          // but its own extract phase only picks up `pendente` entries —
-          // so its self-heal can never complete. We reset BOTH stages to
-          // `pendente` so the resumed run actually recovers.
+        case _: ZipException | _: IllegalArgumentException =>
+          // Self-heal: corrupt archive (bad format, undecodable names) ⇒
+          // force re-download next run. The reference marks extraction
+          // `falhou` here (main.py:117), but its own extract phase only
+          // picks up `pendente` entries — so its self-heal can never
+          // complete. We reset BOTH stages to `pendente` so the resumed
+          // run actually recovers.
           e.copy(statusExtracao = Status.Pendente,
             statusDownload = Status.Pendente)
+        case _: java.io.IOException =>
+          // a LOCAL write failure (disk full, permissions) is not archive
+          // corruption: re-downloading a good zip can't fix it, and the
+          // old blanket reset looped re-download → same error forever
+          // with no terminal state recorded (r10 review)
+          e.copy(statusExtracao = Status.Falhou)
       }
     }
   }
@@ -331,6 +347,8 @@ class RfbPipeline(
     * destination table with a single atomic overwrite per table.
     */
   def load(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    lastAudits = Map.empty // "the LAST load call" — a resumed second load
+    // must not report a stale audit for a table it never touched
     var entries = entries0
     val candidates = entries0.zipWithIndex.filter { case (e, _) =>
       e.statusCorrecao == Status.Sucesso && e.statusCarga == Status.Pendente
@@ -345,7 +363,12 @@ class RfbPipeline(
       if (routable.isEmpty) Map.empty
       else spark.sparkContext
         .parallelize(routable, routable.size)
-        .map(f => f -> Charsets.countLines(
+        // RECORD count, not physical-line count: Spark's CSV reader skips
+        // fully-empty lines, so one blank line in a corrected file made
+        // the audit fail a table whose data was fully loaded — manifest
+        // contradicting the lake (r10 review; countLines stays for the
+        // reference-parity linhas* telemetry)
+        .map(f => f -> Charsets.countCsvRecords(
           Paths.get(f), java.nio.charset.StandardCharsets.UTF_8))
         .collect().toMap
     // (entryIdx, correctedFile, table?, lineCount) — per-file routing;
@@ -422,12 +445,6 @@ class RfbPipeline(
       }
     }
     entries
-  }
-
-  private def firstLine(path: String): String = {
-    val r = Files.newBufferedReader(Paths.get(path),
-      java.nio.charset.StandardCharsets.UTF_8)
-    try Option(r.readLine()).getOrElse("") finally r.close()
   }
 
   /** Final report (reference `relatorio_final`, `main.py:222-237`). */

@@ -201,7 +201,8 @@ class ZipScan(path: String, var required: StructType,
         val found =
           try stream.iterator().asScala
             .filter(f => Files.isRegularFile(f) &&
-              f.toString.toLowerCase.endsWith(".zip")).map(_.toString)
+              f.toString.toLowerCase(java.util.Locale.ROOT)
+                .endsWith(".zip")).map(_.toString)
             .toArray.sorted
           finally stream.close()
         if (found.isEmpty) throw new IllegalArgumentException(

@@ -92,6 +92,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.sucesso == 3 && rep.falhasOuPendentes == 1)
   }
 
+  test("blank lines in a source file don't fail the load audit") {
+    // Spark's CSV reader skips fully-empty lines; the audit's expected
+    // count must be the RECORD count, not the physical-line count, or one
+    // blank line marks a fully-loaded table falhou while the lake holds
+    // the data (r10 review)
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Motivos.zip", Seq(
+      "K1.D509.MOTIV" ->
+        "00;Sem motivo\n\n01;Extincao\n\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Motivos.zip")).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.head.statusCarga == Status.Sucesso, done.head.toString)
+    assert(done.head.registrosCarregados == 2L)
+    assert(spark.read.parquet(s"$out/rfb_motivos/ref_month=202601")
+      .count() === 2L)
+  }
+
+  test("zip member names without the UTF-8 flag decode as cp437, not MALFORMED") {
+    // a legal cp437-named member (Python zipfile's default decoding) used
+    // to throw IllegalArgumentException out of zf.entries() and kill the
+    // WHOLE extract phase on every resume (r10 review)
+    val (src, work, out) = freshDirs()
+    // a cp437 ZipOutputStream writes names in cp437 WITHOUT the UTF-8
+    // language-encoding flag — 'é' lands as raw byte 0x82, which the JDK
+    // default UTF-8 decoder rejects as MALFORMED
+    val z = new ZipOutputStream(
+      new FileOutputStream(src.resolve("Quals.zip").toFile),
+      java.nio.charset.Charset.forName("Cp437"))
+    try {
+      z.putNextEntry(new ZipEntry("K1.Domicílio.QUALS"))
+      z.write("05;Administrador\n".getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    } finally z.close()
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Quals.zip")).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.head.statusExtracao == Status.Sucesso, done.head.toString)
+    assert(done.head.statusCarga == Status.Sucesso)
+  }
+
   test("intra-archive duplicate basenames: both members load (no last-wins loss)") {
     // the reference's extractall keeps zip subdirs so 0/X and 1/X never
     // collide; our per-archive flatten must disambiguate, or one member's
