@@ -37,11 +37,14 @@ object Relational {
     Tables(s, dir, name)
 
   /** Exact money arithmetic: see numeric-determinism policy above. */
-  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  // private[operators]: the decimal widths are a cross-engine exactness
+  // contract shared with Relational4 (q43/q46) — hand-replicated copies
+  // would silently miss a policy change (r10 review)
+  private[operators] def money(c: Column): Column = c.cast(DecimalType(12, 2))
   private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
   private val one = lit(1).cast(DecimalType(4, 2))
   /** SUM(money) as an exact double. */
-  private def msum(c: Column): Column = sum(money(c)).cast("double")
+  private[operators] def msum(c: Column): Column = sum(money(c)).cast("double")
   /** SUM(price × (1 − discount)) — the discounted-revenue aggregate, ONE
     * definition for q01/q03/q05 (its oracle twin is `oDisc`): the decimal
     * widths are a cross-engine exactness contract, so a policy change must
@@ -194,14 +197,22 @@ object Relational {
         .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
           grouping(col("l_returnflag")).cast("int").as("g_flag"),
           grouping(col("l_linestatus")).cast("int").as("g_status"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+        // flags break the margin-vs-real-NULL-group tie (q43's pattern):
+        // without them a rollup subtotal and a genuine NULL-key group
+        // share a sort key and the two engines may order them differently
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), asc("g_flag"), asc("g_status"))
     }),
 
     "q13_cube" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"))
-        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"),
+          asc("g_status"), asc("g_priority"))
     }),
 
     // --- set operations -----------------------------------------------------
@@ -293,9 +304,15 @@ object Relational {
     }),
 
     "q22_json_funcs" -> ((s, dir) => {
+      // try_cast: the bare ANSI cast ABORTS the whole job on a
+      // non-integer k ('50.5'), against the module's q47 containment
+      // policy; with try_cast the contract is "k counts iff the
+      // extracted text is an in-range integer", mirrored by the oracle's
+      // integer-regex guard (DuckDB TRY_CAST alone ROUNDS '50.5' to 51 —
+      // probed, not assumed; r10 review)
       t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') as int)").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
           max("k").as("max_k"), min("k").as("min_k"))
@@ -314,8 +331,11 @@ object Relational {
   )
 
   /** Money-sum fragment for the oracle SQL (DuckDB dialect). */
-  private def oSum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(12,2))) AS DOUBLE)"
+  private[operators] def oSum(x: String): String =
+    s"CAST(SUM(${oMoney(x)}) AS DOUBLE)"
+  /** The bare money cast, for window-framed oracle sums (q46). */
+  private[operators] def oMoney(x: String): String =
+    s"CAST($x AS DECIMAL(12,2))"
   private def oDisc(e: String, d: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(12,2)) * (1 - CAST($d AS DECIMAL(4,2)))) AS DOUBLE)"
 
@@ -423,13 +443,17 @@ object Relational {
          | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
          | CAST(GROUPING(l_linestatus) AS INT) AS g_status
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         | l_linestatus ASC NULLS FIRST, g_flag, g_status""".stripMargin,
 
     "q13_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-         | ${oSum("o_totalprice")} AS total
+         | ${oSum("o_totalprice")} AS total,
+         | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         | o_orderpriority ASC NULLS FIRST, g_status, g_priority""".stripMargin,
 
     "q14_set_ops" ->
       """WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
@@ -497,12 +521,21 @@ object Relational {
         | CAST(list_min(embedding) AS DOUBLE) AS e_min
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // guarded like the engine's try_cast: only an in-range INTEGER text
+    // counts — the bare CAST hard-errored on malformed props or '50.5'
+    // (which TRY_CAST alone would ROUND, not null; probed)
     "q22_json_funcs" ->
-      """SELECT event_type, COUNT(*) AS n,
-        | ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)),4) AS avg_k,
-        | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-        | MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH j AS (SELECT event_type,
+        |  CASE WHEN json_valid(props) AND regexp_matches(
+        |         trim(coalesce(json_extract_string(props, '$.k'), '')),
+        |         '^[+-]?[0-9]+$')
+        |   THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS INT)
+        |  END AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        | ROUND(AVG(k), 4) AS avg_k,
+        | MAX(k) AS max_k,
+        | MIN(k) AS min_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q23_event_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,

@@ -76,19 +76,22 @@ object Relational4 {
     // point — Catalyst plans them as left-semi / left-anti joins (the plan
     // the DataFrame q04/q07 variants declare directly).
     "q37_exists_subquery" -> ((s, dir) => {
-      Tables(s, dir, "customer").createOrReplaceTempView("q37_customer")
-      Tables(s, dir, "orders").createOrReplaceTempView("q37_orders")
+      // invocation-unique view names, dropped after eager analysis (the
+      // rec01 pattern): fixed names raced concurrent invocations on one
+      // session and leaked into the catalog (r10 review)
+      val (cv, ov) = uniqueViews(s, dir, "q37")
       s.sql(
-        """SELECT c_custkey, c_mktsegment
-          |FROM q37_customer c
-          |WHERE EXISTS (SELECT 1 FROM q37_orders o
+        s"""SELECT c_custkey, c_mktsegment
+          |FROM $cv c
+          |WHERE EXISTS (SELECT 1 FROM $ov o
           |              WHERE o.o_custkey = c.c_custkey
           |                AND o.o_totalprice > 400000)
-          |  AND NOT EXISTS (SELECT 1 FROM q37_orders o
+          |  AND NOT EXISTS (SELECT 1 FROM $ov o
           |                  WHERE o.o_custkey = c.c_custkey
           |                    AND o.o_orderstatus = 'F'
           |                    AND o.o_totalprice < 50000)
           |ORDER BY c_custkey""".stripMargin)
+        .transform(dropViews(s, cv, ov))
     }),
 
     // NULL-AWARE anti join: NOT IN over a subquery differs from NOT EXISTS
@@ -97,15 +100,15 @@ object Relational4 {
     // Catalyst plans the single-column case as an optimized null-aware
     // BroadcastHashJoin, not the naive nested loop (plan-guarded).
     "q48_not_in" -> ((s, dir) => {
-      Tables(s, dir, "customer").createOrReplaceTempView("q48_customer")
-      Tables(s, dir, "orders").createOrReplaceTempView("q48_orders")
+      val (cv, ov) = uniqueViews(s, dir, "q48")
       s.sql(
-        """SELECT c_custkey, c_mktsegment
-          |FROM q48_customer
+        s"""SELECT c_custkey, c_mktsegment
+          |FROM $cv
           |WHERE c_custkey NOT IN (
-          |  SELECT o_custkey FROM q48_orders
+          |  SELECT o_custkey FROM $ov
           |  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
           |ORDER BY c_custkey""".stripMargin)
+        .transform(dropViews(s, cv, ov))
     }),
 
     // UNPIVOT / melt (the inverse of q28's pivot): wide numeric columns to
@@ -139,7 +142,7 @@ object Relational4 {
       Tables(s, dir, "events").filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
           unix_micros(col("ts")).as("tus"),
-          col("value").cast("decimal(12,2)").as("v"))
+          Relational.money(col("value")).as("v"))
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
           sum(col("v")).over(w).cast("double").as("hour_sum"),
@@ -184,18 +187,18 @@ object Relational4 {
     // the join key), so the plan is the same scale shape as q09's explicit
     // window — no nested-loop re-execution per outer row.
     "q44_lateral" -> ((s, dir) => {
-      Tables(s, dir, "customer").createOrReplaceTempView("q44_customer")
-      Tables(s, dir, "orders").createOrReplaceTempView("q44_orders")
+      val (cv, ov) = uniqueViews(s, dir, "q44")
       s.sql(
-        """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
-          |FROM q44_customer c
+        s"""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+          |FROM $cv c
           |JOIN LATERAL (
-          |  SELECT o_orderkey, o_totalprice FROM q44_orders o
+          |  SELECT o_orderkey, o_totalprice FROM $ov o
           |  WHERE o.o_custkey = c.c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
           |) t
           |WHERE c.c_custkey < 200
           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+        .transform(dropViews(s, cv, ov))
     }),
 
     // Explicit GROUPING SETS (beyond rollup/cube): two one-dimension margins
@@ -208,8 +211,7 @@ object Relational4 {
             Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
-            .as("total"),
+          Relational.msum(col("o_totalprice")).as("total"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_priority"))
         .orderBy(asc("g_status"), asc("g_priority"),
@@ -252,6 +254,30 @@ object Relational4 {
     }),
   )
 
+  /** Invocation-unique customer/orders temp views for the SQL-entry
+    * queries, plus the post-analysis drop ([[GraphOps.recursiveWalk]]'s
+    * pattern): fixed names ("q44_customer") raced concurrent invocations
+    * on one session — the second createOrReplaceTempView retargeted the
+    * first query's still-lazy plan — and leaked into the catalog after
+    * the query returned (r10 review). `sql()` analyzes eagerly, so the
+    * resolved plan survives the drop.
+    */
+  private def uniqueViews(s: SparkSession, dir: String, tag: String)
+      : (String, String) = {
+    val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+    val cv = s"${tag}_customer_$sfx"
+    val ov = s"${tag}_orders_$sfx"
+    Tables(s, dir, "customer").createOrReplaceTempView(cv)
+    Tables(s, dir, "orders").createOrReplaceTempView(ov)
+    (cv, ov)
+  }
+
+  private def dropViews(s: SparkSession, vs: String*)(df: DataFrame)
+      : DataFrame = {
+    vs.foreach(s.catalog.dropTempView(_))
+    df
+  }
+
   val oracle: Map[String, String] = ListMap(
     "q39_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust
@@ -282,7 +308,7 @@ object Relational4 {
       """WITH j AS (SELECT event_id,
         |   CASE WHEN json_valid(props)
         |     AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
-        |    THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+        |    THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
         |  FROM events WHERE event_id < 500)
         |SELECT event_id, k, CAST(k > 50 AS INT) AS k_high
         |FROM j ORDER BY event_id""".stripMargin,
@@ -337,8 +363,8 @@ object Relational4 {
         |ORDER BY c_custkey, measure""".stripMargin,
 
     "q46_range_frame" ->
-      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS hour_sum,
+      s"""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | CAST(SUM(${Relational.oMoney("value")}) OVER w AS DOUBLE) AS hour_sum,
         | CAST(COUNT(*) OVER w AS INT) AS hour_n
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -373,8 +399,8 @@ object Relational4 {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
 
     "q43_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | ${Relational.oSum("o_totalprice")} AS total,
         | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
         |FROM orders GROUP BY GROUPING SETS (
