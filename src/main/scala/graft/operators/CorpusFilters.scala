@@ -52,15 +52,25 @@ object CorpusFilters {
   private val bigramPairsSql =
     "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"
 
+  /** The ONE n-gram construction over a pre-split words column —
+    * 5-grams (dc01), bigrams (tx10) and 3-shingles
+    * ([[MinHashDedup.shingled]]) were three verbatim copies of this
+    * expression differing only in n; a semantics fix to one silently
+    * missed the twins (r10 review; the BoundedK lesson). The
+    * greatest(…, 1) floor keeps short docs at one (possibly partial)
+    * gram.
+    */
+  private[operators] def ngramSql(wordsCol: String, n: Int): String =
+    s"""transform(sequence(1, greatest(size($wordsCol) - ${n - 1}, 1)),
+       | i -> concat_ws(' ', slice($wordsCol, i, $n)))""".stripMargin
+
   val queries: Map[String, Q] = ListMap(
     // Benchmark decontamination: docs sharing 5-grams with the "eval set"
     // (here: every 20th doc stands in for a held-out benchmark). The eval
     // n-gram set is distinct'd and BROADCAST; corpus docs count how many of
     // their distinct 5-grams hit it. Eval docs themselves are excluded.
     "dc01_decontaminate" -> ((s, dir) => {
-      val grams5 = array_distinct(expr(
-        """transform(sequence(1, greatest(size(words) - 4, 1)),
-          | i -> concat_ws(' ', slice(words, i, 5)))""".stripMargin))
+      val grams5 = array_distinct(expr(ngramSql("words", 5)))
       val withGrams = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(col("doc_id"), grams5.as("grams"))
@@ -88,9 +98,7 @@ object CorpusFilters {
     // the corpus through two exchanges for a per-row statistic); the oracle
     // runs the unnest + GROUP BY spelling of the same definition.
     "tx10_repetition" -> ((s, dir) => {
-      val bigrams =
-        """transform(sequence(1, greatest(size(w) - 1, 1)),
-          | i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin
+      val bigrams = ngramSql("w", 2)
       val topRun = expr(
         s"""aggregate(array_sort($bigrams),
            | named_struct('prev', '', 'run', 0L, 'best', 0L),
@@ -401,6 +409,12 @@ object CorpusFilters {
 
   /** The pinned query terms tx21/ss11 score against. */
   private[operators] val Bm25Terms = Seq("spark", "vector", "stream")
+  /** The term list as a SQL IN-list — interpolated into the tx21 and
+    * ss11 oracles so an edit to [[Bm25Terms]] cannot silently desync
+    * them (r10 review; the ContaminationMin/EmailRe convention).
+    */
+  private[operators] val bm25TermsSql: String =
+    Bm25Terms.map(t => s"'$t'").mkString(", ")
 
   /** tx21's BM25 scorer over the full corpus (no cut): one row per doc
     * that matches ≥ 1 query term, with the exact fixed-point score.
@@ -567,7 +581,7 @@ object CorpusFilters {
     // BIGINT (DuckDB COUNT/SUM widen), division is BIGINT floor (//) at
     // the same association as Spark's `div`s.
     "tx21_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
         |  FROM documents),
         | lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
         | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -575,7 +589,7 @@ object CorpusFilters {
         |  FROM lens),
         | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
         |   (SELECT doc_id, unnest(w) AS term FROM d) e
-        |  WHERE term IN ('spark', 'vector', 'stream')
+        |  WHERE term IN ($bm25TermsSql)
         |  GROUP BY doc_id, term),
         | dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
         |   GROUP BY term),

@@ -243,11 +243,16 @@ object MinHashDedup {
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // a NULL text has no shingles: split(NULL) is NULL but
+      // concat_ws(NULL…) is '' (it never returns null), so every
+      // null-text doc got the same one-element [''] shingle set and
+      // paired J=1.0 with every other one — while the oracle's
+      // list_distinct strips the NULL and emits no pair (r10 review;
+      // dd03 already drops such docs convergently on both sides)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, greatest(size(words) - 2, 1)),
-          | i -> concat_ws(' ', slice(words, i, 3)))""".stripMargin))
-        .as("shingles"))
+      .select(col("doc_id"), array_distinct(
+        expr(CorpusFilters.ngramSql("words", 3))).as("shingles"))
 
   /** Near-dup pairs (id1 < id2, exact shingle-Jaccard ≥ `threshold`) with
     * LSH-banded candidate generation — the shared kernel behind dd02

@@ -866,7 +866,7 @@ object SimilarityOps {
          |  FROM blens),
          | btf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
          |   (SELECT doc_id, unnest(w) AS term FROM bd) e
-         |  WHERE term IN ('spark', 'vector', 'stream')
+         |  WHERE term IN (${CorpusFilters.bm25TermsSql})
          |  GROUP BY doc_id, term),
          | bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM btf
          |   GROUP BY term),
