@@ -38,8 +38,15 @@ private[graft] object Checkpoints {
         val p = new org.apache.hadoop.fs.Path(dir)
         val qualified =
           p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
-        if (!sc.getCheckpointDir.exists(_.startsWith(qualified)))
-          sc.setCheckpointDir(dir)
+        // prefix test must be separator-anchored: with dir=/mnt/ckpt, a
+        // pre-existing checkpoint dir 'file:/mnt/ckpt-other/<uuid>' (set
+        // elsewhere in the session) satisfies a bare startsWith and the
+        // reliable checkpoint would silently land outside the configured
+        // root (r10 ADVICE)
+        val under = sc.getCheckpointDir.exists(cur =>
+          cur == qualified ||
+            cur.startsWith(qualified + org.apache.hadoop.fs.Path.SEPARATOR))
+        if (!under) sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

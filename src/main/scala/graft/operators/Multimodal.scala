@@ -116,7 +116,13 @@ object Multimodal {
       maxId: Option[Long] = None)(
       kernel: (Long, Array[Byte]) => Iterator[Row]): DataFrame = {
     val base = Tables(s, dir, "documents")
+    // a NULL blob is not decodable media: drop it here rather than NPE in
+    // the kernel (fakeDecode folds over bytes.length). The oracle mirror
+    // (asciiSrcSql) applies the same text IS NOT NULL filter, so engine
+    // and oracle agree that null-text rows are outside the decode domain
+    // (r10 ADVICE — dormant on the frozen fixture, contract now explicit)
     val src = maxId.fold(base)(m => base.filter(col("doc_id") < m))
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("bin"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
@@ -276,7 +282,8 @@ object Multimodal {
       |     ELSE error('mm oracle: non-ASCII document ' || doc_id ||
       |                ' — the byte-kernel SQL mirror is ASCII-only')
       |   END AS text
-      |  FROM documents)""".stripMargin
+      |  FROM documents
+      |  WHERE text IS NOT NULL)""".stripMargin
   private def frameHashSql(frame: String): String =
     s"""list_reduce(
        |   list_prepend(1125899906842597::HUGEINT,

@@ -221,8 +221,11 @@ object TxLog {
     // a just-deleted commit below the pointer — a forked log. (The
     // latestVersion re-probe makes this window sub-microsecond; checking
     // the hint here collapses the remaining practical exposure.)
+    // report the OBSERVED head (re-probed), not the attempted version: a
+    // retry loop that trusts the exception's current-version field would
+    // otherwise compute a wrong expected version (r10 ADVICE)
     if (checkpointHint(table).exists(_ >= version))
-      throw CommitConflict(table, version)
+      throw CommitConflict(table, latestVersion(table).getOrElse(0L))
     val tmp = Files.createTempFile(logDir(table), s".tmp-$version-", ".json")
     Files.write(tmp, bytes)
     try Files.createLink(commitFile(table, version), tmp)

@@ -70,7 +70,15 @@ final class HttpFetcher(timeout: Duration = Duration.ofSeconds(60))
           if (idleMs > timeout.toMillis) {
             try in.close() catch { case _: java.io.IOException => () }
             stop = true
-          } else Thread.sleep(math.max(50L, timeout.toMillis - idleMs))
+          } else {
+            // sleep only to the next possible deadline, capped at 1s: an
+            // uncapped (timeout - idle) sleep meant a stall beginning right
+            // after a byte arrived was detected only after ~2x the
+            // configured timeout, and the daemon lingered a full timeout
+            // after each successful download (r10 ADVICE)
+            Thread.sleep(math.min(1000L,
+              math.max(50L, timeout.toMillis - idleMs)))
+          }
         }
       } catch { case _: InterruptedException => () }
     }: Runnable)

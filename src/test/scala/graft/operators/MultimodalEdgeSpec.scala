@@ -60,6 +60,30 @@ class MultimodalEdgeSpec extends AnyFunSuite {
     assert(!r(1).isNullAt(2) && !r(1).isNullAt(4))
   }
 
+  test("null-text doc is outside the decode domain: dropped, not an NPE") {
+    // contract (r10 ADVICE): a NULL blob is not decodable media — the
+    // decode plumbing filters it (fakeDecode would NPE on bytes.length)
+    // and the oracle mirror applies the same text IS NOT NULL, so both
+    // engines agree. mm01 (pure expressions, no decode) keeps the row
+    // with NULL metadata on both sides.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mmnull").toString
+    Seq(
+      (0L, Some("the quick brown fox"), "en", "s", 19L),
+      (1L, None: Option[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val decodedRows = Multimodal.queries("mm02_decode_features")(spark, d)
+      .collect()
+    assert(decodedRows.map(_.getLong(0)).toSeq === Seq(0L),
+      "null-text row must be dropped by the decode path")
+    val meta = Multimodal.queries("mm01_binary_meta")(spark, d)
+      .orderBy("doc_id").collect()
+    assert(meta.length === 2)
+    assert(meta(1).isNullAt(1) && meta(1).isNullAt(3),
+      "mm01 keeps the null-text row with NULL metadata: " + meta(1))
+  }
+
   test("mm06: empty embeddings table returns empty pairs, not an ANSI abort") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("mmedge6").toString

@@ -66,6 +66,38 @@ class HttpFetcherSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("mid-body stall is cut by the watchdog near the configured timeout") {
+    // headers + one byte arrive, then the server stalls forever: the
+    // HttpRequest timeout only bounds time-to-headers, so without the
+    // watchdog this download hangs. The capped 1 s re-check (r10 ADVICE)
+    // bounds detection near timeout + 1 s even when the stall begins
+    // right after a byte lands.
+    val stallForever = new java.util.concurrent.CountDownLatch(1)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/slow.bin", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        x.sendResponseHeaders(200, 1000000L)
+        x.getResponseBody.write(42)
+        x.getResponseBody.flush()
+        stallForever.await() // never released: stall until client cuts us
+      }
+    })
+    server.start()
+    try {
+      val f = new HttpFetcher(java.time.Duration.ofMillis(500))
+      val dest = Files.createTempDirectory("stall").resolve("slow.bin")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/slow.bin"
+      val t0 = System.nanoTime()
+      intercept[java.io.IOException](f.fetchFile(url, dest))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs < 10000L,
+        s"stall detection must be bounded near the timeout, took ${elapsedMs}ms")
+    } finally {
+      stallForever.countDown()
+      server.stop(0)
+    }
+  }
+
   test("404 listing surfaces as an error (no silent empty manifest)") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (x: HttpExchange) => respond(x, 404, Array[Byte]()))
