@@ -16,10 +16,14 @@ import org.apache.spark.sql.DataFrame
   *    one write+read of the round's frame, which for these operators is
   *    bounded by |edges|, not the corpus.
   *
-  * Eager in both modes: one job materializes the round. Checkpoint files
-  * under the reliable dir live until the context stops (Spark's standard
-  * reliable-checkpoint lifecycle; set a job-scoped dir and delete it after,
-  * or enable `spark.cleaner.referenceTracking.cleanCheckpoints`).
+  * Eager in both modes: one job materializes the round. Disk growth in
+  * reliable mode is bounded by the CALLERS, not Spark (which never reclaims
+  * reliable checkpoints before context stop): every iterative loop releases
+  * round N−1 through [[DedupClusters.unpersistCheckpoint]] — which deletes
+  * the superseded round's checkpoint FILES — as soon as round N is
+  * materialized, and releases the final round in a `finally` after the
+  * result lands in scratch parquet. At most two rounds' file sets exist at
+  * any instant; zero after the query returns.
   */
 private[graft] object Checkpoints {
   def truncate(df: DataFrame): DataFrame = {

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× blow-up of a testdata scale-factor directory, for
+  * empirical scale rehearsals (run the bench at 10× and check wall-times
+  * grow ~linearly — the only way to convert "this plan survives 100 TB"
+  * from an argument into a measurement).
+  *
+  * Shape: each fact table becomes `factor` stacked copies with primary and
+  * foreign keys shifted by `copy * STRIDE` so referential integrity holds
+  * WITHIN a copy and keys never collide ACROSS copies. Dimension tables
+  * (region, nation) are kept as-is — their keys are low-cardinality FK
+  * targets shared by every copy, exactly how a real 10× corpus shares a
+  * country list.
+  *
+  * Two tables get a per-copy decorrelation transform so the blow-up scales
+  * the WORKLOAD linearly instead of manufacturing a quadratic one:
+  *  - `documents`: every whitespace token in copy k>0 gets a `~k` suffix.
+  *    Intra-copy text structure (shared spans, near-dup pairs, shingle
+  *    sets) is preserved exactly — both sides of any shared span get the
+  *    same suffixes — while cross-copy token sets are disjoint, so
+  *    near-dup candidate pairs grow ×N, not ×N². `n_chars` is recomputed.
+  *  - `embeddings`: copy k's vectors are rotated by k positions. Rotation
+  *    preserves every intra-copy cosine exactly (both vectors rotate
+  *    together) while cross-copy cosines collapse to noise, so LSH buckets
+  *    and near-dup graphs scale ×N with N disjoint per-copy subgraphs.
+  * Without these, 10 identical text/vector copies would make every LSH
+  * bucket 10× denser and within-bucket pair generation 100× — a synthetic
+  * quadratic no real 10× corpus exhibits.
+  *
+  * Timestamps are left unchanged: 10× events in the same wall-clock window
+  * is the realistic shape (more traffic, not a longer history), and it
+  * stresses per-window state exactly 10× harder.
+  */
+object ScaleUp {
+  /** Key shift between copies; far above every sf0.1 key (max ~600 K). */
+  private val STRIDE = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scale10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def write(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def save(t: String)(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // dims: shared across copies, unchanged
+    save("region")(read("region"))
+    save("nation")(read("nation"))
+
+    /** Stack `factor` copies of `df`, shifting each column in `keys` by
+      * copy*STRIDE. One read per copy keeps the output file count ~N× the
+      * input's — the same small-file profile a real N× corpus has.
+      */
+    def stacked(t: String, keys: Seq[String])(
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { k =>
+        val shifted = keys.foldLeft(read(t))((d, c) =>
+          d.withColumn(c, col(c) + lit(k * STRIDE)))
+        perCopy(shifted, k)
+      }.reduce(_ unionAll _)
+
+    save("customer")(stacked("customer", Seq("c_custkey"))())
+    save("supplier")(stacked("supplier", Seq("s_suppkey"))())
+    save("part")(stacked("part", Seq("p_partkey"))())
+    save("orders")(stacked("orders", Seq("o_orderkey", "o_custkey"))())
+    save("lineitem")(stacked("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))())
+    save("events")(stacked("events", Seq("event_id", "user_id"))())
+
+    save("documents")(stacked("documents", Seq("doc_id")) { (d, k) =>
+      if (k == 0) d
+      else d
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1~$k"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+
+    save("embeddings")(stacked("embeddings", Seq("vec_id")) { (d, k) =>
+      if (k == 0) d
+      else {
+        // rotate left by k: cosine-preserving within the copy, scrambling
+        // across copies (element i pairs with element i+k of the original)
+        val e = col("embedding")
+        d.withColumn("embedding",
+          concat(slice(e, lit(k + 1), size(e) - k), slice(e, lit(1), lit(k))))
+      }
+    })
+  }
+}

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -37,6 +39,45 @@ class CheckpointsSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.checkpoint.dir")
       before.foreach(sc.setCheckpointDir)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("releasing a superseded round deletes its files; the live round survives") {
+    // the iterative-loop invariant in miniature: round N−1 is released
+    // only after round N is materialized, so at most two rounds' file
+    // sets ever coexist and the released one's files are gone IMMEDIATELY
+    // (not at context stop — Spark never reclaims these on its own)
+    val root = java.nio.file.Files.createTempDirectory("ckpt-gc")
+    spark.conf.set("spark.graft.checkpoint.dir", root.toString)
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    def rddDirs(): Set[String] = {
+      val sub = java.nio.file.Files.list(root)
+      val sessionDir =
+        try sub.iterator().asScala.toSeq.headOption finally sub.close()
+      sessionDir.map { d =>
+        val l = java.nio.file.Files.list(d)
+        try l.iterator().asScala.map(_.getFileName.toString).toSet
+        finally l.close()
+      }.getOrElse(Set.empty)
+    }
+    try {
+      val round1 = Checkpoints.truncate(spark.range(100).toDF("id"))
+      val round2 = Checkpoints.truncate(
+        round1.selectExpr("id * 2 as id"))
+      assert(rddDirs().size === 2, s"two live rounds expected: ${rddDirs()}")
+      DedupClusters.unpersistCheckpoint(round1)
+      assert(rddDirs().size === 1,
+        s"superseded round's files must be deleted now: ${rddDirs()}")
+      // the live round is still fully readable from its own files
+      assert(round2.agg(org.apache.spark.sql.functions.sum("id"))
+        .head.getLong(0) === 9900L)
+      DedupClusters.unpersistCheckpoint(round2)
+      assert(rddDirs().isEmpty, s"final release must reclaim: ${rddDirs()}")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      before.foreach(sc.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }
   }
 

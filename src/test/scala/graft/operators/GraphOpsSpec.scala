@@ -57,9 +57,21 @@ class GraphOpsSpec extends AnyFunSuite {
       // against the QUALIFIED path Spark stores, or every round re-sets
       // the dir and mints a fresh UUID subdir — r10 review)
       val s = java.nio.file.Files.list(ckptDir)
-      val subdirs = try s.iterator().asScala.size finally s.close()
-      assert(subdirs === 1,
-        s"expected one shared checkpoint subdir under $ckptDir, got $subdirs")
+      val subdirList = try s.iterator().asScala.toSeq finally s.close()
+      assert(subdirList.size === 1,
+        s"expected one shared checkpoint subdir under $ckptDir, got " +
+          subdirList.size)
+      // disk growth is bounded (r10 verdict gap #3): every superseded
+      // round's checkpoint files are deleted when the next round lands,
+      // and the finally-release reclaims the last one — a completed query
+      // leaves ZERO rdd-* dirs behind
+      val rdds = {
+        val l = java.nio.file.Files.list(subdirList.head)
+        try l.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally l.close()
+      }
+      assert(rdds.isEmpty,
+        s"completed reliable-mode query must reclaim all checkpoints: $rdds")
     } finally {
       spark.conf.unset("spark.graft.checkpoint.dir")
       MinHashDedup.clearScratch(_.startsWith("gr01_"))

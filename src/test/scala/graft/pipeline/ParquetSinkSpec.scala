@@ -2,6 +2,8 @@ package graft.pipeline
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -65,6 +67,94 @@ class ParquetSinkSpec extends AnyFunSuite {
     sink.overwrite(Seq(("v2", "w")).toDF("c0", "c1"), "rfb_motivos", "202401")
     assert(sink.readBack(spark, "rfb_motivos", "202401")
       .select("c0").as[String].collect().toSet === Set("v2"))
+  }
+
+  // ---- versioned mode (object-store-safe: zero renames of existing data) --
+
+  test("versioned: overwrite publishes atomically and never touches old data") {
+    val out = Files.createTempDirectory("psinkv").toString
+    val sink = new ParquetSink(out, versioned = true)
+    sink.overwrite(Seq(("1", "a")).toDF("c0", "c1"), "rfb_paises", "202401")
+    val root = java.nio.file.Paths.get(s"$out/rfb_paises/ref_month=202401")
+    val v1Dir = {
+      val s = Files.list(root)
+      try s.iterator().asScala.filter(_.getFileName.toString.startsWith("v1-"))
+        .toSeq.head
+      finally s.close()
+    }
+    // snapshot v1's exact file set + mtimes: the second overwrite must be
+    // purely ADDITIVE (this is what makes the mode object-store safe — no
+    // rename of existing data ever happens, so S3's non-atomic O(data)
+    // rename never runs)
+    def fingerprint(p: java.nio.file.Path): Set[(String, Long)] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => (f.toString, Files.getLastModifiedTime(f).toMillis)).toSet
+      finally s.close()
+    }
+    val v1Before = fingerprint(v1Dir)
+    sink.overwrite(Seq(("2", "b"), ("3", "c")).toDF("c0", "c1"),
+      "rfb_paises", "202401")
+    assert(fingerprint(v1Dir) === v1Before,
+      "previous version's data dir must be untouched by an overwrite")
+    assert(sink.readBack(spark, "rfb_paises", "202401").count() === 2)
+    // time travel to the superseded snapshot still works through the log
+    assert(graft.operators.TxLog.readVersion(spark, root.toString, 1L)
+      .select("c0").as[String].collect().toSet === Set("1"))
+    // no rename-mode residue: versioned mode uses neither staging nor backup
+    val table = new Path(s"$out/rfb_paises")
+    val names = fs(table).listStatus(table).map(_.getPath.getName).toSet
+    assert(names === Set("ref_month=202401"), names.toString)
+  }
+
+  test("versioned: crash mid-write (partial uncommitted dir) — old snapshot stays the truth") {
+    val out = Files.createTempDirectory("psinkv").toString
+    val sink = new ParquetSink(out, versioned = true)
+    sink.overwrite(Seq(("old", "x")).toDF("c0", "c1"), "rfb_cnaes", "202401")
+    val root = s"$out/rfb_cnaes/ref_month=202401"
+    // a crashed writer's partial dir: parquet files, no _SUCCESS, no commit
+    Seq(("partial", "p")).toDF("c0", "c1").write.parquet(s"$root/v2-deadbeef")
+    Files.delete(java.nio.file.Paths.get(s"$root/v2-deadbeef/_SUCCESS"))
+    assert(sink.readBack(spark, "rfb_cnaes", "202401")
+      .select("c0").as[String].collect().toSet === Set("old"))
+    // the next overwrite publishes cleanly alongside the orphan
+    sink.overwrite(Seq(("v2", "w")).toDF("c0", "c1"), "rfb_cnaes", "202401")
+    assert(sink.readBack(spark, "rfb_cnaes", "202401")
+      .select("c0").as[String].collect().toSet === Set("v2"))
+  }
+
+  test("versioned: crash after write, before publish — complete dir is invisible until committed") {
+    val out = Files.createTempDirectory("psinkv").toString
+    val sink = new ParquetSink(out, versioned = true)
+    sink.overwrite(Seq(("old", "x")).toDF("c0", "c1"), "rfb_motivos", "202401")
+    val root = s"$out/rfb_motivos/ref_month=202401"
+    // COMPLETE data (with _SUCCESS) whose writer died before the commit:
+    // unlike rename mode there is nothing to promote — the publish step is
+    // the commit record, and it never happened, so readers keep the old
+    // snapshot (write-once dirs make this safe: the data can't be half-old)
+    Seq(("unpublished", "u")).toDF("c0", "c1").write.parquet(s"$root/v2-cafe0000")
+    assert(sink.readBack(spark, "rfb_motivos", "202401")
+      .select("c0").as[String].collect().toSet === Set("old"))
+    // vacuum with retention 0 reclaims the orphan, committed data untouched
+    val removed = graft.operators.TxLog.vacuum(root, retainMs = 0L)
+    assert(removed === Seq("v2-cafe0000"))
+    assert(sink.readBack(spark, "rfb_motivos", "202401")
+      .select("c0").as[String].collect().toSet === Set("old"))
+  }
+
+  test("versioned: concurrent overwrite loses the CAS cleanly, winner's data intact") {
+    val out = Files.createTempDirectory("psinkv").toString
+    val sink = new ParquetSink(out, versioned = true)
+    sink.overwrite(Seq(("w1", "x")).toDF("c0", "c1"), "rfb_quals", "202401")
+    val root = s"$out/rfb_quals/ref_month=202401"
+    // a second writer that resolved expected=0 BEFORE the first committed:
+    // its publish must CAS-fail, corrupting nothing
+    intercept[graft.operators.TxLog.CommitConflict] {
+      graft.operators.TxLog.write(spark, root,
+        Seq(("w2", "y")).toDF("c0", "c1"), expected = 0L)
+    }
+    assert(sink.readBack(spark, "rfb_quals", "202401")
+      .select("c0").as[String].collect().toSet === Set("w1"))
   }
 
   test("crash with final missing and staging partial: backup is restored") {
