@@ -50,6 +50,25 @@ object Tables {
     }
   }
 
+  /** Streaming read of `$dir/$name.parquet` that works in BOTH layouts the
+    * batch reader accepts: a single FILE (the fixture layout) and a
+    * DIRECTORY of part files (the only layout at production scale). The
+    * old recipe — stream `dir` with a `pathGlobFilter` on the table name —
+    * matched only the file form, so a directory table streamed ZERO rows
+    * silently (every streaming query in the r11 10× rehearsal "finished"
+    * in 0.2 s on an empty stream); the direct-path form conversely rejects
+    * a bare file ("Option 'basePath' must be a directory"). One probe picks
+    * the right form; StreamingDirSpec pins both legs.
+    */
+  def streamRaw(ss: SparkSession, dir: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = target.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val reader = ss.readStream.schema(schema)
+    if (fs.getFileStatus(target).isDirectory) reader.parquet(target.toString)
+    else reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   /** Normalize a raw events frame: LONG-nanos or TIMESTAMP_NTZ ts → µs
     * timestamp. The fixture has carried `ts` as INT64 nanos (legacy mode →
     * LONG) and as `timestamp[us]` without timezone (Spark 4 → TIMESTAMP_NTZ);
@@ -61,7 +80,14 @@ object Tables {
   def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // FLOOR division, exactly in integers: `ts div 1000` truncates
+        // toward zero, so a pre-epoch instant (−1500 ns) rounded UP onto
+        // µs −1 instead of flooring onto µs −2 — the microsecond that
+        // actually contains it (r11 review; TablesNanosSpec). pmod keeps
+        // the arithmetic exact at any magnitude where a double detour
+        // would lose sub-µs bits.
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _: TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

@@ -205,20 +205,36 @@ object GraphOps {
     */
   private[graft] def recursiveWalk(
       s: SparkSession, pairs: DataFrame, hops: Int): DataFrame = {
-    val deg = pairs.select(col("id1").as("n"))
-      .union(pairs.select(col("id2").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-      .agg(sum(col("d") * col("d")).as("m2"), sum(col("d")).as("m1"))
-      .head()
-    if (!deg.isNullAt(1) && deg.getLong(1) > 0) {
-      val m1 = deg.getLong(1)
-      val b = math.max(1.0, deg.getLong(0).toDouble / m1.toDouble)
-      val est = m1.toDouble * math.pow(b, (hops - 1).toDouble)
-      if (est > WalkRowBudget.toDouble) throw new IllegalStateException(
-        f"recursive walk refused: ~$est%.3g enumerated paths estimated " +
-          f"(branching factor $b%.1f over $m1 directed edges, budget " +
-          s"$WalkRowBudget); this graph is too dense for walk enumeration " +
-          "— use gr03_bfs_hops' checkpointed min-frontier loop instead")
+    // SINGLE-SOURCE estimate: the walk starts from MIN(id1) alone, so its
+    // frontier grows like deg(src)·B^(h−1), not m1·B^(h−1). The original
+    // m1-based estimate modeled walks from EVERY edge and overstated by
+    // |E|/deg(src) — the r11 10× rehearsal refused a walk whose actual
+    // enumeration was component-local and far under budget (r11 review,
+    // confirmed empirically: 7.2e9 estimated vs sub-budget actual).
+    val srcRow = pairs.agg(min(col("id1")).as("s")).head()
+    if (!srcRow.isNullAt(0)) {
+      val src = srcRow.getLong(0)
+      val deg = pairs.select(col("id1").as("n"))
+        .union(pairs.select(col("id2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * col("d")).as("m2"), sum(col("d")).as("m1"),
+          sum(when(col("n") === src, col("d"))).as("dsrc"))
+        .head()
+      if (!deg.isNullAt(1) && deg.getLong(1) > 0) {
+        val m1 = deg.getLong(1)
+        val b = math.max(1.0, deg.getLong(0).toDouble / m1.toDouble)
+        val dsrc = if (deg.isNullAt(2)) 0L else deg.getLong(2)
+        // sum over levels ≈ deg(src)·B^(h−1)·B/(B−1); the geometric tail
+        // factor keeps the estimate a (mild) overcount, never an undercount
+        val tail = if (b > 1.0) b / (b - 1.0) else hops.toDouble
+        val est = dsrc.toDouble * math.pow(b, (hops - 1).toDouble) * tail
+        if (est > WalkRowBudget.toDouble) throw new IllegalStateException(
+          f"recursive walk refused: ~$est%.3g enumerated paths estimated " +
+            f"(source degree $dsrc, branching factor $b%.1f over $m1 " +
+            s"directed edges, budget $WalkRowBudget); this graph is too " +
+            "dense for walk enumeration — use gr03_bfs_hops' checkpointed " +
+            "min-frontier loop instead")
+      }
     }
     // invocation-unique view name, dropped right after analysis: a fixed
     // name races concurrent invocations on one session (the second

@@ -62,7 +62,12 @@ class ZipEntriesSource extends TableProvider {
 }
 
 object ZipEntriesSource {
+  // zip_path (the full archive path) disambiguates what zip_name cannot:
+  // the recursive nested layout this source advertises (dir/month=…/x.zip)
+  // repeats the same archive BASENAMES every month, so a basename-only
+  // schema silently merged months in any zip_name-keyed audit (r11 review)
   val schema: StructType = StructType(Seq(
+    StructField("zip_path", StringType, nullable = false),
     StructField("zip_name", StringType, nullable = false),
     StructField("entry_name", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
@@ -75,11 +80,20 @@ class ZipTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZipScan(Option(path).getOrElse(options.get("path")),
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val resolved = Option(path).getOrElse(options.get("path"))
+    // fail with the actual contract, not a Paths.get(null) NPE at planning:
+    // load() with zero paths or load(a, b) with several stores a "paths"
+    // (plural) property and leaves "path" null (r11 review)
+    if (resolved == null) throw new IllegalArgumentException(
+      "zip_entries requires exactly ONE load path (a .zip file or a " +
+        "directory to walk recursively); multiple load(...) paths are not " +
+        "supported — union several reads instead")
+    new ZipScan(resolved,
       ZipEntriesSource.schema,
       options.getInt("zip.distributedPlanningThreshold",
         ZipScan.DefaultDistributedPlanningThreshold))
+  }
 }
 
 object ZipScan {
@@ -92,36 +106,40 @@ object ZipScan {
 
   import org.apache.spark.sql.sources._
 
-  /** A name filter compiled to a (zipName, entryName) => keep predicate;
-    * None = not prunable (left to Spark's residual evaluation). Static so
-    * the distributed planning closure captures filters (serializable),
-    * never the scan.
+  /** A name filter compiled to a (zipPath, zipName, entryName) => keep
+    * predicate; None = not prunable (left to Spark's residual evaluation).
+    * zip_path predicates prune too — a `month=…` path-prefix filter is the
+    * at-scale partition-pruning shape. Static so the distributed planning
+    * closure captures filters (serializable), never the scan.
     */
   private[sources] def compile(f: Filter)
-      : Option[(String, String) => Boolean] = {
-    def col(attr: String): Option[((String, String)) => String] = attr match {
-      case "zip_name" => Some(_._1)
-      case "entry_name" => Some(_._2)
+      : Option[(String, String, String) => Boolean] = {
+    type Row3 = (String, String, String)
+    def col(attr: String): Option[Row3 => String] = attr match {
+      case "zip_path" => Some(_._1)
+      case "zip_name" => Some(_._2)
+      case "entry_name" => Some(_._3)
       case _ => None
     }
     f match {
-      case EqualTo(a, v: String) => col(a).map(c => (z, e) => c((z, e)) == v)
+      case EqualTo(a, v: String) =>
+        col(a).map(c => (p, z, e) => c((p, z, e)) == v)
       case In(a, vs) =>
         val set = vs.collect { case s: String => s }.toSet
         col(a).filter(_ => set.size == vs.length)
-          .map(c => (z, e) => set.contains(c((z, e))))
+          .map(c => (p, z, e) => set.contains(c((p, z, e))))
       case StringStartsWith(a, v) =>
-        col(a).map(c => (z, e) => c((z, e)).startsWith(v))
+        col(a).map(c => (p, z, e) => c((p, z, e)).startsWith(v))
       case StringEndsWith(a, v) =>
-        col(a).map(c => (z, e) => c((z, e)).endsWith(v))
+        col(a).map(c => (p, z, e) => c((p, z, e)).endsWith(v))
       case StringContains(a, v) =>
-        col(a).map(c => (z, e) => c((z, e)).contains(v))
+        col(a).map(c => (p, z, e) => c((p, z, e)).contains(v))
       case And(l, r) =>
         for (cl <- compile(l); cr <- compile(r))
-          yield (z: String, e: String) => cl(z, e) && cr(z, e)
+          yield (p: String, z: String, e: String) => cl(p, z, e) && cr(p, z, e)
       case Or(l, r) =>
         for (cl <- compile(l); cr <- compile(r))
-          yield (z: String, e: String) => cl(z, e) || cr(z, e)
+          yield (p: String, z: String, e: String) => cl(p, z, e) || cr(p, z, e)
       case _ => None
     }
   }
@@ -132,12 +150,12 @@ object ZipScan {
     * distributed planning job — one body, identical partitions either path.
     */
   private[sources] def membersOf(zipPath: String,
-      keep: Array[(String, String) => Boolean]): Array[ZipPartition] = {
+      keep: Array[(String, String, String) => Boolean]): Array[ZipPartition] = {
     val zipName = Paths.get(zipPath).getFileName.toString
     val zf = new ZipFile(zipPath)
     try zf.entries().asScala.zipWithIndex
       .filterNot(_._1.isDirectory)
-      .filter { case (e, _) => keep.forall(_(zipName, e.getName)) }
+      .filter { case (e, _) => keep.forall(_(zipPath, zipName, e.getName)) }
       .map { case (e, i) =>
         ZipPartition(zipPath, e.getName, e.getSize, e.getCompressedSize, i)
       }
@@ -159,7 +177,7 @@ class ZipScan(path: String, var required: StructType,
 
   private var pushed: Array[Filter] = Array.empty
   // compiled ONCE here; the planning walk applies them O(members) times
-  private var compiled: Array[(String, String) => Boolean] = Array.empty
+  private var compiled: Array[(String, String, String) => Boolean] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -226,7 +244,16 @@ class ZipScan(path: String, var required: StructType,
             ZipScan.membersOf(z, keep)
         })
       }
-      futures.flatMap(_.get())
+      try futures.flatMap(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // surface the real archive error (ZipException with the path),
+          // not the pool wrapper, and stop the remaining directory reads —
+          // shutdown() alone let queued tasks keep opening archives after
+          // planning had already failed (r11 review)
+          pool.shutdownNow()
+          throw e.getCause
+      }
     } finally pool.shutdown()
   }
 
@@ -289,10 +316,10 @@ class ZipEntryReader(zp: ZipPartition, fields: Array[String])
     if (done) false else { done = true; true }
 
   override def get(): InternalRow = {
-    val zipName =
-      UTF8String.fromString(Paths.get(zp.zipPath).getFileName.toString)
     InternalRow.fromSeq(fields.toSeq.map {
-      case "zip_name" => zipName
+      case "zip_path" => UTF8String.fromString(zp.zipPath)
+      case "zip_name" =>
+        UTF8String.fromString(Paths.get(zp.zipPath).getFileName.toString)
       case "entry_name" => UTF8String.fromString(zp.entryName)
       case "size" => zp.size
       case "compressed_size" => zp.compressedSize

@@ -37,9 +37,10 @@ object CorpusStream {
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val schema = Tables(ss, dir, "documents").schema
       val sink = s"st05_mem_${nameCounter.incrementAndGet()}"
-      val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      // layout-aware source (single file OR directory of part files) — the
+      // old glob recipe silently streamed zero rows from a directory
+      // table, the production layout (r11 10× rehearsal; Tables.streamRaw)
+      val stream = Tables.streamRaw(ss, dir, "documents", schema)
       val q = TextOps.scoredEnglish(stream)
         .dropDuplicates("fp")
         .select(col("fp"))

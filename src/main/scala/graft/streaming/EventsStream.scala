@@ -447,10 +447,11 @@ object EventsStream {
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     extraConfs.foreach { case (k, v) => ss.conf.set(k, v) }
     val rawSchema = Tables.rawEvents(ss, dir).schema
+    // layout-aware source (single file OR directory of part files) — the
+    // old glob recipe silently streamed zero rows from a directory table,
+    // the production layout (r11 10× rehearsal; Tables.streamRaw doc)
     val stream = Tables.normalizeEvents(
-      ss.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      Tables.streamRaw(ss, dir, "events", rawSchema))
     (ss, stream)
   }
 

@@ -94,6 +94,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("gr03_bfs_hops"))
   }
 
+  test("recursiveWalk accepts a LARGE sparse graph the old m1-estimate refused") {
+    // 15k-edge path graph at hops=12: the old estimate modeled walks from
+    // every directed edge (m1·B^(h−1) = 30000·2¹¹ ≈ 6.1e7 > 50M budget →
+    // spurious refusal), but the walk starts from ONE source of degree 1 —
+    // actual enumeration is a few hundred paths (r11 review, confirmed by
+    // the 10× rehearsal where rec01 was refused on a sub-budget walk)
+    val s = spark
+    import s.implicits._
+    val path = (0L until 15000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = GraphOps.recursiveWalk(spark, path, 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == (0L to 12L).map(i => i -> i.toInt).toMap)
+  }
+
   test("recursiveWalk runs sparse graphs and returns exact min-hops") {
     // path graph 0-1-2-...-9: well under budget; hops = node index
     val s = spark

@@ -43,6 +43,36 @@ class SkewSpec extends AnyFunSuite {
       joinType = "left_anti").count() === 0L)
   }
 
+  test("dotted column names, map columns, and a user __salt column all survive") {
+    import spark.implicits._
+    // r11 review: col("user.id") parsed as nested-field access (crash),
+    // xxhash64 rejected MapType (crash), and a probe column literally
+    // named __salt was overwritten then dropped (silent data loss)
+    val probe = Seq((1L, "a", 7), (1L, "b", 9), (2L, "c", 3))
+      .toDF("user.id", "__salt", "n")
+      .withColumn("attrs", map(lit("k"), col("`user.id`")))
+    val build = Seq((1L, "x"), (2L, "y")).toDF("bk", "bv")
+    val out = Skew.saltedJoin(probe, build, "user.id", "bk", salts = 4)
+    assert(out.count() === 3)
+    // the user's own __salt column is intact in the output
+    assert(out.select("__salt").collect().map(_.getString(0)).sorted
+      === Array("a", "b", "c"))
+    assert(out.columns.count(_ == "__salt") === 1)
+    // map-typed attrs column rode through untouched
+    assert(out.select("attrs").count() === 3)
+  }
+
+  test("a probe with ONLY unhashable non-key columns still joins correctly") {
+    import spark.implicits._
+    val probe = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("k", "m")
+    // k is hashable, m is not: salt hashes k alone; multiset still exact
+    val build = Seq((1L, "x")).toDF("bk", "bv")
+    val out = Skew.saltedJoin(probe, build, "k", "bk", salts = 8)
+    assert(out.count() === 1)
+    assert(out.select("bv").head.getString(0) === "x")
+  }
+
   test("salted join key includes the salt (spreads a hot key)") {
     import spark.implicits._
     // a pathologically hot key: 1000 probe rows, one build row

@@ -29,7 +29,7 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
 
     val df = spark.read.format("graft.sources.ZipEntriesSource")
       .load(dir.toString)
-    val rows = df.collect().map(r =>
+    val rows = df.select("zip_name", "entry_name", "size").collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(rows === Set(
       ("a.zip", "K1.CNAECSV", 10L),
@@ -48,7 +48,7 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     val df = spark.read.format("graft.sources.ZipEntriesSource")
       .load(dir.toString)
     assert(df.rdd.getNumPartitions === 2)
-    assert(df.collect().map(_.getString(1)).toSet ===
+    assert(df.select("entry_name").collect().map(_.getString(0)).toSet ===
       Set("PART1.CSV", "PART2.CSV"))
   }
 
@@ -58,7 +58,8 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     mkZip(nested, "deep.zip", Seq("K9.PAIS" -> "105;x\n".getBytes("UTF-8")))
     val df = spark.read.format("graft.sources.ZipEntriesSource")
       .load(dir.toString)
-    assert(df.collect().map(_.getString(1)).toSeq === Seq("K9.PAIS"))
+    assert(df.select("entry_name").collect().map(_.getString(0)).toSeq ===
+      Seq("K9.PAIS"))
 
     val empty = Files.createTempDirectory("zipsrc5")
     val ex = intercept[Exception] {
@@ -82,7 +83,7 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     // suffix predicate: only the 2 EMPRECSV members plan as partitions
     val emp = df.filter($"entry_name".endsWith("EMPRECSV"))
     assert(emp.rdd.getNumPartitions === 2)
-    assert(emp.collect().map(_.getString(1)).toSet ===
+    assert(emp.select("entry_name").collect().map(_.getString(0)).toSet ===
       Set("K1.EMPRECSV", "K4.EMPRECSV"))
     // conjunction with zip_name narrows to 1
     val one = df.filter($"entry_name".endsWith("EMPRECSV") &&
@@ -127,7 +128,8 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     Files.write(dir.resolve("dup.zip"), out.toByteArray)
     val df = spark.read.format("graft.sources.ZipEntriesSource")
       .load(dir.toString)
-    val rows = df.collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    val rows = df.select("entry_name", "size").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows.sorted === Seq(("SAME.CSV", 1L), ("SAME.CSV", 4L)))
     assert(df.rdd.getNumPartitions === 2)
   }
@@ -147,7 +149,8 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     val viaExecutors = scan(1)
     val viaDriver = scan(1000)
     val key = (r: org.apache.spark.sql.Row) =>
-      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))
     assert(viaExecutors.collect().map(key).sorted.toSeq ===
       viaDriver.collect().map(key).sorted.toSeq)
     assert(viaExecutors.rdd.getNumPartitions ===
@@ -156,6 +159,63 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     val emp = scan(1).filter($"entry_name".endsWith("EMPRECSV"))
     assert(emp.rdd.getNumPartitions === 5)
     assert(emp.count() === 5L)
+  }
+
+  test("zip_path disambiguates same-named archives across months and prunes") {
+    import spark.implicits._
+    // the RFB layout: every month repeats the same archive basenames —
+    // zip_name alone silently merged months in any name-keyed audit
+    // (r11 review); zip_path recovers the month and its predicates prune
+    val dir = Files.createTempDirectory("zipsrcA")
+    val m5 = Files.createDirectories(dir.resolve("month=2024-05"))
+    val m6 = Files.createDirectories(dir.resolve("month=2024-06"))
+    mkZip(m5, "Empresas0.zip", Seq("K1.EMPRECSV" -> "a\n".getBytes("UTF-8")))
+    mkZip(m6, "Empresas0.zip", Seq("K1.EMPRECSV" -> "bb\n".getBytes("UTF-8")))
+    val df = spark.read.format("graft.sources.ZipEntriesSource")
+      .load(dir.toString)
+    // both months visible and tellable apart
+    val byPath = df.select("zip_path", "size").collect()
+      .map(r => (r.getString(0).contains("month=2024-05"), r.getLong(1)))
+      .toSet
+    assert(byPath === Set((true, 2L), (false, 3L)))
+    // a month-prefix predicate prunes partitions at planning
+    val may = df.filter($"zip_path".contains("month=2024-05"))
+    assert(may.rdd.getNumPartitions === 1)
+    assert(may.select("size").head.getLong(0) === 2L)
+  }
+
+  test("zero or multiple load paths fail with the contract, not an NPE") {
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.ZipEntriesSource").load()
+        .collect()
+    }
+    assert(ex.getMessage.contains("exactly ONE load path"))
+    val dirA = Files.createTempDirectory("zipsrcB")
+    val dirB = Files.createTempDirectory("zipsrcC")
+    mkZip(dirA, "a.zip", Seq("K1.PAIS" -> "x\n".getBytes("UTF-8")))
+    mkZip(dirB, "b.zip", Seq("K2.PAIS" -> "y\n".getBytes("UTF-8")))
+    val ex2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.ZipEntriesSource")
+        .load(dirA.toString, dirB.toString).collect()
+    }
+    assert(ex2.getMessage.contains("exactly ONE load path"))
+  }
+
+  test("a corrupt archive fails planning with the archive's own error") {
+    val dir = Files.createTempDirectory("zipsrcD")
+    mkZip(dir, "good.zip", Seq("K1.PAIS" -> "x\n".getBytes("UTF-8")))
+    Files.write(dir.resolve("bad.zip"), "not a zip at all".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.ZipEntriesSource")
+        .load(dir.toString).collect()
+    }
+    // the real ZipException surfaces (not an ExecutionException wrapper)
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[java.util.zip.ZipException]),
+      chain(ex).map(_.getClass.getName).toString)
+    assert(!chain(ex).exists(
+      _.isInstanceOf[java.util.concurrent.ExecutionException]))
   }
 
   test("column pruning reaches the scan") {
