@@ -290,13 +290,22 @@ object Relational {
     }),
 
     "q21_array_funcs" -> ((s, dir) => {
+      // the size() guard covers BOTH boundary cells: a zero-length vector
+      // makes element_at(_, 0) throw INVALID_INDEX_OF_ZERO (and the index-1
+      // probe aborts under ANSI) while the oracle's embedding[1] /
+      // embedding[len(...)] return NULL — guard to NULL on empty so one
+      // degenerate row can't abort the query or fork the engines (r11
+      // review, probed on both engines; the short-vector comment below
+      // covered only the non-empty case)
       t(s, dir, "embeddings").select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).cast("double").as("e_first"),
+        when(size(col("embedding")) > 0, element_at(col("embedding"), 1))
+          .cast("double").as("e_first"),
         // size(), not a hardcoded 64: under ANSI mode a shorter vector
         // would ABORT on an out-of-range literal index while the oracle's
         // embedding[len(embedding)] returns the true last element
-        element_at(col("embedding"), size(col("embedding")))
+        when(size(col("embedding")) > 0,
+          element_at(col("embedding"), size(col("embedding"))))
           .cast("double").as("e_last"),
         array_max(col("embedding")).cast("double").as("e_max"),
         array_min(col("embedding")).cast("double").as("e_min"))
@@ -306,13 +315,19 @@ object Relational {
     "q22_json_funcs" -> ((s, dir) => {
       // try_cast: the bare ANSI cast ABORTS the whole job on a
       // non-integer k ('50.5'), against the module's q47 containment
-      // policy; with try_cast the contract is "k counts iff the
-      // extracted text is an in-range integer", mirrored by the oracle's
-      // integer-regex guard (DuckDB TRY_CAST alone ROUNDS '50.5' to 51 —
-      // probed, not assumed; r10 review)
+      // policy. The contract is "k counts iff the space-trimmed text is an
+      // in-range integer", enforced by the SAME regex gate on both sides:
+      // a bare try_cast also accepted control-char padding ('\t7' → 7,
+      // Spark's cast trims every char <= 0x20) that the oracle's
+      // space-only trim + regex rejected — a fixture-dormant hash fork
+      // (r11 review, probed both engines; DuckDB TRY_CAST alone ROUNDS
+      // '50.5' to 51 — r10 review)
       t(s, dir, "events")
         .select(col("event_type"),
-          expr("try_cast(get_json_object(props, '$.k') as int)").as("k"))
+          expr("""CASE WHEN trim(get_json_object(props, '$.k'))
+                 |       RLIKE '^[+-]?[0-9]+$'
+                 |  THEN try_cast(trim(get_json_object(props, '$.k')) as int)
+                 |END""".stripMargin).as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
           max("k").as("max_k"), min("k").as("min_k"))

@@ -53,7 +53,12 @@ object Relational5 {
     // the same property that makes roaring-bitmap rollups work at lake
     // scale. One shuffle, no distinct.
     "q53_bit_aggs" -> ((s, dir) => {
-      val mask = expr("shiftleft(1L, cast(user_id % 32 as int))")
+      // pmod, not %: a negative user_id gave % a negative remainder, and
+      // Spark's shiftleft silently MASKS a negative count to its low 6
+      // bits (1L << -5 = 1L << 59) while the oracle's << hard-errors on
+      // it — a fixture-dormant fork AND a bogus high mask bit (r11
+      // review, probed both engines)
+      val mask = expr("shiftleft(1L, cast(pmod(user_id, 32) as int))")
       Tables(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
         .agg(
@@ -96,16 +101,20 @@ object Relational5 {
         .orderBy("nationkey")
     }),
 
-    // Spark 4 VARIANT ingestion: parse_json once into the binary VARIANT
-    // encoding, then typed path extraction (variant_get) — the
-    // shred-on-read pattern for semi-structured columns. try_variant_get
-    // on an absent path returns NULL instead of failing, proving row-level
-    // error containment on the semi-structured axis (q47's contract).
+    // Spark 4 VARIANT ingestion: try_parse_json once into the binary
+    // VARIANT encoding, then typed path extraction — the shred-on-read
+    // pattern for semi-structured columns, with q47's row-level error
+    // containment on BOTH steps: the strict parse_json ABORTED the whole
+    // query on one malformed props row, and the strict variant_get did
+    // the same on a non-int-castable k (r11 review, probed). try_* keeps
+    // bad rows as NULLs, exactly as the oracle's json_valid + TRY_CAST
+    // guards do; both engines TRUNCATE a fractional k (probed: 2.7 → 2,
+    // −2.7 → −2 through try_variant_get AND the oracle's TRUNC chain).
     "vr01_variant" -> ((s, dir) => {
-      val v = parse_json(col("props"))
+      val v = try_parse_json(col("props"))
       Tables(s, dir, "events")
         .select(col("event_type"),
-          variant_get(v, "$.k", "int").as("k"),
+          try_variant_get(v, "$.k", "int").as("k"),
           try_variant_get(v, "$.missing", "int").as("m"))
         .groupBy("event_type")
         .agg(count(col("k")).as("n_k"),
@@ -138,7 +147,13 @@ object Relational5 {
     // skew_x_micro = that share relative to uniform (share × n_keys).
     "q55_skew_profile" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem").select(col("l_suppkey"))
-      val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      // materialized: counts feeds BOTH the totals scalar and the top-10
+      // cut, and as bare lineage the fact table was scanned + aggregated
+      // twice per run (the zero-exchange-reuse shape q59 fixed the same
+      // way — r11 review); the per-key count table is NDV-bounded, tiny
+      val counts = MinHashDedup.materialized(
+        li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt")),
+        "q55_counts", dir)
       val totals = counts.agg(sum(col("cnt")).as("total"),
         count(lit(1)).as("n_keys"))
       counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
@@ -344,7 +359,7 @@ object Relational5 {
 
     "q53_bit_aggs" ->
       """WITH b AS (SELECT date_trunc('hour', ts) AS hb, event_type,
-        |   CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT) AS mask,
+        |   CAST(1 AS BIGINT) << CAST(((user_id % 32) + 32) % 32 AS INT) AS mask,
         |   CAST(user_id AS BIGINT) AS uid FROM events)
         |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, event_type,
         | bit_or(mask) AS user_mask,
@@ -373,14 +388,19 @@ object Relational5 {
         |ORDER BY nationkey""".stripMargin,
 
     "vr01_variant" ->
-      """SELECT event_type,
-        | COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_k,
-        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-        |   AS sum_k,
-        | MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-        | COUNT(*) - COUNT(CAST(json_extract(props, '$.missing') AS INT))
-        |   AS n_missing
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH j AS (SELECT event_type,
+        |  CASE WHEN json_valid(props) THEN
+        |    TRY_CAST(TRUNC(TRY_CAST(json_extract(props, '$.k') AS DOUBLE))
+        |      AS INT) END AS k,
+        |  CASE WHEN json_valid(props) THEN
+        |    TRY_CAST(json_extract(props, '$.missing') AS INT) END AS m
+        | FROM events)
+        |SELECT event_type,
+        | COUNT(k) AS n_k,
+        | CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+        | MAX(k) AS max_k,
+        | COUNT(*) - COUNT(m) AS n_missing
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "pa01_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
