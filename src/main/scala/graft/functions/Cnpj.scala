@@ -24,25 +24,22 @@ object Cnpj {
     val digits = raw.filter(c => c >= '0' && c <= '9')
     if (digits.length != 14) return false
     if (digits.forall(_ == digits.head)) return false // 00000000000000 etc.
-    val d = new Array[Int](14)
-    var i = 0
-    while (i < 14) { d(i) = digits.charAt(i) - '0'; i += 1 }
-    var s1 = 0
-    i = 0
-    while (i < 12) { s1 += d(i) * W1(i); i += 1 }
-    val c1 = { val m = s1 % 11; if (m < 2) 0 else 11 - m }
-    if (d(12) != c1) return false
-    var s2 = 0
-    i = 0
-    while (i < 12) { s2 += d(i) * W2(i); i += 1 }
-    s2 += c1 * W2(12)
-    val c2 = { val m = s2 % 11; if (m < 2) 0 else 11 - m }
-    d(13) == c2
+    // ONE mod-11 implementation: validation is "the suffix equals the
+    // computed check digits" (the two hand-unrolled copies had already
+    // drifted on digit classification — r11 review)
+    digits.substring(12) == checkDigits(digits.substring(0, 12))
   }
 
-  /** Compute the two check digits for a 12-digit prefix (fixture helper). */
+  /** Compute the two check digits for a 12-digit prefix (fixture helper AND
+    * the validation kernel). ASCII-strict like [[isValidStr]]:
+    * Character.isDigit accepted fullwidth/Arabic-Indic digits here — the
+    * exact trap the validator's comment documents — and returned garbage
+    * check digits for them (r11 review).
+    */
   def checkDigits(prefix12: String): String = {
-    require(prefix12.length == 12 && prefix12.forall(Character.isDigit))
+    require(prefix12.length == 12 &&
+      prefix12.forall(c => c >= '0' && c <= '9'),
+      s"checkDigits needs 12 ASCII digits, got '$prefix12'")
     val d = prefix12.map(_ - '0').toArray
     var s1 = 0
     (0 until 12).foreach(i => s1 += d(i) * W1(i))

@@ -60,9 +60,13 @@ case class CnpjValid(child: Expression) extends UnaryExpression {
   * formulation gives (its pad-nulls poison the sum): silently truncating
   * to the shorter side turned a corrupt or wrong-dimension embedding row
   * into a plausible-but-wrong cosine instead of a visible null (r10
-  * review). Element nulls are not expected (embedding vectors are dense);
-  * a null element contributes whatever the backing array holds, as with
-  * the higher-order-function formulation.
+  * review). A NULL ELEMENT also returns NULL, again matching zip_with
+  * (null poisons the sum) — the old kernel read the null slot's backing
+  * bytes (0.0 on UnsafeArrayData, stale garbage on columnar) and produced
+  * a plausible-but-wrong number, the exact failure class the length check
+  * exists to prevent (r11 review). The isNullAt probes are emitted only
+  * when a side's type admits null elements, so dense containsNull=false
+  * vectors keep the branch-free hot loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -77,6 +81,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -85,9 +91,12 @@ case class DotProduct(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
+    val ln = elemNullable(left)
+    val rn = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -103,6 +112,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullProbe = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None)
+        .flatten.mkString(" || ")
+      val nullBreak =
+        if (nullProbe.isEmpty) ""
+        else s"if ($nullProbe) { ${ev.isNull} = true; break; }"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -110,6 +126,7 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullBreak
          |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |  }
          |  ${ev.value} = $acc;
@@ -163,14 +180,30 @@ object GraftFunctions {
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def nfc_normalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
 
+  /** Arity gate for the SQL builders: a wrong-arity call must be an
+    * analysis-time error naming the function, not a NoSuchElementException
+    * from `es.head` — and extra arguments must NOT be silently dropped
+    * (`dot_product(a, b, c)` ran on a, b and ignored c: a silently-wrong
+    * result, the exact opaque-crash class ArgCheck exists to prevent —
+    * r11 review).
+    */
+  private[functions] def arity(name: String, n: Int)(
+      es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name expects exactly $n argument${if (n == 1) "" else "s"}, " +
+        s"got ${es.length}")
+    es
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cnpj_valid",
-      es => CnpjValid(es.head), "scala_udf")
+      es => CnpjValid(arity("cnpj_valid", 1)(es).head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es(0), es(1)), "scala_udf")
+      es => { val a = arity("dot_product", 2)(es); DotProduct(a(0), a(1)) },
+      "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
-      es => NfcNormalize(es.head), "scala_udf")
+      es => NfcNormalize(arity("nfc_normalize", 1)(es).head), "scala_udf")
   }
 
   private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
@@ -187,13 +220,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     e.injectFunction((FunctionIdentifier("cnpj_valid"),
       new ExpressionInfo(classOf[CnpjValid].getName, "cnpj_valid"),
-      (es: Seq[Expression]) => CnpjValid(es.head)))
+      (es: Seq[Expression]) =>
+        CnpjValid(GraftFunctions.arity("cnpj_valid", 1)(es).head)))
     e.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => {
+        val a = GraftFunctions.arity("dot_product", 2)(es)
+        DotProduct(a(0), a(1))
+      }))
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (es: Seq[Expression]) => NfcNormalize(es.head)))
+      (es: Seq[Expression]) =>
+        NfcNormalize(GraftFunctions.arity("nfc_normalize", 1)(es).head)))
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

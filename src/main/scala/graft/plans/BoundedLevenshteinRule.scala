@@ -31,5 +31,21 @@ object BoundedLevenshteinRule extends Rule[LogicalPlan] {
         GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
       case GreaterThan(IntegerLiteral(kv), Levenshtein(a, b, None)) if kv >= 1 =>
         GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+      // LOWER bounds band just as validly: lev(a,b) > k ⟺ lev(a,b,k) < 0
+      // (the banded kernel returns -1 past its threshold; nulls stay null
+      // on both sides). The fuzzy ANTI-match filter was left on the
+      // quadratic kernel for no reason (r11 review).
+      case GreaterThan(Levenshtein(a, b, None), k @ IntegerLiteral(kv))
+          if kv >= 0 =>
+        LessThan(Levenshtein(a, b, Some(k)), Literal(0))
+      case LessThan(k @ IntegerLiteral(kv), Levenshtein(a, b, None))
+          if kv >= 0 =>
+        LessThan(Levenshtein(a, b, Some(k)), Literal(0))
+      case GreaterThanOrEqual(Levenshtein(a, b, None), IntegerLiteral(kv))
+          if kv >= 1 =>
+        LessThan(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+      case LessThanOrEqual(IntegerLiteral(kv), Levenshtein(a, b, None))
+          if kv >= 1 =>
+        LessThan(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
     }
 }

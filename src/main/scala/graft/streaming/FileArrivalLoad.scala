@@ -61,6 +61,13 @@ object FileArrivalLoad {
     val raw = spark.readStream
       .options(Map("sep" -> ";", "header" -> "false",
         "encoding" -> "UTF-8", "mode" -> "PERMISSIVE",
+        // effectively-infinite maxFileAge: the default 7 DAYS silently
+        // skips any file whose mtime trails the newest seen file by more
+        // than a week — a corrected CSV copied in with its original
+        // timestamp (cp -p / rsync -a) would be ingested ZERO times, in
+        // the component whose contract is exactly-once. The checkpointed
+        // file log is the dedup authority here, not mtime (r11 review).
+        "maxFileAge" -> "36500d",
         "maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
       .schema(RfbTables.rawSchema(nCols))
       .csv(watchDir)

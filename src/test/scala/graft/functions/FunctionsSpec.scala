@@ -87,6 +87,57 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_product returns NULL on a null element, like zip_with") {
+    // the old kernel read the null slot's backing bytes (0.0 on UnsafeRow,
+    // stale garbage on columnar) and returned a plausible-but-wrong
+    // number — the exact failure class the length check prevents (r11
+    // review); the zip_with twin poisons the sum to NULL, so must this
+    import spark.implicits._
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(2.0, 5.0, 7.0)))
+      .toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.dot_product(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+        .as("hof"))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+    // and a null-free row through the SAME nullable-typed column still
+    // computes (the null probe must not reject the whole column type)
+    val ok = Seq((Seq(Some(1.0), Some(2.0)), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(GraftFunctions.dot_product(col("a"), col("b")))
+      .collect().head
+    assert(ok.getDouble(0) === 11.0)
+  }
+
+  test("wrong ARITY fails with the function's name, and extras are not dropped") {
+    // es.head / es(0)/es(1) crashed with NoSuchElementException on too few
+    // args and SILENTLY IGNORED extra ones — dot_product(a, b, c) ran on
+    // (a, b): a silently-wrong result (r11 review)
+    GraftFunctions.register(spark)
+    for (bad <- Seq(
+      "SELECT cnpj_valid()",
+      "SELECT dot_product(array(1.0D))",
+      "SELECT dot_product(array(1.0D), array(2.0D), array(3.0D))",
+      "SELECT nfc_normalize('a', 'b')")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6).toSeq
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(c => Option(c.getMessage)
+          .exists(_.contains("expects exactly"))), s"$bad: $e")
+    }
+  }
+
+  test("checkDigits is ASCII-strict like the validator (no fullwidth digits)") {
+    // Character.isDigit accepted fullwidth digits and produced garbage
+    // check digits the validator then rejected — drifted twins (r11
+    // review); validation now routes THROUGH checkDigits, one algorithm
+    val full = "１１２２２３３３０００１" // fullwidth 112223330001
+    intercept[IllegalArgumentException] { Cnpj.checkDigits(full) }
+    assert(Cnpj.checkDigits("112223330001") === "81") // 11.222.333/0001-81
+    assert(Cnpj.isValidStr("11222333000181"))
+  }
+
   test("dot_product handles mixed float/double array inputs") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0, 0.5, 1.0))).toDF("f", "d")

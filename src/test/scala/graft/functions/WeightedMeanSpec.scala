@@ -31,4 +31,22 @@ class WeightedMeanSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(got.isNaN)
   }
+
+  test("null values or weights skip their pair instead of aborting the job") {
+    // the old primitive (Double, Double) IN type hit the tuple encoder's
+    // AssertNotNull on the first NULL and died with 'Null value appeared
+    // in non-nullable field' (r11 review). Contract: a pair with a null
+    // value OR weight is skipped entirely — a weight without a value must
+    // not inflate the denominator.
+    import spark.implicits._
+    val df = Seq(
+      (Some(10.0), Some(1.0)),
+      (None: Option[Double], Some(99.0)), // null value: skipped wholesale
+      (Some(99.0), None: Option[Double]), // null weight: skipped wholesale
+      (Some(20.0), Some(3.0)))
+      .toDF("p", "w")
+    val got = df.select(udaf(new WeightedMean).apply(col("p"), col("w")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - (10.0 * 1 + 20.0 * 3) / 4.0) < 1e-12, got)
+  }
 }

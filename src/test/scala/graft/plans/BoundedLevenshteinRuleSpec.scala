@@ -42,16 +42,35 @@ class BoundedLevenshteinRuleSpec extends AnyFunSuite {
     assert(original === Set("flaw", "abc"))
   }
 
-  test("strict < and flipped comparisons rewrite too; > k does not") {
+  test("strict < and flipped comparisons rewrite too") {
     val lt = df.filter(levenshtein($"a", $"b") < 3)
     assert(thresholds(BoundedLevenshteinRule(lt.queryExecution.analyzed))
       === ((1, 0)))
     val flipped = df.filter(lit(2) >= levenshtein($"a", $"b"))
     assert(thresholds(BoundedLevenshteinRule(flipped.queryExecution.analyzed))
       === ((1, 0)))
-    // lower bounds can't use the banded kernel — left untouched
-    val gt = df.filter(levenshtein($"a", $"b") > 2)
-    assert(thresholds(BoundedLevenshteinRule(gt.queryExecution.analyzed))
+  }
+
+  test("lower bounds band too: lev > k becomes banded lev(k) < 0, result unchanged") {
+    // lev(a,b) > k ⟺ lev(a,b,k) = -1 — the fuzzy ANTI-match filter was
+    // needlessly on the quadratic kernel (r11 review)
+    for ((q, expected) <- Seq(
+        (df.filter(levenshtein($"a", $"b") > 2), Set("kitten", "short")),
+        (df.filter(levenshtein($"a", $"b") >= 3), Set("kitten", "short")),
+        (df.filter(lit(2) < levenshtein($"a", $"b")), Set("kitten", "short")),
+        (df.filter(lit(3) <= levenshtein($"a", $"b")), Set("kitten", "short")))) {
+      val rewritten = BoundedLevenshteinRule(q.queryExecution.analyzed)
+      assert(thresholds(rewritten) === ((1, 0)), q.queryExecution.analyzed)
+      assert(q.collect().map(_.getString(0)).toSet === expected)
+      // the rewritten plan computes the same rows through the banded kernel
+      val viaBounded = df.filter(levenshtein($"a", $"b", 2) < 0)
+        .collect().map(_.getString(0)).toSet
+      assert(viaBounded === expected)
+    }
+    // lev >= 0 must NOT rewrite with a negative band (it is a tautology on
+    // non-null inputs; leave it alone)
+    val ge0 = df.filter(levenshtein($"a", $"b") >= 0)
+    assert(thresholds(BoundedLevenshteinRule(ge0.queryExecution.analyzed))
       === ((0, 1)))
   }
 

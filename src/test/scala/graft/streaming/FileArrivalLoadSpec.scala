@@ -46,6 +46,33 @@ class FileArrivalLoadSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("a correction with an ancient mtime is still ingested (no 7-day age cutoff)") {
+    // FileStreamSource's default maxFileAge=7d silently skips any file
+    // whose mtime trails the newest seen file by more than a week — a
+    // corrected CSV copied in with its original timestamp (cp -p /
+    // rsync -a) would be ingested ZERO times in the component whose
+    // contract is exactly-once (r11 review). The checkpointed file log is
+    // the dedup authority, so the age filter is effectively disabled.
+    val watch = Files.createTempDirectory("fa-age-watch")
+    val out = Files.createTempDirectory("fa-age-out").toString
+    val ckpt = Files.createTempDirectory("fa-age-ckpt").toString
+    drop(watch, "K1.D509__corrigido.CNAECSV", "0111301;fresh\n")
+    val q = FileArrivalLoad.start(spark, watch.toString, out, ckpt, nCols = 2)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 1)
+      // the late correction, carrying its original month-old timestamp
+      drop(watch, "K2.D509__corrigido.PAIS", "105;Brasil\n")
+      Files.setLastModifiedTime(watch.resolve("K2.D509__corrigido.PAIS"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 30L * 24 * 3600 * 1000))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+      assert(all.filter(all("table") === "rfb_paises").count() === 1,
+        "month-old-mtime correction must be ingested, not age-filtered")
+    } finally q.stop()
+  }
+
   test("in-query routing matches the batch router on the suffix grammar") {
     import spark.implicits._
     val names = Seq(
