@@ -193,20 +193,33 @@ object MinHashDedup {
     */
   private[graft] def registerScratchDir(p: String): Unit = scratchDirs.add(p)
 
+  /** Best-effort recursive delete; TRUE iff the dir is verifiably gone.
+    * One implementation for both clearScratch variants and (through them)
+    * the shutdown hook — the hand-copied blocks had already drifted on
+    * when tracking was dropped (r11 review).
+    */
+  private def deleteQuietly(p: String): Boolean = {
+    val hc = Option(hadoopConf.get())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    try {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hc)
+      fs.delete(path, true)
+      !fs.exists(path)
+    } catch { case _: Exception => false }
+  }
+
   /** Delete every scratch table written by [[materialized]] and drop the
     * cache. Safe to call between queries; the next invocation re-writes.
+    * A dir whose delete FAILS stays enrolled in [[scratchDirs]] so a later
+    * clearScratch (or the shutdown hook) retries it — dropping tracking on
+    * a transient IOException permanently orphaned corpus-sized scratch on
+    * shared storage, defeating the backstop the registration-before-write
+    * comment promises (r11 review).
     */
   def clearScratch(): Unit = {
     scratchCache.clear()
-    val hc = Option(hadoopConf.get())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    scratchDirs.forEach { p =>
-      try {
-        val path = new org.apache.hadoop.fs.Path(p)
-        path.getFileSystem(hc).delete(path, true)
-      } catch { case _: Exception => () }
-    }
-    scratchDirs.clear()
+    scratchDirs.removeIf(p => deleteQuietly(p))
   }
 
   /** Selective variant: drop only the entries whose TAG satisfies `pred`.
@@ -216,19 +229,14 @@ object MinHashDedup {
     * regardless of pass order and other groups' scratch stays shared.
     */
   def clearScratch(pred: String => Boolean): Unit = {
-    val hc = Option(hadoopConf.get())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val it = scratchCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (pred(e.getKey._1)) {
         val p = e.getValue
         it.remove()
-        scratchDirs.remove(p)
-        try {
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(hc).delete(path, true)
-        } catch { case _: Exception => () }
+        // tracking is dropped only on a VERIFIED delete — see clearScratch
+        if (deleteQuietly(p)) scratchDirs.remove(p)
       }
     }
   }

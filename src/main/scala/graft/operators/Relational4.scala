@@ -79,19 +79,19 @@ object Relational4 {
       // invocation-unique view names, dropped after eager analysis (the
       // rec01 pattern): fixed names raced concurrent invocations on one
       // session and leaked into the catalog (r10 review)
-      val (cv, ov) = uniqueViews(s, dir, "q37")
-      s.sql(
-        s"""SELECT c_custkey, c_mktsegment
-          |FROM $cv c
-          |WHERE EXISTS (SELECT 1 FROM $ov o
-          |              WHERE o.o_custkey = c.c_custkey
-          |                AND o.o_totalprice > 400000)
-          |  AND NOT EXISTS (SELECT 1 FROM $ov o
-          |                  WHERE o.o_custkey = c.c_custkey
-          |                    AND o.o_orderstatus = 'F'
-          |                    AND o.o_totalprice < 50000)
-          |ORDER BY c_custkey""".stripMargin)
-        .transform(dropViews(s, cv, ov))
+      withViews(s, dir, "q37") { (cv, ov) =>
+        s.sql(
+          s"""SELECT c_custkey, c_mktsegment
+            |FROM $cv c
+            |WHERE EXISTS (SELECT 1 FROM $ov o
+            |              WHERE o.o_custkey = c.c_custkey
+            |                AND o.o_totalprice > 400000)
+            |  AND NOT EXISTS (SELECT 1 FROM $ov o
+            |                  WHERE o.o_custkey = c.c_custkey
+            |                    AND o.o_orderstatus = 'F'
+            |                    AND o.o_totalprice < 50000)
+            |ORDER BY c_custkey""".stripMargin)
+      }
     }),
 
     // NULL-AWARE anti join: NOT IN over a subquery differs from NOT EXISTS
@@ -100,15 +100,15 @@ object Relational4 {
     // Catalyst plans the single-column case as an optimized null-aware
     // BroadcastHashJoin, not the naive nested loop (plan-guarded).
     "q48_not_in" -> ((s, dir) => {
-      val (cv, ov) = uniqueViews(s, dir, "q48")
-      s.sql(
-        s"""SELECT c_custkey, c_mktsegment
-          |FROM $cv
-          |WHERE c_custkey NOT IN (
-          |  SELECT o_custkey FROM $ov
-          |  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
-          |ORDER BY c_custkey""".stripMargin)
-        .transform(dropViews(s, cv, ov))
+      withViews(s, dir, "q48") { (cv, ov) =>
+        s.sql(
+          s"""SELECT c_custkey, c_mktsegment
+            |FROM $cv
+            |WHERE c_custkey NOT IN (
+            |  SELECT o_custkey FROM $ov
+            |  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+            |ORDER BY c_custkey""".stripMargin)
+      }
     }),
 
     // UNPIVOT / melt (the inverse of q28's pivot): wide numeric columns to
@@ -156,9 +156,16 @@ object Relational4 {
     // not kill a 6-hour job). The oracle spells the same contract with
     // TRY_CAST / CASE guards.
     "q47_try_semantics" -> ((s, dir) => {
+      // props_int carries q22's regex gate on BOTH sides: a bare TRY_CAST
+      // forked on fractional numeric strings — DuckDB's TRY_CAST('42.7'
+      // AS INT) ROUNDS to 43 while Spark's try_cast yields NULL (r11
+      // review, probed live). The contract is "an integer iff the trimmed
+      // text is one".
       Tables(s, dir, "events").filter(col("event_id") < 500)
         .select(col("event_id"),
-          expr("try_cast(props AS INT)").as("props_int"),
+          expr("""CASE WHEN trim(props) RLIKE '^[+-]?[0-9]+$'
+                 |  THEN try_cast(trim(props) AS INT) END""".stripMargin)
+            .as("props_int"),
           expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))").as("div3"),
           expr("try_add(9223372036854775807L, event_id)").as("ovf"))
         .orderBy("event_id")
@@ -176,8 +183,13 @@ object Relational4 {
         .agg(countDistinct(col("o_custkey")).as("exact_custs"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
         .select(col("o_orderpriority"), col("exact_custs"),
-          ((abs(col("approx") - col("exact_custs")).cast("double")
-            / col("exact_custs")) <= lit(0.05)).cast("int").as("within_5pct"))
+          // zero guard: an all-NULL key group has exact = 0, and 0/0 = NaN
+          // flagged 0 against the oracle's constant 1 (r11 review). The
+          // sketch of an empty set is in contract iff it is also 0.
+          when(col("exact_custs") === 0L, (col("approx") === 0L).cast("int"))
+            .otherwise(((abs(col("approx") - col("exact_custs")).cast("double")
+              / col("exact_custs")) <= lit(0.05)).cast("int"))
+            .as("within_5pct"))
         .orderBy("o_orderpriority")
     }),
 
@@ -187,18 +199,18 @@ object Relational4 {
     // the join key), so the plan is the same scale shape as q09's explicit
     // window — no nested-loop re-execution per outer row.
     "q44_lateral" -> ((s, dir) => {
-      val (cv, ov) = uniqueViews(s, dir, "q44")
-      s.sql(
-        s"""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
-          |FROM $cv c
-          |JOIN LATERAL (
-          |  SELECT o_orderkey, o_totalprice FROM $ov o
-          |  WHERE o.o_custkey = c.c_custkey
-          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
-          |) t
-          |WHERE c.c_custkey < 200
-          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
-        .transform(dropViews(s, cv, ov))
+      withViews(s, dir, "q44") { (cv, ov) =>
+        s.sql(
+          s"""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+            |FROM $cv c
+            |JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM $ov o
+            |  WHERE o.o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+            |) t
+            |WHERE c.c_custkey < 200
+            |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+      }
     }),
 
     // Explicit GROUPING SETS (beyond rollup/cube): two one-dimension margins
@@ -231,8 +243,12 @@ object Relational4 {
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
           expr("percentile_approx(o_totalprice, 0.5, 1000)").as("ap"))
         .select(col("o_orderpriority"), col("exact_p50"),
-          ((abs(col("ap") - col("exact_p50")) / col("exact_p50")) <= lit(0.05))
-            .cast("int").as("within_5pct"))
+          // q45's zero guard: a group whose exact median is 0.0 divided
+          // 0-by-0 into a NaN flag where the oracle emits 1 (r11 review)
+          when(col("exact_p50") === 0.0, (col("ap") === 0.0).cast("int"))
+            .otherwise(((abs(col("ap") - col("exact_p50")) / col("exact_p50"))
+              <= lit(0.05)).cast("int"))
+            .as("within_5pct"))
         .orderBy("o_orderpriority")
     }),
 
@@ -255,27 +271,29 @@ object Relational4 {
   )
 
   /** Invocation-unique customer/orders temp views for the SQL-entry
-    * queries, plus the post-analysis drop ([[GraphOps.recursiveWalk]]'s
-    * pattern): fixed names ("q44_customer") raced concurrent invocations
-    * on one session — the second createOrReplaceTempView retargeted the
-    * first query's still-lazy plan — and leaked into the catalog after
-    * the query returned (r10 review). `sql()` analyzes eagerly, so the
-    * resolved plan survives the drop.
+    * queries, dropped in a FINALLY after eager analysis
+    * ([[GraphOps.recursiveWalk]]'s pattern): fixed names ("q44_customer")
+    * raced concurrent invocations on one session — the second
+    * createOrReplaceTempView retargeted the first query's still-lazy
+    * plan — and leaked into the catalog after the query returned (r10
+    * review). The bracket shape (create → body → finally drop) closes the
+    * failure paths too: a drop that only ran after a successful sql()
+    * stranded two UUID-named views in the catalog on EVERY failed
+    * invocation, unboundedly in a retrying long-lived session (r11
+    * review). `sql()` analyzes eagerly, so the resolved plan survives
+    * the drop.
     */
-  private def uniqueViews(s: SparkSession, dir: String, tag: String)
-      : (String, String) = {
+  private def withViews(s: SparkSession, dir: String, tag: String)(
+      body: (String, String) => DataFrame): DataFrame = {
     val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
     val cv = s"${tag}_customer_$sfx"
     val ov = s"${tag}_orders_$sfx"
     Tables(s, dir, "customer").createOrReplaceTempView(cv)
-    Tables(s, dir, "orders").createOrReplaceTempView(ov)
-    (cv, ov)
-  }
-
-  private def dropViews(s: SparkSession, vs: String*)(df: DataFrame)
-      : DataFrame = {
-    vs.foreach(s.catalog.dropTempView(_))
-    df
+    try {
+      Tables(s, dir, "orders").createOrReplaceTempView(ov)
+      try body(cv, ov)
+      finally { s.catalog.dropTempView(ov); () }
+    } finally { s.catalog.dropTempView(cv); () }
   }
 
   val oracle: Map[String, String] = ListMap(
@@ -373,7 +391,8 @@ object Relational4 {
 
     "q47_try_semantics" ->
       """SELECT event_id,
-        | TRY_CAST(props AS INT) AS props_int,
+        | CASE WHEN regexp_matches(trim(props), '^[+-]?[0-9]+$')
+        |   THEN TRY_CAST(trim(props) AS INT) END AS props_int,
         | CASE WHEN event_id % 3 = 0 THEN NULL
         |      ELSE value / CAST(event_id % 3 AS DOUBLE) END AS div3,
         | CASE WHEN event_id > 0 THEN NULL

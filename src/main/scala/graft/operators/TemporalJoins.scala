@@ -612,16 +612,20 @@ object TemporalJoins {
         |ORDER BY purchase_id, touch_id NULLS FIRST""".stripMargin,
 
     // The same island construction; SUMs cast back from HUGEINT. Seconds
-    // via floor(epoch_ms / 1000) — genuine FLOOR like Spark's
-    // unix_timestamp. NOT `epoch_ms // 1000`: DuckDB's `//` truncates
-    // toward zero (its own ts09 comment), which differs from floor on
-    // pre-1970 fractional-second timestamps (-0.5 s → 0, Spark → -1);
-    // and CAST(epoch(...)) would ROUND. epoch_ms fits double exactly for
-    // any realistic timestamp (|ms| < 2^53).
+    // via epoch(date_trunc('second', ts)) — date_trunc is time-semantics
+    // FLOOR (the containing second, pre-epoch included) and epoch of a
+    // second-aligned timestamp is integer-exact at any magnitude, matching
+    // Spark's unix_timestamp. NOT floor(epoch_ms/1000): epoch_ms itself
+    // TRUNCATES sub-millisecond fractions toward zero before the floor
+    // applies, so a pre-epoch 23:59:59.999500 gave st = 0 where Spark
+    // floors to −1 (r11 review; all three forms probed live). NOT `//`
+    // either: DuckDB's `//` truncates toward zero (its own ts09 comment);
+    // and CAST(epoch(...)) would ROUND.
     "ts08_interval_union" ->
       """WITH e AS (SELECT user_id, event_id,
-        |   CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) AS st,
-        |   CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) + 300 AS en FROM events
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS st,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 300 AS en
+        |  FROM events
         |  WHERE ts IS NOT NULL),
         | g AS (SELECT *, MAX(en) OVER (PARTITION BY user_id
         |    ORDER BY st, event_id

@@ -67,6 +67,62 @@ class EdgeForksSpec extends AnyFunSuite {
     assert(r(0).getInt(3) === 4)
   }
 
+  test("q47: fractional numeric props is NULL on both engines (DuckDB TRY_CAST rounds)") {
+    // props='42.7': DuckDB TRY_CAST('42.7' AS INT) = 43 while Spark's
+    // try_cast = NULL — both sides now gate on the integer regex first
+    // (r11 review, probed live)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q47fork").toString
+    Seq(
+      (1L, "2024-01-15 10:00:00", 1L, "click", 1.0, "42.7"),
+      (2L, "2024-01-15 10:10:00", 2L, "click", 2.0, "  7 "),
+      (4L, "2024-01-15 10:30:00", 4L, "click", 4.0, "11"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val r = Relational4.queries("q47_try_semantics")(spark, d)
+      .orderBy("event_id").collect()
+    assert(r(0).isNullAt(1), s"fractional '42.7' must be NULL: ${r(0)}")
+    assert(r(1).getInt(1) === 7) // space padding trims on both engines
+    assert(r(2).getInt(1) === 11)
+  }
+
+  test("q45/q51: an all-NULL key group flags 1, never a NaN-flagged 0") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q45fork").toString
+    Seq(
+      (1L, Some(10L), "O", 100.0, "2024-01-01 00:00:00", "1-URGENT"),
+      (2L, None: Option[Long], "O", 0.0, "2024-01-02 00:00:00", "2-HIGH"),
+      (3L, None: Option[Long], "O", 0.0, "2024-01-03 00:00:00", "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "odate", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("odate").cast("timestamp").as("o_orderdate"),
+        col("o_orderpriority"))
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val q45 = Relational4.queries("q45_approx_distinct")(spark, d)
+      .orderBy("o_orderpriority").collect()
+    // 2-HIGH: countDistinct over all-NULL keys = 0 → old 0/0 = NaN → 0
+    assert(q45(1).getLong(1) === 0L && q45(1).getInt(2) === 1, q45(1))
+    val q51 = Relational4.queries("q51_approx_percentile")(spark, d)
+      .orderBy("o_orderpriority").collect()
+    // 2-HIGH: exact median 0.0 → old 0/0 division NaN-flagged 0
+    assert(q51(1).getDouble(1) === 0.0 && q51(1).getInt(2) === 1, q51(1))
+  }
+
+  test("a failing SQL-view query drops its invocation views on the error path") {
+    val before = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("q37_"))
+    intercept[Exception] {
+      Relational4.queries("q37_exists_subquery")(spark, "/nonexistent-dir-xyz")
+    }
+    val after = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("q37_"))
+    assert(after === before,
+      "failure path must not strand invocation-unique temp views")
+  }
+
   test("vr01: malformed props is contained to its row; fractional k truncates") {
     val r = Relational5.queries("vr01_variant")(spark, dir).collect()
     assert(r.length === 1)
