@@ -52,9 +52,15 @@ object LakeOps {
     // the join co-locates without a shuffle; the classification is
     // row-local.
     "md02_snapshot_diff" -> ((s, dir) => {
-      val a = Tables(s, dir, "orders").select(col("o_orderkey").as("k"),
-        col("o_orderstatus").as("a_status"),
-        col("o_totalprice").as("a_total"))
+      // key-identified rows only, like mergedOrders: a base row whose key
+      // VALUE is null would satisfy `k.isNull` and masquerade as 'added'
+      // on both engines — a misclassification, filtered on both sides
+      // (r11 review)
+      val a = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("a_status"),
+          col("o_totalprice").as("a_total"))
       val b = mergedOrders(s, dir).select(col("o_orderkey"),
         col("o_orderstatus").as("b_status"), col("o_totalprice").as("b_total"))
       a.join(b, col("k") === col("o_orderkey"), "full_outer")
@@ -129,7 +135,13 @@ object LakeOps {
     MinHashDedup.materialized(mergedOrdersPlan(s, dir), "md01_merge", dir)
 
   private def mergedOrdersPlan(s: SparkSession, dir: String): DataFrame = {
+      // a NULL merge key has no identity to merge ON — drop it on BOTH
+      // sides (the oracle's `% 10 <> 3` predicates null-drop implicitly;
+      // the engine's full-outer join kept the row and emitted a NULL key
+      // the oracle never has — fixture-dormant fork, r11 review). md02's
+      // diff inherits this filter through mergedOrders.
       val base = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
       val upd = base.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("k"), lit("U").as("op"),
           col("o_custkey").as("c_custkey"), lit("X").as("c_status"),
@@ -274,7 +286,12 @@ object LakeOps {
     // Delta/Iceberg MERGE expresses SCD2. Change batch: customers with
     // c_custkey % 7 == 0 move to the 'WEB' segment effective 1999-01-01.
     "md05_scd2_apply" -> ((s, dir) => {
+      // NULL business keys have no SCD identity: the engine's left-join
+      // classified them current (k.isNull → 1) while the oracle's
+      // `c_custkey % 7 <> 0` collapses to NULL — dropped on both sides
+      // instead (r11 review; fixture-dormant)
       val base = Tables(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
         .select(col("c_custkey"), col("c_mktsegment"))
       val changes = base.filter(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("k"), lit("WEB").as("new_segment"))
@@ -303,7 +320,14 @@ object LakeOps {
     // fact table's size; each refresh costs one scan of the NEW batch
     // plus a rollup-sized merge.
     "md04_incremental_agg" -> ((s, dir) => {
-      val o = Tables(s, dir, "orders").select(
+      // a NULL order date belongs to NO batch: both partial filters are
+      // null-false, so the engine silently excluded the row while the
+      // full-recompute oracle grouped it under a NULL month — the
+      // ts03/ts04 convention (filter + comment on BOTH sides) now applies
+      // here too (r11 review; fixture-dormant)
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .select(
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         col("o_orderdate"))
@@ -484,7 +508,8 @@ object LakeOps {
         | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
         |   ELSE o_totalprice END AS o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date
-        |FROM orders WHERE o_orderkey % 10 <> 3
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_orderkey % 10 <> 3
         |UNION ALL
         |SELECT -o_orderkey, o_custkey, 'N', o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d')
@@ -520,12 +545,14 @@ object LakeOps {
         |     AS b_status,
         |   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
         |     ELSE o_totalprice END AS b_total
-        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_orderkey % 10 <> 3
         |  UNION ALL
         |  SELECT -o_orderkey, 'N', o_totalprice FROM orders
         |  WHERE o_orderkey % 10 = 7),
         | a AS (SELECT o_orderkey AS k, o_orderstatus AS a_status,
-        |   o_totalprice AS a_total FROM orders),
+        |   o_totalprice AS a_total FROM orders
+        |  WHERE o_orderkey IS NOT NULL),
         | j AS (SELECT a.k, b.o_orderkey, a.a_status, a.a_total,
         |   b.b_status, b.b_total
         |  FROM a FULL JOIN b ON b.o_orderkey = a.k),
@@ -580,7 +607,7 @@ object LakeOps {
         | CASE WHEN c_custkey % 7 = 0 THEN '1999-01-01' END AS valid_to,
         | CAST(c_custkey % 7 <> 0 AS INT) AS is_current,
         | 1 AS version
-        |FROM customer
+        |FROM customer WHERE c_custkey IS NOT NULL
         |UNION ALL
         |SELECT c_custkey, 'WEB', '1999-01-01', NULL, 1, 2
         |FROM customer WHERE c_custkey % 7 = 0
@@ -595,7 +622,8 @@ object LakeOps {
         |   AS total_cents,
         | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   // COUNT(*) AS avg_cents
-        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |GROUP BY month ORDER BY month""".stripMargin,
 
     // Both version audits recomputed from the source table: v1 = the raw
     // snapshot, v2 = md01's MERGE contract (survivors with the update

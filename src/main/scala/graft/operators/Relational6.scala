@@ -149,12 +149,22 @@ object Relational6 {
       val ev = Tables(s, dir, "events")
         // a null event time would form a NULL day group sorting FIRST in
         // Spark's dump but LAST under DuckDB's ORDER BY (the ts03/ts04
-        // convention); an unstamped event has no day to be counted in
-        .filter(col("ts").isNotNull)
+        // convention); an unstamped event has no day to be counted in.
+        // Null USERS are dropped too: a day whose events all carry null
+        // user_id has exact_daily = 0, and the old 0/0 flag was NaN→0
+        // where the oracle emits 1 (r11 review; fixture-dormant)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      val daily = ev.groupBy("day")
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-          countDistinct(col("user_id")).as("exact_daily"))
+      // MATERIALIZED like q61's shared RFM aggregate: `daily` feeds the
+      // union-total, the per-day flags and n_days, and `ev` is otherwise
+      // re-aggregated for exact_total — without this the events scan ran
+      // three aggregations with only fragile exchange reuse between them
+      // (r11 review). The per-day table is date-cardinality tiny.
+      val daily = MinHashDedup.materialized(
+        ev.groupBy("day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            countDistinct(col("user_id")).as("exact_daily")),
+        "q64_daily", dir)
       val total = daily.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"),
         count(lit(1)).as("n_days"))
@@ -274,7 +284,7 @@ object Relational6 {
     // estimate itself never leaves the engine — q45's pattern).
     "q64_hll_mergeable" ->
       """WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id
-        |  FROM events WHERE ts IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         | daily AS (SELECT day, COUNT(DISTINCT user_id) AS exact_daily
         |  FROM ev GROUP BY day),
         | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),

@@ -41,7 +41,10 @@ object Charsets {
     if (sample.length >= 2 && (sample(0) & 0xFF) == 0xFE && (sample(1) & 0xFF) == 0xFF)
       return StandardCharsets.UTF_16BE
     utf16WithoutBom(sample).orElse(utf16ValidityScan(sample)).getOrElse {
-      if (isValidUtf8(sample)) StandardCharsets.UTF_8
+      // the sample is a PREFIX cut only when it filled the budget — a
+      // shorter sample IS the whole file and carries no truncated tail
+      if (isValidUtf8(sample, cutPossible = sample.length == SampleBytes))
+        StandardCharsets.UTF_8
       else if (hasC1Controls(sample)) WINDOWS_1252
       else StandardCharsets.ISO_8859_1
     }
@@ -121,6 +124,11 @@ object Charsets {
   private def utf16ValidityScan(sample: Array[Byte]): Option[Charset] = {
     val n = sample.length & ~1 // whole 16-bit units only
     if (n < 64) return None
+    // cheap pre-check: acceptance condition (c) requires an aligned
+    // 0x000A/0x000D unit, which implies a 0x00 byte somewhere — so every
+    // NUL-free file (the entire single-byte/UTF-8 common case) can skip
+    // both strict decode passes with an identical outcome (r11 review)
+    if (!sample.take(n).contains(0: Byte)) return None
     def score(cs: Charset): Int = {
       def decode(len: Int): Option[String] = {
         val dec = cs.newDecoder()
@@ -166,26 +174,29 @@ object Charsets {
     false
   }
 
-  private def isValidUtf8(bytes: Array[Byte]): Boolean = {
+  /** Strict UTF-8 validity with PREFIX semantics when `cutPossible`: the
+    * decoder runs with endOfInput = false, so ONLY a genuinely incomplete
+    * trailing lead sequence is tolerated (stream underflow) while any
+    * malformed byte — wherever it sits — still rejects. The old
+    * "drop the last 1-3 bytes and retry" accepted ANY sample whose only
+    * invalid bytes were its last 1-3: a Latin-1 file whose first accented
+    * byte fell at the sample tail (or a short file ending "…café")
+    * misdetected as UTF-8 and transcode then REPLACE'd every accented
+    * character in the WHOLE file to U+FFFD with the line audit still
+    * green — silent corruption (r11 review). When the sample is the whole
+    * file (`cutPossible = false`), end-of-input is asserted and a
+    * truncated tail rejects too.
+    */
+  private def isValidUtf8(bytes: Array[Byte], cutPossible: Boolean): Boolean = {
     val dec = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
-    try {
-      // The sample may cut a multi-byte sequence at its end; tolerate a
-      // truncated tail by retrying without the last 1-3 bytes.
-      dec.decode(java.nio.ByteBuffer.wrap(bytes)); true
-    } catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        (1 to 3).exists { k =>
-          bytes.length > k && {
-            val d2 = StandardCharsets.UTF_8.newDecoder()
-              .onMalformedInput(CodingErrorAction.REPORT)
-              .onUnmappableCharacter(CodingErrorAction.REPORT)
-            try { d2.decode(java.nio.ByteBuffer.wrap(bytes.dropRight(k))); true }
-            catch { case _: java.nio.charset.CharacterCodingException => false }
-          }
-        }
-    }
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val out = java.nio.CharBuffer.allocate(bytes.length + 1)
+    val res = dec.decode(in, out, !cutPossible)
+    if (res.isError) false
+    else if (cutPossible) true // incomplete tail = stream underflow: fine
+    else !dec.flush(out).isError
   }
 
   /** Count lines at a given charset; -1 on error (reference

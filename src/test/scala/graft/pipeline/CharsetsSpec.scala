@@ -39,6 +39,46 @@ class CharsetsSpec extends AnyFunSuite {
     assert(Charsets.detectBytes(latin) == StandardCharsets.ISO_8859_1)
   }
 
+  test("a Latin-1 file whose ONLY accent is its last byte is not misread as UTF-8") {
+    // the old 'drop the last 1-3 bytes and retry' accepted any sample
+    // whose only invalid UTF-8 bytes were its tail — '...café' in Latin-1
+    // misdetected UTF-8 and transcode replaced every accented byte in the
+    // file with U+FFFD while the line audit stayed green (r11 review)
+    val latin = "01;abc\n02;caf".getBytes(StandardCharsets.US_ASCII) ++
+      Array(0xE9).map(_.toByte) // é in ISO-8859-1, a bare UTF-8 lead tail
+    assert(Charsets.detectBytes(latin) == StandardCharsets.ISO_8859_1)
+    // same content mid-file (not at the tail) was already rejected
+    val latinMid = "01;caf".getBytes(StandardCharsets.US_ASCII) ++
+      Array(0xE9).map(_.toByte) ++ "\n02;abc\n".getBytes
+    assert(Charsets.detectBytes(latinMid) == StandardCharsets.ISO_8859_1)
+  }
+
+  test("a SampleBytes-cut UTF-8 file split mid-sequence still detects UTF-8") {
+    // prefix semantics: a sample that filled the whole budget may end
+    // inside a multi-byte sequence — that genuine incomplete LEAD tail is
+    // tolerated (stream underflow), while the same bytes anywhere else
+    // still reject. Build samples of exactly SampleBytes ending with an
+    // incomplete 2-byte lead (0xC3) and an incomplete 3-byte prefix
+    // (0xE2 0x82, the first two bytes of €).
+    val line = "0111301;Ação agrícola\n".getBytes(StandardCharsets.UTF_8)
+    def sampleEndingWith(tail: Array[Byte]): Array[Byte] = {
+      val room = Charsets.SampleBytes - tail.length
+      val reps = room / line.length
+      val pad = Array.fill(room - reps * line.length)('x'.toByte)
+      Array.fill(reps)(line).flatten ++ pad ++ tail
+    }
+    for (tail <- Seq(Array(0xC3.toByte), Array(0xE2.toByte, 0x82.toByte))) {
+      val sample = sampleEndingWith(tail)
+      assert(sample.length == Charsets.SampleBytes)
+      assert(Charsets.detectBytes(sample) == StandardCharsets.UTF_8,
+        s"tail ${tail.map(b => f"${b & 0xFF}%02X").mkString(" ")}")
+    }
+    // but a NON-continuable tail (a stray Latin-1 accent) at full budget
+    // still rejects: only true incomplete sequences are tolerated
+    val bad = sampleEndingWith(Array(0xE9.toByte, 'x'.toByte))
+    assert(Charsets.detectBytes(bad) == StandardCharsets.ISO_8859_1)
+  }
+
   test("windows-1252 file survives the fix phase with punctuation intact") {
     val src = tmpFile("01;".getBytes(StandardCharsets.US_ASCII) ++
       Array(0x93).map(_.toByte) ++ "Ok".getBytes(StandardCharsets.US_ASCII) ++
