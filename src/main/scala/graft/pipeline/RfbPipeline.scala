@@ -178,6 +178,13 @@ class RfbPipeline(
     * and backoff semantics per file are unchanged).
     */
   def download(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    // the PHASE owns its directory, like extract() owns extractDir: the
+    // Fetcher trait never promised to mkdir the destination's parent, and
+    // a fetcher written to the trait doc alone burned every retry on
+    // NoSuchFileException (both bundled fetchers happened to mkdirs,
+    // masking the gap — r11 review)
+    entries0.flatMap(e => Option(Paths.get(e.caminhoZip).getParent))
+      .distinct.foreach(Files.createDirectories(_))
     val pending = entries0.zipWithIndex
       .filter(_._1.statusDownload == Status.Pendente).map(_._2)
     perFileParallel(entries0, pending) { e =>
@@ -353,12 +360,32 @@ class RfbPipeline(
     val candidates = entries0.zipWithIndex.filter { case (e, _) =>
       e.statusCorrecao == Status.Sucesso && e.statusCarga == Status.Pendente
     }
+    // EVERY corrected contributor, not only the pending ones: overwrite is
+    // a FULL REFRESH of a (table, month), so a resumed run that rebuilt a
+    // table from just the still-pendente entries REPLACED nine
+    // already-loaded zips' rows with the one late zip's — silent data
+    // loss with a green audit (expected = the late zip's counts), the
+    // reference's last-writer-wins flaw reintroduced on the resume path
+    // (r11 review). Tables with no pending contributor are not touched;
+    // a rebuilt table whose earlier contributors' corrected files are
+    // gone fails its CSV read LOUDLY (table → falhou), never silently.
+    val contributors = entries0.zipWithIndex.filter { case (e, _) =>
+      e.statusCorrecao == Status.Sucesso
+    }
+    val candIdx = candidates.map(_._2).toSet
+    val routedAll = contributors.flatMap { case (e, i) =>
+      e.arquivosCorrigidos.map(f => (i, f, RfbTables.route(f)))
+    }
+    // tables this run must (re)load = tables with >= 1 pending contributor
+    val pendingTables: Set[String] =
+      routedAll.filter(x => candIdx(x._1)).flatMap(_._3).toSet
     // Per-file expected line counts, computed on executors (one task per
     // file — same no-full-bytes-on-the-driver rule as the fix phase).
     // Routed FIRST: route() is a pure driver-side string op, so files no
-    // table claims (layout/readme members) never cost a full-file scan.
-    val allCorrected = candidates.flatMap(_._1.arquivosCorrigidos).distinct
-    val routable = allCorrected.filter(f => RfbTables.route(f).isDefined)
+    // table claims (layout/readme members) never cost a full-file scan;
+    // contributors of untouched tables are never scanned either.
+    val routable = routedAll
+      .filter(_._3.exists(pendingTables)).map(_._2).distinct
     val lineCounts: Map[String, Long] =
       if (routable.isEmpty) Map.empty
       else spark.sparkContext
@@ -371,8 +398,9 @@ class RfbPipeline(
         .map(f => f -> Charsets.countCsvRecords(
           Paths.get(f), java.nio.charset.StandardCharsets.UTF_8))
         .collect().toMap
-    // (entryIdx, correctedFile, table?, lineCount) — per-file routing;
-    // unroutable files carry -1 (never read by the table groups below)
+    // (entryIdx, correctedFile, table?, lineCount) — the PENDING entries'
+    // per-file routing, for ignorada classification and per-entry status
+    // propagation; unroutable files carry -1 (never read by table groups)
     val files = candidates.flatMap { case (e, i) =>
       e.arquivosCorrigidos.map { f =>
         (i, f, RfbTables.route(f), lineCounts.getOrElse(f, -1L))
@@ -389,8 +417,12 @@ class RfbPipeline(
           e.copy(tabelasDestino = mine.flatMap(_._3).distinct))
       }
     }
-    val byTable = files.collect { case (i, f, Some(t), n) => (t, i, f, n) }
-      .groupBy(_._1)
+    // table groups over ALL contributors (full refresh), restricted to
+    // the tables this run actually owes a load
+    val byTable = routedAll.collect {
+      case (i, f, Some(t)) if pendingTables(t) =>
+        (t, i, f, lineCounts.getOrElse(f, -1L))
+    }.groupBy(_._1)
     val tableOk = byTable.map { case (table, group) =>
       val paths = group.map(_._3)
       val expected = group.map(_._4).sum

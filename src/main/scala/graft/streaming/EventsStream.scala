@@ -127,12 +127,12 @@ object EventsStream {
 
     // Custom-state sessionization (flatMapGroupsWithState, event-time
     // timeout) driven over the real file stream. Append mode emits a
-    // session only once the WATERMARK closes it (watermark = max event
-    // time − 10 min; a session closes when the watermark passes its end +
-    // the 30-min gap), so the stream's output is exactly the batch q29
-    // sessions whose end predates the final watermark by more than the gap
-    // — which is what the oracle computes. The still-open tail sessions
-    // are withheld state, not missing data: honest streaming semantics.
+    // session through TWO doors: a session with a successor is emitted
+    // the moment the gap-splitting event arrives (watermark-independent),
+    // and each user's final session once the watermark passes its end +
+    // the 30-min gap (event-time timeout). The oracle states exactly that
+    // pair of close conditions. The still-open tail sessions are withheld
+    // state, not missing data: honest streaming semantics.
     "st07_stream_sessionize" -> ((s, dir) => {
       runAppendStream(s, dir, "st07_mem") { df =>
         val enc = org.apache.spark.sql.Encoders.product[Sessionize.Event]
@@ -174,8 +174,14 @@ object EventsStream {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { df =>
         val sp = df.sparkSession
         import sp.implicits._
-        df.select(col("user_id").cast("long"),
-          round(col("value") * 100).cast("long")).as[(Long, Long)]
+        // null user/value dropped like Sessionize does: the primitive
+        // tuple encoder ABORTS the whole query on the first null field
+        // ('Null value appeared in non-nullable field') where the oracle
+        // kept a NULL group — st10 was the one streaming query left
+        // unguarded (r11 review; oracle carries the same filter)
+        df.filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id").cast("long"),
+            round(col("value") * 100).cast("long")).as[(Long, Long)]
           .groupByKey(_._1)
           .transformWithState(new RunningTotalsProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
@@ -322,6 +328,13 @@ object EventsStream {
     // count INSIDE one streaming query; the oracle aggregates DISTINCT
     // events over the closed hours (inclusive window-close boundary,
     // WindowCloseBoundarySpec).
+    //
+    // CONTRACT: replays carry the SAME event time as the original — the
+    // at-least-once-delivery shape this dedup exists for. A replay whose
+    // jittered ts crosses an hour boundary is outside it: the stream
+    // counts the id once in whichever hour's row survived dedup, while
+    // the oracle's per-hour DISTINCT counts it in both hours (r11
+    // review — stated rather than silently assumed).
     "st17_stream_dedup_agg" -> ((s, dir) => {
       runAppendStream(s, dir, "st17_mem") { df =>
         df.withWatermark("ts", "10 minutes")
@@ -548,11 +561,13 @@ object EventsStream {
        |  MIN(ts) AS st, $enExpr AS en,
        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
        | FROM sid GROUP BY user_id, session_id),
+       |mx AS (SELECT user_id AS mu, MAX(session_id) AS max_sid
+       | FROM sess GROUP BY user_id),
        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
        | n_events, session_value
-       |FROM sess, wm WHERE $closePred
+       |FROM sess JOIN mx ON mx.mu = sess.user_id, wm WHERE $closePred
        |ORDER BY user_id, session_start""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
@@ -640,11 +655,19 @@ object EventsStream {
     "st08_stream_ohlc" -> LakeOps.ohlcOracleSql,
 
     // Streaming custom-state sessionization == the batch q29 sessions the
-    // final watermark (max ts − 10 min) has CLOSED (end + 30-min gap
-    // strictly before the watermark); open tail sessions are withheld in
-    // state by design.
+    // STREAM has closed: a session with a SUCCESSOR session for its user
+    // is closed (and emitted) the moment the gap-splitting event arrives —
+    // flatMapGroupsWithState append emission, independent of the
+    // watermark — and only each user's FINAL session waits for the
+    // watermark to pass end + 30-min gap (the event-time timeout). The
+    // old predicate modeled every session as watermark-gated and missed
+    // successor-closed sessions ending within the last watermark+gap
+    // window (r11 review; dormant on the fixture, exhibited by
+    // SessionizeSpec's own boundary data). Open tail sessions are
+    // withheld state by design.
     "st07_stream_sessionize" ->
-      sessionOracleSql("MAX(ts)", "en + INTERVAL 30 MINUTE < w"),
+      sessionOracleSql("MAX(ts)",
+        "(session_id < max_sid OR en + INTERVAL 30 MINUTE < w)"),
 
     // Streaming complete-mode leaderboard == the batch top-5 by count.
     "st09_stream_topk" ->
@@ -659,7 +682,8 @@ object EventsStream {
       """SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   AS sum_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Native session windows == the same batch sessions st07 gates on,
     // with session_end reported as the gap-extended window close
@@ -704,6 +728,7 @@ object EventsStream {
         |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
         |   event_id AS last_event_id
         |  FROM events
+        |  WHERE user_id IS NOT NULL
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) = 1),
         | seed AS (SELECT CAST(c_custkey AS BIGINT) AS user_id,

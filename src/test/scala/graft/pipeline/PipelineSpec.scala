@@ -181,6 +181,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/rfb_qualificacoes").count() == 1)
   }
 
+  test("resumed load rebuilds a table from ALL contributors, not just the late zip") {
+    // r11 review: the resume path grouped a table's overwrite from only
+    // the still-pendente entries — a month where nine zips loaded and one
+    // self-healed late REPLACED the table with the late zip's rows alone,
+    // with a green audit (expected = the late zip's counts). The rebuild
+    // must union every corrected contributor.
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Paises1.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n013;Argentina\n"
+        .getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("Paises2.zip"),
+      "this is not a zip file".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Paises1.zip", "Paises2.zip"))
+        .getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r1 = pipe.run("file://rfb/")
+    val (ok1, bad1) = (r1.find(_.arquivo == "Paises1.zip").get,
+      r1.find(_.arquivo == "Paises2.zip").get)
+    assert(ok1.statusCarga == Status.Sucesso)
+    assert(bad1.statusDownload == Status.Pendente) // corrupt-zip self-heal
+    assert(spark.read.parquet(s"$out/rfb_paises").count() == 2)
+
+    // upstream fixes the second archive; the resumed run must load BOTH
+    // zips' rows into the rebuilt table
+    mkZip(src, "Paises2.zip", Seq(
+      "K1.D510.PAIS" -> "639;Uruguai\n".getBytes(StandardCharsets.UTF_8)))
+    val pipe2 = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r2 = pipe2.run("file://rfb/")
+    assert(r2.find(_.arquivo == "Paises2.zip").get.statusCarga == Status.Sucesso)
+    val rows = spark.read.parquet(s"$out/rfb_paises")
+    assert(rows.count() == 3, "resume must keep the first zip's rows")
+    assert(rows.collect().map(_.getString(0)).toSet ==
+      Set("105", "013", "639"))
+  }
+
   test("download retry: transient failures retried within a run (main.py:85-96)") {
     val (src, work, out) = freshDirs()
     mkZip(src, "Motivos.zip", Seq(
