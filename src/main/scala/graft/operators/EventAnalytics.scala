@@ -53,8 +53,12 @@ object EventAnalytics {
         // a null event time would give BOTH engines a NULL week_offset
         // row that Spark's final sort places first and DuckDB's last —
         // drop it on both sides (the ts03/q29 convention); an unstamped
-        // event evidences no week of activity anyway
-        .filter(col("ts").isNotNull)
+        // event evidences no week of activity anyway. Null USERS drop
+        // too: a phantom NULL cohort member inflated cohort_n but could
+        // never join into n_active (null keys never match), deflating
+        // every retention_ppm by construction (r11 review; the family
+        // contract commit e17570b declares, now implements, this)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
         .distinct()
       val first = act.groupBy("user_id").agg(min(col("aw")).as("cohort"))
@@ -122,8 +126,14 @@ object EventAnalytics {
     // (nulls-first window order) but close it in DuckDB.
     "ev04_top_paths" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // null event_type forks the path string: Spark's concat_ws SKIPS a
+      // NULL segment (collapsing 'NULL>view>click' into a 2-step path
+      // that merges with genuine ones) while the oracle's || operator
+      // null-propagates the whole path — drop typeless events, and null
+      // users with them (the family contract), on both sides (r11 review)
       val r = events(s, dir)
-        .filter(col("ts").isNotNull)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -155,7 +165,13 @@ object EventAnalytics {
     */
   private[operators] def funnelStageTimes(ev0: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val ev = ev0.filter(col("user_id").isNotNull)
+    // ts filter: a user whose only views carry NULL ts produced a
+    // (user, NULL vts) stage row the oracle's COUNT(*) counted but the
+    // engine's count(vts) skipped — an unstamped event evidences no stage
+    // (r11 review; the oracle's v CTE carries the same filter). The BASE
+    // population (funnelTimes) keeps such users — only stage evidence
+    // needs a timestamp.
+    val ev = ev0.filter(col("user_id").isNotNull && col("ts").isNotNull)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("vts"))
     val c = ev.filter(col("event_type") === "click")
@@ -203,7 +219,11 @@ object EventAnalytics {
     // null-ts drop: Spark's window order puts a null-ts event FIRST in
     // the user's sequence, DuckDB's LAST — different (from, to) pairs
     // (the q29/ev04 convention)
-    val tr = ev.filter(col("ts").isNotNull)
+    // null users drop per the family contract (e17570b): the NULL
+    // pseudo-user otherwise fuses ALL unattributed events into one fake
+    // per-"user" sequence whose transitions are noise (both engines
+    // agreed on that noise — this is a semantic fix, aligned both sides)
+    val tr = ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("event_type").as("from_ev"),
         col("ts"), col("event_id"))
       .withColumn("to_ev", lead(col("from_ev"), 1).over(w))
@@ -227,6 +247,7 @@ object EventAnalytics {
   private val funnelCteSql: String =
     """v AS (SELECT user_id, MIN(ts) AS vts FROM events
       |   WHERE event_type = 'view' AND user_id IS NOT NULL
+      |     AND ts IS NOT NULL
       |   GROUP BY user_id),
       | c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
       |   JOIN v ON e.user_id = v.user_id
@@ -255,7 +276,7 @@ object EventAnalytics {
 
     "ev02_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
-        |   FROM events WHERE ts IS NOT NULL),
+        |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         | f AS (SELECT user_id, MIN(aw) AS cohort FROM act GROUP BY user_id),
         | sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
         |   FROM f GROUP BY cohort),
@@ -274,7 +295,7 @@ object EventAnalytics {
       """WITH tr AS (SELECT event_type AS from_ev,
         |   LEAD(event_type) OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS to_ev
-        |  FROM events WHERE ts IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         | c AS (SELECT from_ev, to_ev, CAST(COUNT(*) AS BIGINT) AS n
         |   FROM tr WHERE to_ev IS NOT NULL GROUP BY from_ev, to_ev),
         | t AS (SELECT from_ev, CAST(SUM(n) AS BIGINT) AS total
@@ -299,7 +320,8 @@ object EventAnalytics {
       """WITH r AS (SELECT user_id, event_type,
         |   ROW_NUMBER() OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE ts IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
         | p AS (SELECT user_id,
         |   MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
         |   MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,

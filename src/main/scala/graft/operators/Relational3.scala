@@ -47,12 +47,16 @@ object Relational3 {
 
     // Array sort / position / slicing over embeddings.
     "q33_array_sort" -> ((s, dir) => {
+      // size guards like q21's: under ANSI a vector shorter than the
+      // probed index ABORTS the whole query (INVALID_ARRAY_INDEX) where
+      // the oracle's embedding[i] returns NULL — one 0-2 element row
+      // forked the engines (r11 review; fixture-dormant)
       val sorted = sort_array(col("embedding"), asc = false)
+      def top(i: Int) =
+        when(size(col("embedding")) >= i, element_at(sorted, i))
+          .cast("double").as(s"top$i")
       Tables(s, dir, "embeddings").filter(col("vec_id") < 20)
-        .select(col("vec_id"),
-          element_at(sorted, 1).cast("double").as("top1"),
-          element_at(sorted, 2).cast("double").as("top2"),
-          element_at(sorted, 3).cast("double").as("top3"),
+        .select(col("vec_id"), top(1), top(2), top(3),
           array_position(col("embedding"), array_max(col("embedding")))
             .cast("int").as("argmax_pos"))
         .orderBy("vec_id")

@@ -72,16 +72,57 @@ object Manifest {
   }
 
   def load(spark: SparkSession, path: String): Seq[ManifestEntry] = {
-    import spark.implicits._
     if (!exists(path)) Seq.empty
     // pin the file:// scheme: save/exists are driver-local java.nio, but a
     // schemeless path here would resolve against fs.defaultFS — on an HDFS
     // cluster exists() says true and the read then misses the file,
     // breaking exactly the crash-resume this manifest exists for (r10
     // review)
-    else spark.read.schema(schema)
-      .json(java.nio.file.Paths.get(path).toAbsolutePath.toUri.toString)
-      .as[ManifestEntry].collect().toSeq
+    else {
+      val d = ManifestEntry("", "")
+      spark.read.schema(schema)
+        .json(java.nio.file.Paths.get(path).toAbsolutePath.toUri.toString)
+        .collect().toSeq
+        // NULL-TOLERANT row mapping, not .as[ManifestEntry]: the typed
+        // deserializer threw 'Null value appeared in non-nullable field'
+        // on any line missing a primitive field — i.e. every manifest
+        // written by a previous build after a field is ADDED — making
+        // crash-resume impossible exactly when the code changed (r11
+        // review). Missing fields take the case-class defaults. A line
+        // whose `arquivo` itself is null is unidentifiable (externally
+        // corrupt; save() is atomic): dropped, so its work is re-planned
+        // as new — idempotent repeat, never silent data loss.
+        .filter(r => r.getAs[String]("arquivo") != null)
+        .map { r =>
+          def s(n: String, dv: String): String =
+            Option(r.getAs[String](n)).getOrElse(dv)
+          def num(n: String, dv: Long): Long = {
+            val i = r.fieldIndex(n)
+            if (r.isNullAt(i)) dv else r.getAs[Number](i).longValue
+          }
+          def sq(n: String): Seq[String] = {
+            val i = r.fieldIndex(n)
+            if (r.isNullAt(i)) Nil else r.getSeq[String](i).toSeq
+          }
+          ManifestEntry(
+            arquivo = r.getAs[String]("arquivo"),
+            url = s("url", ""),
+            statusDownload = s("statusDownload", d.statusDownload),
+            statusExtracao = s("statusExtracao", d.statusExtracao),
+            statusCorrecao = s("statusCorrecao", d.statusCorrecao),
+            statusCarga = s("statusCarga", d.statusCarga),
+            tentativasDownload =
+              num("tentativasDownload", d.tentativasDownload.toLong).toInt,
+            caminhoZip = s("caminhoZip", d.caminhoZip),
+            arquivosExtraidos = sq("arquivosExtraidos"),
+            arquivosCorrigidos = sq("arquivosCorrigidos"),
+            tabelasDestino = sq("tabelasDestino"),
+            linhasOriginais = num("linhasOriginais", d.linhasOriginais),
+            linhasCorrigidas = num("linhasCorrigidas", d.linhasCorrigidas),
+            registrosCarregados =
+              num("registrosCarregados", d.registrosCarregados))
+        }
+    }
   }
 
   def toDataset(spark: SparkSession, entries: Seq[ManifestEntry])

@@ -233,18 +233,29 @@ class RfbPipeline(
           val names = zf.entries().asScala.filterNot(_.isDirectory).toSeq
           // intra-archive duplicate basenames (members in different zip
           // subdirs — the reference's extractall keeps the subdirs, so it
-          // never collides) are disambiguated with a member-index PREFIX:
-          // last-wins flattening would silently drop one member's rows and
-          // double-load the survivor's with every count audit still green.
-          // A prefix keeps the dot-SUFFIX routing (RfbTables.route) intact.
+          // never collides) are disambiguated with a member-index
+          // SUBDIRECTORY, keeping the basename byte-identical: last-wins
+          // flattening would silently drop one member's rows and
+          // double-load the survivor's with every count audit still
+          // green, and the earlier name-prefix scheme (m0_NAME) broke
+          // RfbTables.route for DOTLESS routable names — m0_SIMPLES has
+          // no dot suffix to survive the mangling, so both duplicates
+          // went ignorada (r11 review). The subdir name embeds the
+          // archive name so the fix phase's one-level dir mirror cannot
+          // collide across archives either.
           val basenames =
             names.map(ze => Paths.get(ze.getName).getFileName.toString)
           val dups = basenames.groupBy(identity)
             .collect { case (n, g) if g.size > 1 => n }.toSet
           val outPaths = names.zip(basenames).zipWithIndex.map {
             case ((ze, bn), idx) =>
-              val dest = archiveDir.resolve(
-                if (dups(bn)) s"m${idx}_$bn" else bn)
+              val dest =
+                if (dups(bn)) {
+                  val d = archiveDir.resolve(
+                    s"${archiveDir.getFileName}_m$idx")
+                  Files.createDirectories(d)
+                  d.resolve(bn)
+                } else archiveDir.resolve(bn)
               val in = zf.getInputStream(ze)
               try Files.copy(in, dest,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)

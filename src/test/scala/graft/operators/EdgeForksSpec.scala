@@ -123,6 +123,46 @@ class EdgeForksSpec extends AnyFunSuite {
       "failure path must not strand invocation-unique temp views")
   }
 
+  test("q33: a short vector yields NULL top-k cells, not an ANSI abort") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q33fork").toString
+    Seq((0L, Array(5f, 9f), 0), (1L, Array(3f, 1f, 2f, 4f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val r = Relational3.queries("q33_array_sort")(spark, d)
+      .orderBy("vec_id").collect()
+    assert(r(0).getDouble(1) === 9.0 && r(0).getDouble(2) === 5.0)
+    assert(r(0).isNullAt(3), s"2-element vector must NULL top3: ${r(0)}")
+    assert(r(1).getDouble(3) === 2.0)
+  }
+
+  test("ev02/ev03/ev04: null users drop instead of forming phantom cohort/sequence rows") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("evfork").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", Some(1L), "view", 1.0, "{}"),
+      (2L, "2024-01-01 10:05:00", Some(1L), "click", 1.0, "{}"),
+      (3L, "2024-01-01 10:06:00", Some(1L), "purchase", 1.0, "{}"),
+      (4L, "2024-01-01 11:00:00", None: Option[Long], "view", 1.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val cohort = EventAnalytics.queries("ev02_cohort_retention")(spark, d)
+      .collect()
+    // one real user, one cohort of size 1 with full offset-0 retention:
+    // the phantom NULL member previously inflated cohort_n to 2 and
+    // capped retention at 500000 ppm forever
+    assert(cohort.length === 1)
+    assert(cohort(0).getLong(3) === 1L, s"cohort_n: ${cohort(0)}")
+    assert(cohort(0).getLong(4) === 1000000L, s"retention: ${cohort(0)}")
+    val paths = EventAnalytics.queries("ev04_top_paths")(spark, d).collect()
+    assert(paths.length === 1 &&
+      paths(0).getString(0) === "view>click>purchase")
+    val tr = EventAnalytics.queries("ev03_transitions")(spark, d).collect()
+    assert(tr.length === 2) // view>click, click>purchase — no NULL pseudo-user
+  }
+
   test("vr01: malformed props is contained to its row; fractional k truncates") {
     val r = Relational5.queries("vr01_variant")(spark, dir).collect()
     assert(r.length === 1)

@@ -181,6 +181,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/rfb_qualificacoes").count() == 1)
   }
 
+  test("manifest from an older build loads with defaults; corrupt lines re-plan") {
+    // r11 review: .as[ManifestEntry] threw 'Null value appeared in
+    // non-nullable field' on any manifest line missing a primitive field
+    // — i.e. every manifest written BEFORE a field was added — making
+    // crash-resume impossible exactly when the code changed
+    val p = Files.createTempDirectory("mani-old").resolve("m.json")
+    Files.write(p, Seq(
+      // an "older build" line: no tentativasDownload / linhas* /
+      // registrosCarregados / tabelasDestino
+      """{"arquivo":"A.zip","url":"u://a","statusDownload":"sucesso",
+        |"statusExtracao":"sucesso","statusCorrecao":"sucesso",
+        |"statusCarga":"sucesso","caminhoZip":"/w/A.zip",
+        |"arquivosExtraidos":["/w/x"],"arquivosCorrigidos":["/w/y"]}"""
+        .stripMargin.replace("\n", ""),
+      """{"not":"a manifest line"}""" // externally corrupt: dropped
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val loaded = Manifest.load(spark, p.toString)
+    assert(loaded.length === 1, loaded.toString)
+    val e = loaded.head
+    assert(e.arquivo === "A.zip" && e.statusCarga === Status.Sucesso)
+    assert(e.tentativasDownload === 0 && e.registrosCarregados === -1L)
+    assert(e.tabelasDestino === Nil && e.arquivosCorrigidos === Seq("/w/y"))
+  }
+
+  test("intra-archive duplicate DOTLESS basenames still route (subdir, not prefix)") {
+    // r11 review: the old m0_NAME prefix left dotted names routable but
+    // mangled dotless ones (m0_SIMPLES has no dot suffix to survive) —
+    // both duplicates went ignorada and their rows silently never loaded
+    val (src, work, out) = freshDirs()
+    val zip = src.resolve("Simples.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip.toFile))
+    try {
+      zos.putNextEntry(new ZipEntry("a/SIMPLES"))
+      zos.write("11111111;S\n".getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+      zos.putNextEntry(new ZipEntry("b/SIMPLES"))
+      zos.write("22222222;N\n33333333;S\n".getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    } finally zos.close()
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Simples.zip")).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.head.statusCarga == Status.Sucesso, done.head.toString)
+    assert(spark.read.parquet(s"$out/rfb_simples").count() === 3,
+      "both duplicate dotless members must load")
+  }
+
   test("resumed load rebuilds a table from ALL contributors, not just the late zip") {
     // r11 review: the resume path grouped a table's overwrite from only
     // the still-pendente entries — a month where nine zips loaded and one
