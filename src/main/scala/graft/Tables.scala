@@ -65,8 +65,21 @@ object Tables {
     val target = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = target.getFileSystem(ss.sparkContext.hadoopConfiguration)
     val reader = ss.readStream.schema(schema)
-    if (fs.getFileStatus(target).isDirectory) reader.parquet(target.toString)
-    else reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    // A table that does not exist YET is a legitimate streaming start —
+    // the query begins empty and picks up rows when the first file lands
+    // (the file-source contract). The glob form tolerates an absent match;
+    // the direct-path probe would throw at plan time, so it falls back
+    // (r11 ADVICE). A table that first materializes as a DIRECTORY must
+    // not reuse this stream (the glob form won't see inside it) — restart
+    // the query once the layout is known; StreamingDirSpec pins all legs.
+    val status =
+      try Some(fs.getFileStatus(target))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case Some(st) if st.isDirectory => reader.parquet(target.toString)
+      case _ =>
+        reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    }
   }
 
   /** Normalize a raw events frame: LONG-nanos or TIMESTAMP_NTZ ts → µs

@@ -49,11 +49,18 @@ object DedupClusters {
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.getCheckpointFile.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          try path.getFileSystem(
-            df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-          catch { case _: java.io.IOException => () } // best-effort reclaim
+          // best-effort reclaim, NonFatal not just IOException: a
+          // RuntimeException from Path construction/getFileSystem
+          // (malformed URI, missing scheme FS) must not abort the caller's
+          // round loop and skip the block-storage unpersist below — a
+          // cleanup helper never gets to kill the query (r11 ADVICE;
+          // matches MinHashDedup.deleteQuietly's discipline)
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
         r.rdd.unpersist(blocking = false)
       case _ => ()

@@ -214,25 +214,46 @@ object GraphOps {
     val srcRow = pairs.agg(min(col("id1")).as("s")).head()
     if (!srcRow.isNullAt(0)) {
       val src = srcRow.getLong(0)
-      val deg = pairs.select(col("id1").as("n"))
+      val degDf = pairs.select(col("id1").as("n"))
         .union(pairs.select(col("id2").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
+      val deg = degDf
         .agg(sum(col("d") * col("d")).as("m2"), sum(col("d")).as("m1"),
           sum(when(col("n") === src, col("d"))).as("dsrc"))
         .head()
       if (!deg.isNullAt(1) && deg.getLong(1) > 0) {
         val m1 = deg.getLong(1)
-        val b = math.max(1.0, deg.getLong(0).toDouble / m1.toDouble)
+        val bGlobal = math.max(1.0, deg.getLong(0).toDouble / m1.toDouble)
         val dsrc = if (deg.isNullAt(2)) 0L else deg.getLong(2)
+        // COMPONENT-LOCAL branching: the graph-wide edge-mean B is diluted
+        // by any large sparse component the walk never touches. A dense
+        // clique holding the min-id source attached to a big sparse
+        // remainder (the characteristic near-dup graph shape) drives B→2
+        // while the walk's real branching is the clique degree — the guard
+        // would pass and the walk detonate, the exact failure it exists to
+        // prevent (r11 ADVICE). The mean degree over src's DIRECT
+        // neighbors measures the branching the frontier actually sees in
+        // its first expansion; max(global, local) keeps both the diluted-
+        // clique undercount and the sparse-source overcount out.
+        val nbrDeg = pairs.filter(col("id1") === src).select(col("id2").as("n"))
+          .union(pairs.filter(col("id2") === src).select(col("id1").as("n")))
+          .distinct()
+          .join(degDf, "n")
+          .agg(avg(col("d")).as("bl"))
+          .head()
+        val bLocal =
+          if (nbrDeg.isNullAt(0)) 1.0 else math.max(1.0, nbrDeg.getDouble(0))
+        val b = math.max(bGlobal, bLocal)
         // sum over levels ≈ deg(src)·B^(h−1)·B/(B−1); the geometric tail
         // factor keeps the estimate a (mild) overcount, never an undercount
         val tail = if (b > 1.0) b / (b - 1.0) else hops.toDouble
         val est = dsrc.toDouble * math.pow(b, (hops - 1).toDouble) * tail
         if (est > WalkRowBudget.toDouble) throw new IllegalStateException(
           f"recursive walk refused: ~$est%.3g enumerated paths estimated " +
-            f"(source degree $dsrc, branching factor $b%.1f over $m1 " +
-            s"directed edges, budget $WalkRowBudget); this graph is too " +
-            "dense for walk enumeration — use gr03_bfs_hops' checkpointed " +
+            f"(source degree $dsrc, branching factor $b%.1f = max(global " +
+            f"$bGlobal%.1f, neighbor-local $bLocal%.1f) over $m1 directed " +
+            s"edges, budget $WalkRowBudget); this graph is too dense for " +
+            "walk enumeration — use gr03_bfs_hops' checkpointed " +
             "min-frontier loop instead")
       }
     }
