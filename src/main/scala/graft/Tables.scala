@@ -77,7 +77,13 @@ object Tables {
       catch { case _: java.io.FileNotFoundException => None }
     status match {
       case Some(st) if st.isDirectory => reader.parquet(target.toString)
-      case _ =>
+      case other =>
+        if (other.isEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"streaming source $target does not exist yet; starting in the " +
+              "glob form, which sees a later SINGLE-FILE table but NOT a " +
+              "table that materializes as a directory — restart the query " +
+              "if the table lands as a directory of part files")
         reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
     }
   }

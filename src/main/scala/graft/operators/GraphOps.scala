@@ -214,9 +214,14 @@ object GraphOps {
     val srcRow = pairs.agg(min(col("id1")).as("s")).head()
     if (!srcRow.isNullAt(0)) {
       val src = srcRow.getLong(0)
+      // persisted across the guard's TWO actions (the global moment
+      // aggregate and the neighbor-local join below) — without it the
+      // full-pairs degree aggregation recomputes per action (r12 ADVICE)
       val degDf = pairs.select(col("id1").as("n"))
         .union(pairs.select(col("id2").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val deg = degDf
         .agg(sum(col("d") * col("d")).as("m2"), sum(col("d")).as("m1"),
           sum(when(col("n") === src, col("d"))).as("dsrc"))
@@ -256,6 +261,7 @@ object GraphOps {
             "walk enumeration — use gr03_bfs_hops' checkpointed " +
             "min-frontier loop instead")
       }
+      } finally degDf.unpersist(false)
     }
     // invocation-unique view name, dropped right after analysis: a fixed
     // name races concurrent invocations on one session (the second

@@ -94,6 +94,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("gr03_bfs_hops"))
   }
 
+  test("recursiveWalk refuses a diluted clique the global-only estimate would pass") {
+    // r12 verdict fixture: a 120-clique holding the min-id source attached
+    // to a 200k-edge sparse chain — the characteristic near-dup graph
+    // shape. The chain dilutes the graph-wide edge-mean branching to
+    // B_g ≈ 6, so the pre-r12 global-only estimate dsrc·B_g^(h−1)·tail
+    // ≈ 119·6³·1.2 ≈ 3e4 stays far under the 50M budget while the walk's
+    // REAL branching is the clique degree (~119): actual enumeration
+    // ≈ 119⁴ ≈ 2e8 paths. Only max(global, neighbor-local) refuses.
+    val s = spark
+    import s.implicits._
+    val clique = (for { i <- 0 until 120; j <- (i + 1) until 120 }
+      yield (i.toLong, j.toLong)).toDF("id1", "id2")
+    val bridge = Seq((119L, 10000L)).toDF("id1", "id2")
+    val chain = spark.range(200000L)
+      .selectExpr("id + 10000 AS id1", "id + 10001 AS id2")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.recursiveWalk(spark, clique.union(bridge).union(chain), 4)
+    }
+    val msg = ex.getMessage
+    assert(msg.contains("neighbor-local") && msg.contains("gr03_bfs_hops"))
+    // the refusal must be the LOCAL probe's doing: parse both factors out
+    // of the message and show the global-only estimate (the pre-r12 guard)
+    // would have let this walk detonate
+    val m = """max\(global (\d+(?:\.\d+)?), neighbor-local (\d+(?:\.\d+)?)\)""".r
+      .findFirstMatchIn(msg)
+      .getOrElse(fail(s"guard message format changed: $msg"))
+    val (bg, bl) = (m.group(1).toDouble, m.group(2).toDouble)
+    assert(bl > bg, s"fixture must make the local factor dominate ($msg)")
+    val estGlobal = 119.0 * math.pow(bg, 3) * (bg / (bg - 1.0))
+    assert(estGlobal < GraphOps.WalkRowBudget.toDouble,
+      "fixture must be one the global-only estimate would have accepted — " +
+        s"otherwise this test doesn't pin the bLocal branch (est $estGlobal)")
+  }
+
   test("recursiveWalk accepts a LARGE sparse graph the old m1-estimate refused") {
     // 15k-edge path graph at hops=12: the old estimate modeled walks from
     // every directed edge (m1·B^(h−1) = 30000·2¹¹ ≈ 6.1e7 > 50M budget →
