@@ -71,12 +71,37 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     * gone and the new still hidden, with no recovery path — the r9 ADVICE
     * finding.
     */
-  /** Versioned-mode snapshot root (a TxLog table). Underscore-free so it
-    * sits beside rename-mode dirs without either mode's reader picking up
-    * the other's files; the two modes must not be mixed on one table dir.
+  /** Versioned-mode snapshot root (a TxLog table). SAME path as rename
+    * mode's final dir — the two protocols write incompatible layouts there
+    * (part files + `_SUCCESS` directly vs `_txlog/` + write-once `v{N}-*`
+    * data dirs), so every entry point guards against the other mode's
+    * markers ([[assertLayout]]) instead of silently mixing: a rename-mode
+    * overwrite of a versioned root would swap ALL published versions aside
+    * and vaporize time travel; a versioned overwrite of a rename-mode dir
+    * would leave readers of either mode seeing half a table.
     */
   private def versionedRoot(table: String, refMonth: String): String =
     s"$outDir/$table/ref_month=$refMonth"
+
+  /** Refuse loudly when `p` carries the OTHER protocol's layout.
+    * Discriminators: a completed rename-mode snapshot has `_SUCCESS`
+    * directly under the dir (the FileOutputCommitter contract this sink's
+    * recovery already relies on); a versioned root has `_txlog/`. One
+    * `getFileStatus`-class probe per call — noise next to the write it
+    * guards. (r11 order #3 / r12 verdict "what's wrong" item.)
+    */
+  private def assertLayout(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val marker =
+      if (versioned) new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      else new org.apache.hadoop.fs.Path(p, "_txlog")
+    if (fs.exists(marker)) throw new IllegalStateException(
+      s"$p holds a ${if (versioned) "rename-mode (staging-swap)"
+        else "versioned (TxLog)"} table, but this sink was constructed " +
+        s"with versioned=$versioned; the two overwrite protocols cannot " +
+        "share one table dir — use a sink matching the existing layout, " +
+        "or a different outDir")
+  }
 
   override def overwrite(df: DataFrame, table: String, refMonth: String): Unit = {
     if (versioned) {
@@ -85,6 +110,9 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
         "versioned mode publishes through the bundled TxLog (java.nio hard " +
           s"links) and needs a POSIX-reachable path, got $root — see the " +
           "class doc for the object-store deployment note")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      assertLayout(rootPath.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration), rootPath)
       val expected = graft.operators.TxLog.latestVersion(root).getOrElse(0L)
       graft.operators.TxLog.write(df.sparkSession, root, df, expected,
         action = "overwrite")
@@ -95,6 +123,7 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     val backup = path(table, refMonth, "_backup_")
     val fs = finalPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    assertLayout(fs, finalPath) // BEFORE staging: never swap a TxLog root aside
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     fs.delete(backup, true) // stale backup from an earlier crashed swap
     if (fs.exists(finalPath) && !fs.rename(finalPath, backup))
@@ -120,15 +149,21 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
 
   override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame = {
-    if (versioned)
+    if (versioned) {
       // head resolution IS the recovery story: an uncommitted (crashed or
       // losing) writer's dir has no commit record, so the log's head still
       // names the last fully-published snapshot — nothing to promote or
       // restore
+      val rootPath = new org.apache.hadoop.fs.Path(
+        versionedRoot(table, refMonth))
+      assertLayout(rootPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), rootPath)
       return graft.operators.TxLog.read(spark,
         versionedRoot(table, refMonth))
+    }
     val finalPath = path(table, refMonth)
     val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertLayout(fs, finalPath)
     if (!fs.exists(finalPath)) {
       // crash inside a swap: prefer the complete NEW snapshot (it was
       // fully written — the swap just didn't finish), else the backup

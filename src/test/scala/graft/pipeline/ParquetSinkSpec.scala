@@ -157,6 +157,48 @@ class ParquetSinkSpec extends AnyFunSuite {
       .select("c0").as[String].collect().toSet === Set("w1"))
   }
 
+  test("layout guard: rename-mode sink refuses a versioned (TxLog) root") {
+    // r11 order #3: the two protocols share the table path; a rename-mode
+    // overwrite of a TxLog root would swap EVERY published version aside —
+    // it must refuse before touching anything, and readBack likewise
+    val out = Files.createTempDirectory("psinkmix").toString
+    new ParquetSink(out, versioned = true)
+      .overwrite(Seq(("v", "x")).toDF("c0", "c1"), "rfb_mix", "202401")
+    val renameSink = new ParquetSink(out)
+    val exW = intercept[IllegalStateException] {
+      renameSink.overwrite(Seq(("r", "y")).toDF("c0", "c1"), "rfb_mix", "202401")
+    }
+    assert(exW.getMessage.contains("versioned (TxLog)"))
+    intercept[IllegalStateException] {
+      renameSink.readBack(spark, "rfb_mix", "202401")
+    }
+    // nothing was swapped or staged: the versioned table still reads
+    assert(new ParquetSink(out, versioned = true)
+      .readBack(spark, "rfb_mix", "202401")
+      .select("c0").as[String].collect().toSet === Set("v"))
+  }
+
+  test("layout guard: versioned sink refuses a rename-mode table dir") {
+    val out = Files.createTempDirectory("psinkmix").toString
+    new ParquetSink(out)
+      .overwrite(Seq(("r", "x")).toDF("c0", "c1"), "rfb_mix2", "202401")
+    val vSink = new ParquetSink(out, versioned = true)
+    val exW = intercept[IllegalStateException] {
+      vSink.overwrite(Seq(("v", "y")).toDF("c0", "c1"), "rfb_mix2", "202401")
+    }
+    assert(exW.getMessage.contains("rename-mode"))
+    intercept[IllegalStateException] {
+      vSink.readBack(spark, "rfb_mix2", "202401")
+    }
+    // the rename-mode table is untouched: no v*/dirs, no _txlog, still reads
+    assert(new ParquetSink(out).readBack(spark, "rfb_mix2", "202401")
+      .select("c0").as[String].collect().toSet === Set("r"))
+    val table = new Path(s"$out/rfb_mix2/ref_month=202401")
+    val names = fs(table).listStatus(table).map(_.getPath.getName)
+    assert(!names.exists(n => n == "_txlog" || n.startsWith("v1-")),
+      names.mkString(", "))
+  }
+
   test("crash with final missing and staging partial: backup is restored") {
     val out = Files.createTempDirectory("psink").toString
     val sink = new ParquetSink(out)
