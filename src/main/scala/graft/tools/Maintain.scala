@@ -1,0 +1,132 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.TxLog
+
+/** Composed lake-maintenance entry point (r11 order #5): one pass that caps
+  * `_txlog/` growth AND reclaims orphaned data dirs for a set of TxLog
+  * tables, under two retention knobs, safe to run while writers and readers
+  * are live:
+  *
+  *  - `keepVersions` — time-travel horizon: plain commit records within the
+  *    last `keepVersions` versions of the head are never cleaned, so
+  *    `TxLog.readVersion` keeps working across that window (checkpointed
+  *    versions additionally survive any horizon — Delta's
+  *    `logRetentionDuration` trade, see [[TxLog.cleanupBefore]]). Cleanup
+  *    only ever advances to a checkpoint anchor, so it is a no-op until the
+  *    first checkpoint lands (every [[TxLog.checkpointInterval]] commits).
+  *  - `vacuumRetainMs` — in-flight window: unreferenced `v*` data dirs
+  *    modified within this window are presumed to belong to a writer
+  *    between its data write and its commit CAS and are left alone
+  *    ([[TxLog.vacuum]]'s retention contract). Production default 15 min;
+  *    anything lower assumes faster writers.
+  *
+  * Ordering matters and is fixed here: cleanup FIRST, then vacuum — a
+  * version whose plain commit was just dropped (and that no checkpoint
+  * references) becomes an intentional orphan, and the same pass's vacuum
+  * reclaims its data dir once it ages past `vacuumRetainMs`. The reverse
+  * order would strand every cleaned version's data until the next pass.
+  *
+  * Main usage:
+  *   Maintain <keepVersions> <vacuumRetainMs> <tableRoot> [more roots...]
+  *   Maintain <keepVersions> <vacuumRetainMs> --lake <outDir>
+  * `--lake` discovers every `outDir/TABLE/ref_month=M` dir carrying a
+  * `_txlog` — the versioned [[graft.pipeline.ParquetSink]] layout — so one
+  * cron line maintains a whole snapshot lake. Pure driver-side metadata
+  * work (file counts ~ versions, never rows); needs no SparkSession.
+  */
+object Maintain {
+
+  final case class Report(
+      table: String,
+      head: Long,
+      cleanedCommits: Seq[String],
+      vacuumedDirs: Seq[String]) {
+    override def toString: String =
+      s"""{"table":"$table","head":$head,""" +
+        s""""cleaned_commits":${cleanedCommits.size},""" +
+        s""""vacuumed_dirs":${vacuumedDirs.size}}"""
+  }
+
+  /** One maintenance pass over one TxLog table root. Never throws on an
+    * empty or not-yet-committed table (a cron pass must not die on a table
+    * that a first writer is still staging).
+    */
+  def maintainTable(table: String, keepVersions: Int,
+      vacuumRetainMs: Long): Report = {
+    require(keepVersions >= 1, "keepVersions must retain at least the head")
+    val head = TxLog.latestVersion(table).getOrElse(0L)
+    val cleaned =
+      if (head == 0L) Seq.empty[String]
+      else {
+        // desired horizon: everything strictly below (head - keep + 1) goes.
+        // cleanupBefore insists on a checkpoint anchor at/above the horizon;
+        // when the desired horizon has none BELOW it is fine (the anchor is
+        // above), but when every checkpoint sits below the desired horizon,
+        // retreat to the newest checkpoint — cleaning less than asked is
+        // always safe, throwing on a young table is not.
+        val desired = head - keepVersions + 1
+        val ckpts = checkpoints(table)
+        val anchor = ckpts.filter(_ >= desired).sorted.headOption
+          .orElse(ckpts.sorted.lastOption)
+        anchor match {
+          case None => Seq.empty // no checkpoint yet — nothing cleanable
+          case Some(a) =>
+            val horizon = math.min(desired, a)
+            if (horizon <= 1) Seq.empty
+            else TxLog.cleanupBefore(table, horizon)
+        }
+      }
+    val vacuumed = TxLog.vacuum(table, vacuumRetainMs)
+    Report(table, head, cleaned, vacuumed)
+  }
+
+  private def checkpoints(table: String): Seq[Long] = {
+    val dir = Paths.get(table, "_txlog")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint.json"))
+        .flatMap(_.stripSuffix(".checkpoint.json").toLongOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Discover versioned-sink table roots under a lake dir:
+    * `outDir/<table>/ref_month=<M>` dirs that carry a `_txlog`.
+    */
+  def discoverLake(outDir: Path): Seq[String] = {
+    if (!Files.isDirectory(outDir)) return Seq.empty
+    val tables = Files.list(outDir)
+    try tables.iterator().asScala.filter(Files.isDirectory(_)).flatMap { t =>
+      val months = Files.list(t)
+      try months.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("ref_month=") &&
+          Files.isDirectory(p.resolve("_txlog")))
+        .map(_.toString).toSeq
+      finally months.close()
+    }.toSeq.sorted
+    finally tables.close()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case keep :: retain :: "--lake" :: out :: Nil =>
+      val roots = discoverLake(Paths.get(out))
+      if (roots.isEmpty) println(s"""{"maintain":"no TxLog tables under $out"}""")
+      roots.foreach(t =>
+        println(maintainTable(t, keep.toInt, retain.toLong)))
+    case keep :: retain :: roots if roots.nonEmpty =>
+      roots.foreach(t => println(maintainTable(t, keep.toInt, retain.toLong)))
+    case other =>
+      System.err.println(
+        "usage: Maintain <keepVersions> <vacuumRetainMs> <tableRoot>... | " +
+          "--lake <outDir>")
+      sys.exit(2)
+  }
+}
