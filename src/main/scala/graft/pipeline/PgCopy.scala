@@ -96,7 +96,18 @@ object PgCopyText {
         if (!records.hasNext) return -1
         cur = records.next(); pos = 0
       }
-      val n = math.min(len, cur.length - pos)
+      var n = math.min(len, cur.length - pos)
+      // never END a chunk on an unpaired high surrogate when its low half
+      // is still pending: pgjdbc's CopyManager.copyIn(sql, Reader) encodes
+      // EACH chunk independently, so a supplementary character (emoji,
+      // CJK-B) split across the buffer boundary of a >bufferSize record
+      // would encode as two replacement chars — silent text corruption
+      // with the row-count audit green (r13 review wave). Backing off one
+      // char keeps the pair together in the next chunk; n == 1 can only
+      // hold a lone surrogate when the CALLER's buffer is one char, which
+      // no COPY consumer uses.
+      if (n > 1 && Character.isHighSurrogate(cur.charAt(pos + n - 1))
+        && pos + n < cur.length) n -= 1
       cur.getChars(pos, pos + n, cbuf, off)
       pos += n
       n

@@ -106,10 +106,17 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
   override def overwrite(df: DataFrame, table: String, refMonth: String): Unit = {
     if (versioned) {
       val root = versionedRoot(table, refMonth)
-      require(!root.contains("://"),
+      // reject ANY scheme-prefixed root, including Hadoop's canonical
+      // single-slash form ("file:/mnt/lake"): the old "://" probe let that
+      // one through, and TxLog's java.nio side then resolved "file:/..."
+      // as a CWD-relative literal directory while Spark's Hadoop side wrote
+      // the data under /mnt/lake — a split-brain table whose vacuum (run
+      // from another CWD) would see zero commits and reclaim every live
+      // data dir (r13 review wave)
+      require(!root.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*"),
         "versioned mode publishes through the bundled TxLog (java.nio hard " +
-          s"links) and needs a POSIX-reachable path, got $root — see the " +
-          "class doc for the object-store deployment note")
+          s"links) and needs a plain POSIX path (no URI scheme), got $root " +
+          "— see the class doc for the object-store deployment note")
       val rootPath = new org.apache.hadoop.fs.Path(root)
       assertLayout(rootPath.getFileSystem(
         df.sparkSession.sparkContext.hadoopConfiguration), rootPath)
@@ -128,7 +135,35 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     fs.delete(backup, true) // stale backup from an earlier crashed swap
     if (fs.exists(finalPath) && !fs.rename(finalPath, backup))
       throw new java.io.IOException(s"rename $finalPath -> $backup failed")
-    if (!fs.rename(staging, finalPath)) {
+    promoteStaging(fs, staging, finalPath, backup)
+  }
+
+  /** The swap's second half: staging → final, backup dropped on success.
+    * Package-private so the reader-promotion race below is deterministically
+    * testable (the live window between the two renames is microseconds).
+    */
+  private[pipeline] def promoteStaging(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      finalPath: org.apache.hadoop.fs.Path,
+      backup: org.apache.hadoop.fs.Path): Unit = {
+    // rename with a vanished source RETURNS FALSE on HDFS but THROWS
+    // FileNotFoundException on the local/checksum filesystem (its fallback
+    // copy path stats the source) — the race below must catch both forms
+    val renamed =
+      try fs.rename(staging, finalPath)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed) {
+      // a CONCURRENT readBack can win this rename: its crash-recovery leg
+      // saw the swap window (final moved aside, staging complete) and
+      // promoted our staging itself. Staging paths are unique per
+      // (table, month) and only this writer and that recovery touch them,
+      // so "staging vanished and final is a COMPLETE snapshot" means our
+      // write landed — reporting failure here marked a fully-loaded table
+      // falhou in the manifest (r13 review wave).
+      if (!fs.exists(staging) && isComplete(fs, finalPath)) {
+        fs.delete(backup, true)
+        return
+      }
       // restore the old snapshot before failing: rename back is the same
       // metadata op that just succeeded forward, so this only fails if the
       // filesystem itself is gone
@@ -136,6 +171,7 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
       throw new java.io.IOException(s"rename $staging -> $finalPath failed")
     }
     fs.delete(backup, true)
+    ()
   }
 
   /** Completed parquet writes carry a `_SUCCESS` marker (the default
@@ -227,7 +263,21 @@ class JdbcSink(
       rs.close()
       if (!found) {
         val st = conn.createStatement()
-        try st.executeUpdate(s"CREATE SCHEMA $schema") finally st.close()
+        // two JVMs loading the same new month both see "absent" and race
+        // the CREATE; the loser's SQLException must not fail its whole
+        // table load (the reference's IF NOT EXISTS semantics). Re-probe:
+        // swallow the error ONLY when the schema verifiably exists now.
+        try st.executeUpdate(s"CREATE SCHEMA $schema")
+        catch {
+          case e: java.sql.SQLException =>
+            val again = conn.getMetaData.getSchemas
+            var exists = false
+            try {
+              while (!exists && again.next())
+                exists = schema.equalsIgnoreCase(again.getString("TABLE_SCHEM"))
+            } finally again.close()
+            if (!exists) throw e
+        } finally st.close()
       }
     } finally conn.close()
   }
@@ -267,8 +317,11 @@ class JdbcSink(
         val (u, p, sql) =
           (url, props, PgCopyText.copySql(target, df.schema.fieldNames))
         val schema = df.schema
-        df.coalesce(math.min(numPartitions,
-            df.rdd.getNumPartitions).max(1))
+        // coalesce already clamps to the current partition count; the old
+        // min(numPartitions, df.rdd.getNumPartitions) paid a second full
+        // plan-to-RDD materialization per load to compute a value coalesce
+        // derives for free (r13 review wave)
+        df.coalesce(math.max(numPartitions, 1))
           .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
             if (rows.hasNext) {
               val conn = DriverManager.getConnection(u, p)

@@ -55,6 +55,11 @@ object ScaleUp {
   }
 
   def write(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // up front, before any table lands: factor 0 used to crash on
+    // empty.reduce AFTER region/nation were already written — a half-built
+    // output dir that read like a corpus with dims but no facts (r13
+    // review wave)
+    require(factor >= 1, s"blow-up factor must be >= 1, got $factor")
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def save(t: String)(df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -70,7 +75,15 @@ object ScaleUp {
     def stacked(t: String, keys: Seq[String])(
         perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until factor).map { k =>
-        val shifted = keys.foldLeft(read(t))((d, c) =>
+        // events has shipped in two parquet vintages (timestamp[us] and
+        // INT64 TIMESTAMP(NANOS)); every reader in the repo goes through
+        // Tables.rawEvents' scoped nanosAsLong handling, and a bare read
+        // here crashed the blow-up mid-run on the nanos form — LONG output
+        // round-trips fine, normalizeEvents accepts it on the read side
+        // (r13 review wave)
+        val base = if (t == "events") graft.Tables.rawEvents(spark, src)
+          else read(t)
+        val shifted = keys.foldLeft(base)((d, c) =>
           d.withColumn(c, col(c) + lit(k * STRIDE)))
         perCopy(shifted, k)
       }.reduce(_ unionAll _)
@@ -93,11 +106,19 @@ object ScaleUp {
     save("embeddings")(stacked("embeddings", Seq("vec_id")) { (d, k) =>
       if (k == 0) d
       else {
-        // rotate left by k: cosine-preserving within the copy, scrambling
-        // across copies (element i pairs with element i+k of the original)
+        // rotate left by k MOD dim: cosine-preserving within the copy,
+        // scrambling across copies (element i pairs with element i+r of
+        // the original). Unreduced k made the slice length negative once
+        // the factor exceeded the embedding dimension — a runtime crash
+        // with most tables already written (r13 review wave). Honest
+        // limitation: rotation offers at most dim distinct orientations,
+        // so copies k ≡ 0 (mod dim) ARE cosine-correlated with copy 0 —
+        // fine for rehearsal factors (≤30) against ≥64-dim fixtures; a
+        // factor beyond dim would need a per-copy orthogonal transform.
         val e = col("embedding")
+        val r = pmod(lit(k), size(e))
         d.withColumn("embedding",
-          concat(slice(e, lit(k + 1), size(e) - k), slice(e, lit(1), lit(k))))
+          concat(slice(e, r + lit(1), size(e) - r), slice(e, lit(1), r)))
       }
     })
   }

@@ -198,6 +198,55 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(PgCopyText.encodeRow(row, schema) === "x\t\\N\n")
   }
 
+  test("RecordsReader chunking never splits a surrogate pair (pgjdbc encodes per chunk)") {
+    // pgjdbc's CopyManager.copyIn(sql, Reader) does
+    // encoding.encode(new String(chunk)) for EACH read() chunk, so a
+    // supplementary character straddling a chunk boundary of a record
+    // longer than the copy buffer corrupted to replacement chars with the
+    // row-count audit green (r13 review wave). Odd buffer sizes over
+    // emoji-dense records force every alignment.
+    val records = Seq(
+      ("ab🙂" * 40) + "end", // BMP+supplementary interleaved
+      "🙂" * 33, // nothing but surrogate pairs
+      "plain ascii only")
+    for (bufLen <- Seq(3, 7, 64)) {
+      val r = new PgCopyText.RecordsReader(records.iterator)
+      val cbuf = new Array[Char](bufLen)
+      val perChunkEncoded = new java.io.ByteArrayOutputStream()
+      var n = r.read(cbuf, 0, bufLen)
+      while (n != -1) {
+        // the pgjdbc behavior under test: each chunk encoded independently
+        perChunkEncoded.write(
+          new String(cbuf, 0, n).getBytes(StandardCharsets.UTF_8))
+        n = r.read(cbuf, 0, bufLen)
+      }
+      val whole = records.mkString.getBytes(StandardCharsets.UTF_8)
+      assert(perChunkEncoded.toByteArray === whole,
+        s"bufLen=$bufLen per-chunk encode must equal whole-string encode")
+    }
+  }
+
+  test("concurrent first loads of a new month: the CREATE SCHEMA race fails no table") {
+    // two JVMs (or threads) loading the same brand-new month both probe
+    // "schema absent" and race the CREATE; the loser's SQLException used to
+    // fail its whole table load even though the schema exists (r13 review
+    // wave — the reference's CREATE SCHEMA IF NOT EXISTS semantics)
+    val url = freshDb()
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val tables = Seq("rfb_paises", "rfb_cnaes", "rfb_motivos", "rfb_municipios")
+    val threads = tables.map { t =>
+      new Thread(() =>
+        try new JdbcSink(url, props)
+          .overwrite(Seq(("1", t)).toDF("c0", "c1"), t, "209901")
+        catch { case e: Throwable => failures.compareAndSet(null, e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(failures.get() === null, s"race failure: ${failures.get()}")
+    val sink = new JdbcSink(url, props)
+    tables.foreach(t => assert(sink.readBack(spark, t, "209901").count() === 1))
+  }
+
   test("schema-per-month snapshots land side by side") {
     val url = freshDb()
     val sink = new JdbcSink(url, props)

@@ -199,6 +199,58 @@ class ParquetSinkSpec extends AnyFunSuite {
       names.mkString(", "))
   }
 
+  test("a concurrent reader's promotion of our staging is success, not failure") {
+    // r13 review wave: writer between its two swap renames, a concurrent
+    // readBack sees {final absent, staging complete}, promotes staging
+    // itself; the writer's rename(staging→final) then fails. State after
+    // the reader won: staging GONE, final = the writer's OWN complete
+    // snapshot, backup still aside. The writer must report success (the
+    // load landed) and drop the backup — not mark the table falhou.
+    val out = Files.createTempDirectory("psink").toString
+    val sink = new ParquetSink(out)
+    sink.overwrite(Seq(("new", "x")).toDF("c0", "c1"), "rfb_paises", "202401")
+    val finalPath = new Path(s"$out/rfb_paises/ref_month=202401")
+    val staging = new Path(s"$out/rfb_paises/_staging_ref_month=202401")
+    val backup = new Path(s"$out/rfb_paises/_backup_ref_month=202401")
+    val f = fs(finalPath)
+    f.mkdirs(backup) // the old snapshot the writer moved aside
+    sink.promoteStaging(f, staging, finalPath, backup) // staging absent
+    assert(!f.exists(backup), "backup must be dropped on promoted success")
+    assert(sink.readBack(spark, "rfb_paises", "202401")
+      .select("c0").as[String].collect().toSet === Set("new"))
+  }
+
+  test("staging vanished WITHOUT a complete final: restore backup and fail") {
+    val out = Files.createTempDirectory("psink").toString
+    val sink = new ParquetSink(out)
+    sink.overwrite(Seq(("old", "x")).toDF("c0", "c1"), "rfb_paises", "202401")
+    val finalPath = new Path(s"$out/rfb_paises/ref_month=202401")
+    val staging = new Path(s"$out/rfb_paises/_staging_ref_month=202401")
+    val backup = new Path(s"$out/rfb_paises/_backup_ref_month=202401")
+    val f = fs(finalPath)
+    // simulate: old snapshot moved aside, staging lost, nothing complete at
+    // final — the writer must restore the backup and throw
+    assert(f.rename(finalPath, backup))
+    intercept[java.io.IOException] {
+      sink.promoteStaging(f, staging, finalPath, backup)
+    }
+    assert(sink.readBack(spark, "rfb_paises", "202401")
+      .select("c0").as[String].collect().toSet === Set("old"))
+  }
+
+  test("versioned mode rejects scheme-prefixed roots, including file:/ (single slash)") {
+    // "file:/mnt/lake" slipped past the old "://" probe: TxLog's java.nio
+    // side then resolved it CWD-relative while Spark wrote under /mnt/lake
+    // — split-brain, and a vacuum from another CWD would reclaim live data
+    for (bad <- Seq("file:/tmp/lakeX", "file:///tmp/lakeX", "hdfs://nn/lake")) {
+      val ex = intercept[IllegalArgumentException] {
+        new ParquetSink(bad, versioned = true)
+          .overwrite(Seq(("1", "a")).toDF("c0", "c1"), "rfb_paises", "202401")
+      }
+      assert(ex.getMessage.contains("POSIX"), s"$bad: ${ex.getMessage}")
+    }
+  }
+
   test("crash with final missing and staging partial: backup is restored") {
     val out = Files.createTempDirectory("psink").toString
     val sink = new ParquetSink(out)
