@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * targets shared by every copy, exactly how a real 10× corpus shares a
   * country list.
   *
-  * Two tables get a per-copy decorrelation transform so the blow-up scales
-  * the WORKLOAD linearly instead of manufacturing a quadratic one:
+  * Several tables get a per-copy decorrelation transform so the blow-up
+  * scales the WORKLOAD linearly instead of manufacturing a quadratic one
+  * (entity names on customer/supplier/part get a `~k` suffix — see the
+  * note at the save sites; the same reasoning as documents):
   *  - `documents`: every whitespace token in copy k>0 gets a `~k` suffix.
   *    Intra-copy text structure (shared spans, near-dup pairs, shingle
   *    sets) is preserved exactly — both sides of any shared span get the
@@ -88,9 +90,24 @@ object ScaleUp {
         perCopy(shifted, k)
       }.reduce(_ unionAll _)
 
-    save("customer")(stacked("customer", Seq("c_custkey"))())
-    save("supplier")(stacked("supplier", Seq("s_suppkey"))())
-    save("part")(stacked("part", Seq("p_partkey"))())
+    // Entity NAMES get the same per-copy decorrelation as document tokens:
+    // a `~k` suffix. Key shifts alone left every c_name duplicated `factor`
+    // times, and any query whose ANSWER is defined over name similarity
+    // (er01's deletion-neighborhood linkage emits ALL pairs at edit
+    // distance ≤ 1) then owes a quadratically growing result — 30 copies
+    // of each name = C(30,2) pairs per entity. That measures the fixture,
+    // not the engine: a real N× corpus has N× distinct entities. The
+    // suffix preserves every intra-copy edit distance (identical suffixes
+    // on both sides) while making cross-copy names non-adjacent — caught
+    // by the r13 30× ladder, where er01's stage ran 10×+ past linear.
+    def named(t: String, key: String, name: String): DataFrame =
+      stacked(t, Seq(key)) { (d, k) =>
+        if (k == 0) d
+        else d.withColumn(name, concat(col(name), lit(s"~$k")))
+      }
+    save("customer")(named("customer", "c_custkey", "c_name"))
+    save("supplier")(named("supplier", "s_suppkey", "s_name"))
+    save("part")(named("part", "p_partkey", "p_name"))
     save("orders")(stacked("orders", Seq("o_orderkey", "o_custkey"))())
     save("lineitem")(stacked("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey"))())

@@ -68,6 +68,11 @@ class ScaleUpSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$out/documents.parquet")
     assert(docs.count() === 6)
     assert(docs.select("doc_id").distinct().count() === 6)
+    // entity names are decorrelated per copy (else name-similarity queries
+    // owe a quadratic answer over the duplicates — r13 ladder finding)
+    val names = spark.read.parquet(s"$out/customer.parquet")
+      .select("c_name").as[String].collect().toSet
+    assert(names === Set("c", "c~1", "c~2", "c~3", "c~4", "c~5"), names)
   }
 
   test("events leg survives the INT64 TIMESTAMP(NANOS) vintage") {
