@@ -322,11 +322,19 @@ object Relational {
       // space-only trim + regex rejected — a fixture-dormant hash fork
       // (r11 review, probed both engines; DuckDB TRY_CAST alone ROUNDS
       // '50.5' to 51 — r10 review)
+      // the extraction is its OWN projection so the JSON document is
+      // parsed ONCE per row: inlining trim(get_json_object(..)) into the
+      // CASE evaluated the parse up to three times per row (guard + cast
+      // arm), a 3.5x isolated regression vs the r10 control adjudicated
+      // this round. CollapseProject will not re-inline it — since 3.3 the
+      // rule only duplicates cheap expressions (attributes/literals), and
+      // get_json_object is neither.
       t(s, dir, "events")
         .select(col("event_type"),
-          expr("""CASE WHEN trim(get_json_object(props, '$.k'))
-                 |       RLIKE '^[+-]?[0-9]+$'
-                 |  THEN try_cast(trim(get_json_object(props, '$.k')) as int)
+          expr("trim(get_json_object(props, '$.k'))").as("ktxt"))
+        .select(col("event_type"),
+          expr("""CASE WHEN ktxt RLIKE '^[+-]?[0-9]+$'
+                 |  THEN try_cast(ktxt as int)
                  |END""".stripMargin).as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
