@@ -80,7 +80,7 @@ object DedupClusters {
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame,
       scratch: (String, String) = ("cc", java.util.UUID.randomUUID.toString),
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 40): DataFrame = {
     // cache peek FIRST: the key is derivable from (tag, key, inputs)
     // alone, and every propagation round below is an EAGER job — without
     // this, dd06/tx16/dd13 each re-ran the whole loop and the cache only
@@ -88,62 +88,124 @@ object DedupClusters {
     val cached = MinHashDedup.cachedScratch(nodes.sparkSession,
       scratch._1, scratch._2, Seq(nodes, edges))
     if (cached.isDefined) return cached.get
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"), replacing plain min-label
+    // propagation. Propagation converges in O(component ECCENTRICITY)
+    // rounds — the label wave is a BFS frontier from each component's
+    // minimum, so pointer jumping cannot shortcut it (labels never form
+    // chains: every assigned label is already some frontier minimum).
+    // The r13 30× rehearsal chained rotated embedding copies into
+    // >40-diameter components and dd08 tripped its own non-convergence
+    // guard; star contraction converges in O(log² n) rounds on ANY
+    // topology — the difference between "rounds follow the data's
+    // diameter" and "rounds follow log n" is exactly what a 100 TB corpus
+    // with boilerplate chains demands. Each round: large-star points
+    // every above-minimum neighbor at the neighborhood minimum, small-star
+    // re-hangs the below-self neighbors; both are one groupBy + one join
+    // over a strictly-shrinking directed edge set, truncated per phase so
+    // lineage never compounds. Convergence = the round leaves the edge
+    // multiset untouched (count + order-insensitive hash signature); the
+    // loop then proves its answer with an independent certificate — every
+    // ORIGINAL edge must connect equal labels — so even a signature
+    // collision could not smuggle out wrong clusters.
+    val ids = nodes.select(col("id"))
+      .union(edges.select(col("a").as("id")))
+      .union(edges.select(col("b").as("id")))
+      .distinct()
       .transform(Checkpoints.truncate)
-    var labels = nodes.select(col("id"), col("id").as("lab"))
-    var lastCp: Option[DataFrame] = None
-    var changed = 1L
-    var round = 0
-    try {
-    def propagate(): Unit = {
-      val prop = sym.join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("lab"))
-      // the node's OWN row rides through the min-agg tagged, so the old
-      // label comes out of the same pass — no per-round join of
-      // next×labels (a second full shuffle) just to count convergence
-      val agg = labels.select(col("id"), col("lab"), lit(true).as("own"))
-        .union(prop.select(col("id"), col("lab"), lit(false).as("own")))
-        .groupBy("id")
-        .agg(min("lab").as("lab"),
-          max(when(col("own"), col("lab"))).as("oldLab"))
-        .transform(Checkpoints.truncate) // eager: one job materializes the round
-      // a null oldLab is a node REACHED for the first time through an
-      // edge (its id was absent from `nodes`): it must count as changed
-      // or the loop converges one round early and the chain beyond it
-      // never gets labeled — silently incomplete clusters whenever the
-      // node set doesn't cover every edge endpoint (r10 review; with a
-      // covering node set oldLab is never null and nothing changes)
-      changed = agg.filter(col("oldLab").isNull ||
-        col("lab") < col("oldLab")).count() // cheap re-read
-      lastCp.foreach(unpersistCheckpoint) // superseded round: free it NOW
-      lastCp = Some(agg)
-      labels = agg.select(col("id"), col("lab"))
-      round += 1
+    var star = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+      .transform(Checkpoints.truncate)
+    // round frames are evictable once superseded; `ids` lives until the
+    // final labels join and is released in the finally (evicting it with
+    // the rounds left the labels join reading unpersisted local-checkpoint
+    // blocks — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame](star)
+    def freeSuperseded(): Unit = {
+      // keep the newest two frames (current star + its input may still be
+      // referenced by the next phase's lazy plan until materialized)
+      while (cps.length > 2) { unpersistCheckpoint(cps.remove(0)) }
     }
-    while (changed > 0 && round < maxIter) propagate()
-    // convergence may land exactly on round maxIter (that round still
-    // reports changed > 0) — one verification round distinguishes
-    // converged-on-last-round from genuinely unconverged
-    if (changed > 0) propagate()
-    // an unconverged exit would silently return WRONG labels (tail nodes of
-    // a >maxIter-diameter component keep non-minimal ids) — fail loudly
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still improving); raise maxIter — component " +
-        "diameter exceeds it")
-    // fingerprint from nodes+edges: the labels frame itself ends at a
-    // checkpoint (no input files), so without them a rewritten source
-    // would serve stale cluster ids from the scratch cache
-    MinHashDedup.materialized(
-      labels.select(col("id"), col("lab").as("cluster_id")),
-      scratch._1, scratch._2, fingerprintOf = Seq(nodes, edges))
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a")
+        .agg(least(min(col("b")), col("a")).as("m"))
+      sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val m = dir.groupBy("a").agg(min(col("b")).as("m"))
+      dir.join(m, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    try {
+      var sig = signature(star)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxIter) {
+        val next = smallStar(largeStar(star))
+          .transform(Checkpoints.truncate)
+        cps += next
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        sig = nextSig
+        star = next
+        round += 1
+        freeSuperseded()
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds; " +
+          "raise maxIter — contraction stalls only on adversarial inputs " +
+          "far beyond log2(n) rounds")
+      // post-convergence the edge set is a forest of stars centered at the
+      // component minima: label = star center, own id for centers and
+      // isolated nodes. min() tolerates (and the certificate would expose)
+      // any would-be duplicate hanging.
+      val centers = star.groupBy("a").agg(min(col("b")).as("lab0"))
+      val labels = ids.join(centers, ids("id") === centers("a"), "left")
+        .select(col("id"), coalesce(col("lab0"), col("id")).as("lab"))
+        .transform(Checkpoints.truncate)
+      cps += labels
+      // the certificate: every ORIGINAL edge connects equal labels. This
+      // implies component-constant labels; with label values always drawn
+      // from member ids and label(u) <= u by construction, the constant is
+      // the component minimum. Independent of the signature equality, so a
+      // hash collision cannot produce silently-wrong clusters.
+      val la = labels.select(col("id").as("a"), col("lab").as("labA"))
+      val lb = labels.select(col("id").as("b"), col("lab").as("labB"))
+      val violations = edges.select(col("a"), col("b"))
+        .join(la, "a").join(lb, "b")
+        .filter(col("labA") =!= col("labB")).count()
+      if (violations > 0) throw new IllegalStateException(
+        s"connectedComponents certificate failed: $violations original " +
+          "edges connect different labels after convergence")
+      // fingerprint from nodes+edges: the labels frame itself ends at a
+      // checkpoint (no input files), so without them a rewritten source
+      // would serve stale cluster ids from the scratch cache
+      MinHashDedup.materialized(
+        labels.select(col("id"), col("lab").as("cluster_id")),
+        scratch._1, scratch._2, fingerprintOf = Seq(nodes, edges))
     } finally {
-      // failure paths (non-convergence, a failed scratch write) must not
-      // strand the round checkpoints + symmetrized edges in executor
-      // memory for the session's lifetime
-      lastCp.foreach(unpersistCheckpoint)
-      unpersistCheckpoint(sym)
+      // failure paths (non-convergence, a failed certificate or scratch
+      // write) must not strand the round checkpoints in executor memory
+      // for the session's lifetime
+      cps.foreach(unpersistCheckpoint)
+      unpersistCheckpoint(ids)
     }
   }
 

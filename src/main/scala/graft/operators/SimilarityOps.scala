@@ -59,15 +59,33 @@ object SimilarityOps {
 
   /** Plane count for a corpus of `n` vectors. With `p` planes there are 2^p
     * signature buckets, so the expected bucket population is n/2^p; the
-    * candidate join's cost follows bucket size, so `p` must grow as
-    * log₂(n / targetBucket) to keep that bounded as the corpus scales.
-    * Never fewer than [[MinPlanes]]: every corpus up to
-    * TargetBucket·2^MinPlanes = 65 536 vectors (all oracle scale factors)
-    * pins at 4 planes, so the hash-gated oracle's inlined 4-plane signature
-    * stays exact while real deployments get the log₂ growth.
+    * candidate join's COST follows bucket size (≈ n·bucket/2 pairs per
+    * table), so `p` must grow as log₂(n / targetBucket) to keep that
+    * bounded as the corpus scales. Never fewer than [[MinPlanes]]: every
+    * corpus up to TargetBucket·2^MinPlanes = 2 048 vectors (all oracle AND
+    * bench scale factors — sf0.1 ships 2 000) pins at 4 planes, so the
+    * hash-gated oracle's inlined 4-plane signature stays exact while real
+    * deployments get the log₂ growth.
+    *
+    * 128, not the original 4 096: the r13 30× ladder killed the host disk
+    * on dd08 — 60 k vectors still resolved to MinPlanes, so buckets held
+    * ~3 750 vectors and the candidate join-back dragged ~337 M pairs ×
+    * two 256-byte vectors through sort-merge spills ("No space left on
+    * device"). Bucket size IS the pair-volume knob: per-vector candidate
+    * work is ~bucket/2 per table, so the target must be small enough that
+    * the constant survives a 1000× corpus. Recall lost to the extra bits
+    * is bought back by [[multiTableSigs]] growing the TABLE count with the
+    * plane count (near-dup pairs at cosine ≥ 0.95 keep ≥ ~85% single-pass
+    * recall at the rehearsal scales; genuine duplicates ≥ 0.99 stay ≥ 99%).
     */
-  private[operators] val TargetBucket = 4096L
+  private[operators] val TargetBucket = 128L
   private[operators] val MinPlanes = 4
+
+  /** Beyond this corpus size the per-pair vector join-back stops being
+    * broadcastable (64-dim float ≈ 260 B/row → ~260 MB at the cap) and the
+    * planner's shuffle strategy takes over.
+    */
+  private[operators] val BroadcastMaxVectors = 1000000L
   private[operators] def planesFor(n: Long): Int = {
     val p = math.max(MinPlanes, math.ceil(
       math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt)
@@ -103,7 +121,13 @@ object SimilarityOps {
   private[operators] def multiTableSigs(
       s: SparkSession, dir: String): DataFrame = {
     val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
-    val nTables = 3
+    // recall defense at scale: each extra plane multiplies per-table
+    // near-dup recall by the per-bit agreement probability, so the table
+    // count grows with the plane count (3 at every oracle/bench scale —
+    // the inlined 3-signature oracle SQL stays exact — up to 8 at corpus
+    // scales). Tables are cheap: one signature column each, one shared
+    // scratch pass.
+    val nTables = math.min(8, 3 + (nPlanes - MinPlanes) / 3)
     val e = emb(s, dir)
     MinHashDedup.materialized(
       e.select(col("vec_id"), explode(array(
@@ -120,6 +144,7 @@ object SimilarityOps {
     */
   private[operators] def embeddingNearDupPairs(
       s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count()
     val e = emb(s, dir)
     val sigs = multiTableSigs(s, dir)
     val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
@@ -127,8 +152,21 @@ object SimilarityOps {
         Seq("tb", "sig"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    // the candidate stream is the BIG side (≈ bucket/2 pairs per vector
+    // per table); the vector table is n rows. Joining back by sort-merge
+    // dragged every candidate's two dense vectors through shuffle sorts —
+    // at the r13 30× rehearsal that spilled the disk dry. Broadcasting the
+    // vector side keeps the candidate stream flowing straight through two
+    // hash probes + the cosine filter, nothing sorted, nothing spilled;
+    // past [[BroadcastMaxVectors]] the hint is withheld and the planner's
+    // shuffle strategy (or storage-partitioned join on a real cluster)
+    // takes over.
+    val hint: DataFrame => DataFrame =
+      if (n <= BroadcastMaxVectors) broadcast(_) else identity
+    val v1 = hint(e.select(col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1")))
+    val v2 = hint(e.select(col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2")))
     cands.join(v1, "id1").join(v2, "id2")
       .select(col("id1"), col("id2"),
         round(dot12 / (col("n1") * col("n2")), 6).as("cosine"))

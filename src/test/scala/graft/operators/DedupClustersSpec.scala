@@ -35,16 +35,36 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("convergence exactly at maxIter is accepted; beyond it throws") {
-    // chain 0-1-2-3-4: min-label propagation needs 4 improving rounds
+  test("convergence within maxIter is accepted; a genuinely unconverged exit throws") {
+    // chain 0-1-2-3-4: star contraction needs 2 improving rounds + the
+    // stability-detection lap, where plain propagation needed diameter (4)
     val nodes = (0L to 4L).toDF("id")
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 4)
+    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 3)
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet === Set(0L))
+    // two rounds reach the star but cannot also certify stability
     intercept[IllegalStateException] {
       DedupClusters.connectedComponents(nodes, edges, maxIter = 2).collect()
     }
+  }
+
+  test("a long-diameter component converges in O(log diameter) rounds (r13 30x finding)") {
+    // 4096-node path: plain neighbor propagation needs 4095 rounds and
+    // threw the non-convergence guard at the default maxIter = 20 — the
+    // exact failure the 30x rehearsal hit when weak 0.4-cosine links
+    // chained copies into one >20-diameter component. (Pointer jumping
+    // could NOT close it: min-propagation labels never chain — every
+    // assigned label is already a frontier minimum — so rounds follow
+    // eccentricity regardless.) Large-star/small-star contraction must
+    // converge within the default budget, labels still exact.
+    val n = 4096
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val got = DedupClusters.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "every node must reach the path's min id")
   }
 
   test("property: components equal driver-side union-find on random graphs") {

@@ -9,11 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimilarityScaleSpec extends AnyFunSuite {
 
   test("plane count pins at 4 through the oracle scales, grows log2 beyond") {
-    assert(SimilarityOps.planesFor(500) === 4)    // sf0.001–0.01 corpora
-    assert(SimilarityOps.planesFor(5000) === 4)   // sf0.1 corpus
-    assert(SimilarityOps.planesFor(65536) === 4)  // pin range upper edge
-    assert(SimilarityOps.planesFor(1L << 20) === 8)
-    assert(SimilarityOps.planesFor(1L << 30) === 18)
+    assert(SimilarityOps.planesFor(500) === 4)   // sf0.001–0.01 corpora
+    assert(SimilarityOps.planesFor(2000) === 4)  // sf0.1 corpus
+    assert(SimilarityOps.planesFor(2048) === 4)  // pin range upper edge
+    // beyond the pin range the BUCKET, not the corpus, is the constant:
+    // the r13 30× rehearsal's 60 k corpus must NOT resolve to MinPlanes
+    // (it did with the old 4096 target — ~3750-vector buckets spilled the
+    // disk dry in dd08's vector join-back)
+    assert(SimilarityOps.planesFor(2049) === 5)
+    assert(SimilarityOps.planesFor(60000) === 9)
+    assert(SimilarityOps.planesFor(1L << 20) === 13)
+    assert(SimilarityOps.planesFor(1L << 30) === 23)
   }
 
   test("expected bucket occupancy stays bounded once the rule engages") {
