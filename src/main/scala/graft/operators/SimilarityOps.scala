@@ -119,8 +119,16 @@ object SimilarityOps {
     }.reduce(_ + _)
 
   private[operators] def multiTableSigs(
-      s: SparkSession, dir: String): DataFrame = {
-    val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
+      s: SparkSession, dir: String): DataFrame =
+    multiTableSigs(s, dir, Tables(s, dir, "embeddings").count())
+
+  /** Variant taking a pre-computed corpus size so callers that already
+    * counted (the near-dup kernel's broadcast decision) don't launch a
+    * second identical count job per invocation (r13 review).
+    */
+  private[operators] def multiTableSigs(
+      s: SparkSession, dir: String, n: Long): DataFrame = {
+    val nPlanes = planesFor(n)
     // recall defense at scale: each extra plane multiplies per-table
     // near-dup recall by the per-bit agreement probability, so the table
     // count grows with the plane count (3 at every oracle/bench scale —
@@ -146,7 +154,7 @@ object SimilarityOps {
       s: SparkSession, dir: String): DataFrame = {
     val n = Tables(s, dir, "embeddings").count()
     val e = emb(s, dir)
-    val sigs = multiTableSigs(s, dir)
+    val sigs = multiTableSigs(s, dir, n)
     val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
       .join(sigs.select(col("vec_id").as("id2"), col("tb"), col("sig")),
         Seq("tb", "sig"))

@@ -374,19 +374,25 @@ object TxLog {
     * orphans unless a checkpoint still references them. Returns the removed
     * file names.
     */
-  def cleanupBefore(table: String, horizon: Long): Seq[String] = {
-    val ckpts = {
-      val dir = logDir(table)
-      if (!Files.isDirectory(dir)) Seq.empty[Long]
-      else {
-        val s = Files.list(dir)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.endsWith(".checkpoint.json"))
-          .flatMap(_.stripSuffix(".checkpoint.json").toLongOption)
-          .toSeq.sorted
-        finally s.close()
-      }
+  /** Versions with a checkpoint record, ascending — the cleanup anchors.
+    * Shared with the maintenance entry point ([[graft.tools.Maintain]])
+    * so the two can never drift on the checkpoint file naming.
+    */
+  private[graft] def checkpointVersions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty[Long]
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint.json"))
+        .flatMap(_.stripSuffix(".checkpoint.json").toLongOption)
+        .toSeq.sorted
+      finally s.close()
     }
+  }
+
+  def cleanupBefore(table: String, horizon: Long): Seq[String] = {
+    val ckpts = checkpointVersions(table)
     require(ckpts.exists(_ >= horizon),
       s"cleanup horizon $horizon has no checkpoint at or above it — " +
         "readers would lose the log head anchor")

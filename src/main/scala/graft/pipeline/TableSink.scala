@@ -202,11 +202,23 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     assertLayout(fs, finalPath)
     if (!fs.exists(finalPath)) {
       // crash inside a swap: prefer the complete NEW snapshot (it was
-      // fully written — the swap just didn't finish), else the backup
+      // fully written — the swap just didn't finish), else the backup.
+      // MIRROR of the promoteStaging race: a LIVE writer between its two
+      // swap renames presents the same on-disk state as a crash, and can
+      // win the promotion rename first — then this rename sees a vanished
+      // source (FileNotFoundException on local/checksum filesystems,
+      // `false` on HDFS; r13 review). Either way the truth is whatever
+      // finalPath holds afterwards, so recovery failures fall through to
+      // the read. The backup leg re-probes finalPath right before its
+      // rename: renaming onto a now-existing final would otherwise fall
+      // back to a COPY INTO the new snapshot dir on the local filesystem.
       val staging = path(table, refMonth, "_staging_")
       val backup = path(table, refMonth, "_backup_")
-      if (isComplete(fs, staging)) fs.rename(staging, finalPath)
-      else if (fs.exists(backup)) fs.rename(backup, finalPath)
+      try {
+        if (isComplete(fs, staging)) fs.rename(staging, finalPath)
+        else if (fs.exists(backup) && !fs.exists(finalPath))
+          fs.rename(backup, finalPath)
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     spark.read.parquet(finalPath.toString)
   }

@@ -45,10 +45,19 @@ object Maintain {
       head: Long,
       cleanedCommits: Seq[String],
       vacuumedDirs: Seq[String]) {
-    override def toString: String =
-      s"""{"table":"$table","head":$head,""" +
+    override def toString: String = {
+      // the path is operator-supplied: a quote or backslash in it must
+      // not break the JSON line a cron log parser reads (r13 review)
+      val esc = table.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      s"""{"table":"$esc","head":$head,""" +
         s""""cleaned_commits":${cleanedCommits.size},""" +
         s""""vacuumed_dirs":${vacuumedDirs.size}}"""
+    }
   }
 
   /** One maintenance pass over one TxLog table root. Never throws on an
@@ -69,9 +78,8 @@ object Maintain {
         // retreat to the newest checkpoint — cleaning less than asked is
         // always safe, throwing on a young table is not.
         val desired = head - keepVersions + 1
-        val ckpts = checkpoints(table)
-        val anchor = ckpts.filter(_ >= desired).sorted.headOption
-          .orElse(ckpts.sorted.lastOption)
+        val ckpts = TxLog.checkpointVersions(table)
+        val anchor = ckpts.find(_ >= desired).orElse(ckpts.lastOption)
         anchor match {
           case None => Seq.empty // no checkpoint yet — nothing cleanable
           case Some(a) =>
@@ -82,19 +90,6 @@ object Maintain {
       }
     val vacuumed = TxLog.vacuum(table, vacuumRetainMs)
     Report(table, head, cleaned, vacuumed)
-  }
-
-  private def checkpoints(table: String): Seq[Long] = {
-    val dir = Paths.get(table, "_txlog")
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".checkpoint.json"))
-        .flatMap(_.stripSuffix(".checkpoint.json").toLongOption)
-        .toSeq.sorted
-      finally s.close()
-    }
   }
 
   /** Discover versioned-sink table roots under a lake dir:
@@ -121,7 +116,11 @@ object Maintain {
       if (roots.isEmpty) println(s"""{"maintain":"no TxLog tables under $out"}""")
       roots.foreach(t =>
         println(maintainTable(t, keep.toInt, retain.toLong)))
-    case keep :: retain :: roots if roots.nonEmpty =>
+    case keep :: retain :: roots
+        if roots.nonEmpty && !roots.exists(_.startsWith("--")) =>
+      // the flag guard keeps a malformed --lake invocation (extra arg,
+      // typo) from degrading into maintainTable("--lake", ...) no-op
+      // reports that silently stop maintaining every table (r13 review)
       roots.foreach(t => println(maintainTable(t, keep.toInt, retain.toLong)))
     case other =>
       System.err.println(

@@ -100,10 +100,22 @@ object ScaleUp {
     // suffix preserves every intra-copy edit distance (identical suffixes
     // on both sides) while making cross-copy names non-adjacent — caught
     // by the r13 30× ladder, where er01's stage ran 10×+ past linear.
+    // suffix digits are DOUBLED (`~1122` for copy 12): plain `~k` suffixes
+    // are themselves within edit distance 1 of each other (`X~1` vs `X~2`
+    // is one substitution; `X~1` vs `X~12` one insertion), so er01's
+    // deletion-neighborhood join still paired every cross-copy duplicate
+    // and the blow-up stayed quadratic in the copies — the r13 review
+    // caught the first fix decorrelating only copy 0. Any two distinct
+    // doubled-digit suffixes differ by >= 2 edits (same length ⇒ a digit
+    // differs in both its positions; different length ⇒ length gap >= 2),
+    // so cross-copy names fall outside er01's distance-1 contract.
     def named(t: String, key: String, name: String): DataFrame =
       stacked(t, Seq(key)) { (d, k) =>
         if (k == 0) d
-        else d.withColumn(name, concat(col(name), lit(s"~$k")))
+        else {
+          val suffix = "~" + k.toString.flatMap(c => s"$c$c")
+          d.withColumn(name, concat(col(name), lit(suffix)))
+        }
       }
     save("customer")(named("customer", "c_custkey", "c_name"))
     save("supplier")(named("supplier", "s_suppkey", "s_name"))

@@ -69,10 +69,23 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(docs.count() === 6)
     assert(docs.select("doc_id").distinct().count() === 6)
     // entity names are decorrelated per copy (else name-similarity queries
-    // owe a quadratic answer over the duplicates — r13 ladder finding)
+    // owe a quadratic answer over the duplicates — r13 ladder finding),
+    // and the suffixes are PAIRWISE >= 2 edits apart: plain ~k suffixes
+    // were themselves distance-1 neighbors and er01 still paired every
+    // cross-copy duplicate (r13 review)
     val names = spark.read.parquet(s"$out/customer.parquet")
       .select("c_name").as[String].collect().toSet
-    assert(names === Set("c", "c~1", "c~2", "c~3", "c~4", "c~5"), names)
+    assert(names === Set("c", "c~11", "c~22", "c~33", "c~44", "c~55"), names)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (x <- names; y <- names if x < y)
+      assert(lev(x, y) >= 2, s"suffixed names must not be edit-1 adjacent: $x / $y")
   }
 
   test("events leg survives the INT64 TIMESTAMP(NANOS) vintage") {
