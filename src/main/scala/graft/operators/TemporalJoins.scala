@@ -77,16 +77,33 @@ object TemporalJoins {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** aj01/aj02/aj03's shared input frames. Null-ts rows are dropped on
+    * BOTH sides: the as-of contract is undefined for a missing timestamp,
+    * and the engines genuinely disagree about it — DuckDB ASOF sorts a
+    * NULL ts as +infinity (a null-ts purchase matches the user's LATEST
+    * signup; a null-ts signup is matchable), while the Spark kernels give
+    * null-ts left rows no match and drop null-ts right rows. The oracle
+    * CTEs carry the same filter (r13 review wave; confirmed as a live
+    * gate failure under null-ts injection).
+    */
+  private def purchasesAndSignups(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // one row per (user, ts): equal-ts answer well-defined on both engines
+    val signups = ev
+      .filter(col("event_type") === "signup" && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("signup_id"))
+    (purchases, signups)
+  }
+
   val queries: Map[String, Q] = ListMap(
     // For each purchase, the user's latest signup at-or-before it.
     "aj01_asof_join" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      // one row per (user, ts): equal-ts answer well-defined on both engines
-      val signups = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max("event_id").as("signup_id"))
+      val (purchases, signups) = purchasesAndSignups(s, dir)
       asOf(purchases, signups, Seq("user_id"), "ts", Seq("signup_id"))
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), TsFmt).as("ts"),
@@ -100,12 +117,8 @@ object TemporalJoins {
     // sort-merge) — hash-gated against the identical DuckDB ASOF oracle,
     // proving the custom exec end to end, not just in specs.
     "aj02_asof_exec" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val signups = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max("event_id").as("signup_id"))
+      val (purchases, signups0) = purchasesAndSignups(s, dir)
+      val signups = signups0
         .select(col("user_id").as("s_user"), col("ts").as("sts"),
           col("signup_id"))
       graft.plans.AsOfJoinPlan.asOfJoin(purchases, signups,
@@ -123,12 +136,7 @@ object TemporalJoins {
     // tolerance is a row-local post-filter on the matched timestamp, so
     // the scale shape is identical to aj01.
     "aj03_asof_tolerance" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val signups = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max("event_id").as("signup_id"))
+      val (purchases, signups) = purchasesAndSignups(s, dir)
       val within = col("asof_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
       asOf(purchases, signups, Seq("user_id"), "ts", Seq("signup_id"))
         .select(col("event_id"), col("user_id"),
@@ -439,38 +447,43 @@ object TemporalJoins {
     }),
   )
 
-  val oracle: Map[String, String] = ListMap(
-    "aj01_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
-        |       WHERE event_type = 'signup' GROUP BY user_id, ts)
-        |SELECT p.event_id, p.user_id,
-        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
-        |  s.signup_id
-        |FROM p ASOF LEFT JOIN s
-        |  ON p.user_id = s.user_id AND p.ts >= s.ts
-        |ORDER BY p.event_id""".stripMargin,
+  /** aj01/aj02/aj03's shared purchase/signup CTEs. `ts IS NOT NULL` on
+    * BOTH sides mirrors [[purchasesAndSignups]]: DuckDB ASOF sorts a NULL
+    * ts as +infinity (a null-ts purchase would match the user's LATEST
+    * signup and a null-ts signup would be matchable) while the Spark
+    * kernels give null-ts left rows no match and drop null-ts right rows
+    * — a live gate failure under null-ts injection (r13 review wave).
+    */
+  private val asofCteSql: String =
+    """p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+      | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+      |       WHERE event_type = 'signup' AND ts IS NOT NULL
+      |       GROUP BY user_id, ts)""".stripMargin
 
-    "aj02_asof_exec" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
-        |       WHERE event_type = 'signup' GROUP BY user_id, ts)
-        |SELECT p.event_id, p.user_id,
-        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
-        |  s.signup_id
-        |FROM p ASOF LEFT JOIN s
-        |  ON p.user_id = s.user_id AND p.ts >= s.ts
-        |ORDER BY p.event_id""".stripMargin,
+  /** One literal for aj01 AND aj02 — the custom-exec twin gates the
+    * identical semantics by construction.
+    */
+  private val asofOracleSql: String =
+    s"""WITH $asofCteSql
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+      |  s.signup_id
+      |FROM p ASOF LEFT JOIN s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  val oracle: Map[String, String] = ListMap(
+    "aj01_asof_join" -> asofOracleSql,
+
+    // aj02 proves the CUSTOM EXEC against the IDENTICAL oracle — one
+    // shared literal, like ohlcOracleSql, so a semantics fix (the null-ts
+    // filter below) can never land in one twin and miss the other
+    "aj02_asof_exec" -> asofOracleSql,
 
     "aj03_asof_tolerance" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        | s AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
-        |       WHERE event_type = 'signup' GROUP BY user_id, ts)
+      s"""WITH $asofCteSql
         |SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |  CASE WHEN s.ts >= p.ts - INTERVAL 1 HOUR
