@@ -66,6 +66,47 @@ object DedupClusters {
       case _ => ()
     }
 
+  /** Fast-path gates (r13 verdict order-book #1). The star-contraction
+    * kernel below converges in O(log² n) rounds on ANY topology — the
+    * 30×-proven scale property — but on the shallow near-clique graphs
+    * real dedup produces it spends ~6 rounds where plain min-label
+    * propagation finishes in 3-4, doubling dd06/dd08's toy-scale bench
+    * cost. So: when the canonical edge set is small enough that the
+    * prefix is cheap ([[PropagationEdgeCap]]), run propagation for at
+    * most [[PropagationRounds]] rounds first. If a zero-change round
+    * PROVES convergence, serve that answer; otherwise the prefix is still
+    * not wasted — every node now carries the minimum of its k-hop
+    * neighborhood, so the edge set is COMPRESSED through the partial
+    * labels (edge → (lab(a), lab(b)), self-loops dropped) and contraction
+    * runs on the collapsed graph, with a final pull-back join. Near-clique
+    * components (the common dedup shape) collapse to single nodes;
+    * a deep path (the 4096-node-path spec; boilerplate chains at 100 TB)
+    * barely compresses and simply proceeds to the O(log² n) kernel —
+    * rounds never follow the data's diameter, preserving the r13 scale
+    * fix. Above the cap the prefix is skipped outright: at billions of
+    * edges k speculative rounds are real money and diameter statistics
+    * are unknowable up front, while the constant-factor gap the fast path
+    * recovers no longer dominates. Both paths feed the same independent
+    * edge certificate, so the served labels are proven, not trusted,
+    * regardless of which kernel produced them.
+    */
+  private[operators] val PropagationEdgeCap = 10000000L
+  // 8, not the 3-4 a pure near-clique needs: real near-dup graphs carry a
+  // tail of short chains (rotated embedding copies link transitively —
+  // dd08's sf0.1 graph needs 6 rounds), and a miss is no longer a restart
+  // since the prefix compresses the edge set either way. Deep topologies
+  // still can't stretch the budget — it is a constant, so rounds never
+  // follow the data's diameter.
+  private[operators] val PropagationRounds = 8
+
+  /** Which kernel produced the labels of the LAST cache-miss
+    * [[connectedComponents]] call ("propagation" | "contraction") — test
+    * observability only: the fast-path spec pins that shallow graphs are
+    * served by propagation and deep ones still reach contraction, which no
+    * black-box assertion on the (identical) labels can distinguish.
+    */
+  @volatile private[operators] var lastKernel: String = ""
+
   /** Min-label connected components over undirected `edges` (a, b) for all
     * `nodes` (id). Returns (id, cluster_id = component min id).
     *
@@ -76,6 +117,12 @@ object DedupClusters {
     * keys (dd06/dd08 pass the input dir) let repeat invocations reuse the
     * result; the default key is unique per call — no reuse, safe for
     * arbitrary inputs.
+    *
+    * `maxIter` bounds the star-contraction rounds (the guaranteed
+    * O(log² n) kernel); the small-graph propagation attempt is a fixed
+    * [[PropagationRounds]]-round opportunistic prefix that either proves
+    * convergence or hands contraction a label-compressed edge set, so it
+    * neither consumes nor extends the contraction budget.
     */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame,
@@ -153,8 +200,107 @@ object DedupClusters {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
+    // the certificate: every ORIGINAL edge connects equal labels. This
+    // implies component-constant labels; with label values always drawn
+    // from member ids and label(u) <= u by construction (both kernels only
+    // ever assign a label that is some member's id and never above the
+    // node's own), the constant is the component minimum. Independent of
+    // each kernel's own convergence test, so neither a signature collision
+    // nor a propagation bug can produce silently-wrong clusters.
+    def certifyAndMaterialize(labels: DataFrame): DataFrame = {
+      val la = labels.select(col("id").as("a"), col("lab").as("labA"))
+      val lb = labels.select(col("id").as("b"), col("lab").as("labB"))
+      val violations = edges.select(col("a"), col("b"))
+        .join(la, "a").join(lb, "b")
+        .filter(col("labA") =!= col("labB")).count()
+      if (violations > 0) throw new IllegalStateException(
+        s"connectedComponents certificate failed: $violations original " +
+          "edges connect different labels after convergence")
+      // fingerprint from nodes+edges: the labels frame itself ends at a
+      // checkpoint (no input files), so without them a rewritten source
+      // would serve stale cluster ids from the scratch cache
+      MinHashDedup.materialized(
+        labels.select(col("id"), col("lab").as("cluster_id")),
+        scratch._1, scratch._2, fingerprintOf = Seq(nodes, edges))
+    }
+    // bounded min-label propagation prefix (fast path — see the gate
+    // scaladoc above). Returns Right(labels) when a zero-change round
+    // PROVED convergence, else Left(partial labels from the last round) —
+    // the prefix is never wasted: the caller compresses the edge set
+    // through the partial labels (each node already carries the minimum of
+    // its PropagationRounds-hop neighborhood) before contracting. Every
+    // label round is truncated and released once superseded; `sym` is
+    // released here (only the returned frame survives, and the caller owns
+    // its release).
+    def propagationPrefix(): Either[DataFrame, DataFrame] = {
+      val sym = star.union(star.select(col("b").as("a"), col("a").as("b")))
+        .transform(Checkpoints.truncate)
+      var labels = ids.select(col("id"), col("id").as("lab"))
+        .transform(Checkpoints.truncate)
+      val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
+      var converged = false
+      var round = 0
+      while (!converged && round < PropagationRounds) {
+        val nbr = sym.join(labels.withColumnRenamed("id", "b"), "b")
+          .groupBy("a").agg(min(col("lab")).as("nm"))
+          .withColumnRenamed("a", "id")
+        val next = labels.withColumnRenamed("lab", "oldlab")
+          .join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("oldlab"), coalesce(col("nm"), col("oldlab")))
+              .as("lab"),
+            col("oldlab"))
+          .transform(Checkpoints.truncate)
+        rounds += next
+        // one action per round: the frame is already materialized by the
+        // eager truncate, so the changed-count scan reads checkpoint blocks
+        converged =
+          next.filter(col("lab") =!= col("oldlab")).count() == 0L
+        labels = next.select(col("id"), col("lab"))
+        round += 1
+        while (rounds.length > 2) { unpersistCheckpoint(rounds.remove(0)) }
+      }
+      unpersistCheckpoint(sym)
+      // the final round's frame is the live result either way; release the
+      // one superseded frame still in the buffer
+      rounds.dropRight(1).foreach(unpersistCheckpoint)
+      if (converged) Right(labels) else Left(labels)
+    }
+    // partial-propagation labels awaiting pull-back through the contraction
+    // result; kept OUT of `cps` (freeSuperseded would evict them mid-loop)
+    // and released in the finally
+    var preLabels: Option[DataFrame] = None
     try {
       var sig = signature(star)
+      if (sig._1 <= PropagationEdgeCap) {
+        propagationPrefix() match {
+          case Right(labels) =>
+            cps += labels
+            lastKernel = "propagation"
+            return certifyAndMaterialize(labels)
+          case Left(partial) =>
+            // compress: collapse every edge to its endpoints' partial
+            // labels. Near-clique components (the common dedup shape)
+            // collapse to single nodes here, so contraction runs on a far
+            // smaller graph; a path/chain barely compresses and simply
+            // proceeds to the O(log² n) kernel as before.
+            preLabels = Some(partial)
+            val la = partial.withColumnsRenamed(
+              Map("id" -> "a", "lab" -> "labA"))
+            val lb = partial.withColumnsRenamed(
+              Map("id" -> "b", "lab" -> "labB"))
+            val compressed = star.join(la, "a").join(lb, "b")
+              .filter(col("labA") =!= col("labB"))
+              .select(greatest(col("labA"), col("labB")).as("a"),
+                least(col("labA"), col("labB")).as("b"))
+              .distinct()
+              .transform(Checkpoints.truncate)
+            cps += compressed
+            star = compressed
+            sig = signature(star)
+        }
+      }
+      lastKernel = "contraction"
       var converged = false
       var round = 0
       while (!converged && round < maxIter) {
@@ -175,32 +321,25 @@ object DedupClusters {
       // post-convergence the edge set is a forest of stars centered at the
       // component minima: label = star center, own id for centers and
       // isolated nodes. min() tolerates (and the certificate would expose)
-      // any would-be duplicate hanging.
+      // any would-be duplicate hanging. With a compressed prefix the
+      // star labels the CONTRACTED universe (the distinct partial labels);
+      // pulling back through preLabels — final(u) = centers(lab(u)) or
+      // lab(u) — is sound because the component minimum m always survives
+      // compression as itself: lab(m) ≤ m and lab values never go below
+      // the component minimum, so lab(m) = m.
       val centers = star.groupBy("a").agg(min(col("b")).as("lab0"))
-      val labels = ids.join(centers, ids("id") === centers("a"), "left")
-        .select(col("id"), coalesce(col("lab0"), col("id")).as("lab"))
-        .transform(Checkpoints.truncate)
+      val labels = (preLabels match {
+        case None =>
+          ids.join(centers, ids("id") === centers("a"), "left")
+            .select(col("id"), coalesce(col("lab0"), col("id")).as("lab"))
+        case Some(pl) =>
+          pl.join(centers, pl("lab") === centers("a"), "left")
+            .select(pl("id"), coalesce(col("lab0"), pl("lab")).as("lab"))
+      }).transform(Checkpoints.truncate)
       cps += labels
-      // the certificate: every ORIGINAL edge connects equal labels. This
-      // implies component-constant labels; with label values always drawn
-      // from member ids and label(u) <= u by construction, the constant is
-      // the component minimum. Independent of the signature equality, so a
-      // hash collision cannot produce silently-wrong clusters.
-      val la = labels.select(col("id").as("a"), col("lab").as("labA"))
-      val lb = labels.select(col("id").as("b"), col("lab").as("labB"))
-      val violations = edges.select(col("a"), col("b"))
-        .join(la, "a").join(lb, "b")
-        .filter(col("labA") =!= col("labB")).count()
-      if (violations > 0) throw new IllegalStateException(
-        s"connectedComponents certificate failed: $violations original " +
-          "edges connect different labels after convergence")
-      // fingerprint from nodes+edges: the labels frame itself ends at a
-      // checkpoint (no input files), so without them a rewritten source
-      // would serve stale cluster ids from the scratch cache
-      MinHashDedup.materialized(
-        labels.select(col("id"), col("lab").as("cluster_id")),
-        scratch._1, scratch._2, fingerprintOf = Seq(nodes, edges))
+      certifyAndMaterialize(labels)
     } finally {
+      preLabels.foreach(unpersistCheckpoint)
       // failure paths (non-convergence, a failed certificate or scratch
       // write) must not strand the round checkpoints in executor memory
       // for the session's lifetime

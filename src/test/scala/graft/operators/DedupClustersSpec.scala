@@ -36,16 +36,19 @@ class DedupClustersSpec extends AnyFunSuite {
   }
 
   test("convergence within maxIter is accepted; a genuinely unconverged exit throws") {
-    // chain 0-1-2-3-4: star contraction needs 2 improving rounds + the
-    // stability-detection lap, where plain propagation needed diameter (4)
-    val nodes = (0L to 4L).toDF("id")
-    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 3)
+    // chain 0..15 (diameter 15): too deep for the 8-round propagation
+    // prefix, so it reaches star contraction over the prefix-compressed
+    // path 0..7 — which needs 3 improving rounds + the stability-detection
+    // lap. maxIter bounds ONLY the contraction rounds (the prefix is a
+    // fixed-budget constant), so 4 passes and 3 throws.
+    val nodes = (0L to 15L).toDF("id")
+    val edges = (0L to 14L).map(i => (i, i + 1)).toDF("a", "b")
+    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 4)
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet === Set(0L))
-    // two rounds reach the star but cannot also certify stability
+    // three rounds reach the star but cannot also certify stability
     intercept[IllegalStateException] {
-      DedupClusters.connectedComponents(nodes, edges, maxIter = 2).collect()
+      DedupClusters.connectedComponents(nodes, edges, maxIter = 3).collect()
     }
   }
 
@@ -65,6 +68,28 @@ class DedupClustersSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(got.length === n)
     assert(got.forall(_._2 === 0L), "every node must reach the path's min id")
+  }
+
+  test("fast path: shallow graphs served by propagation, deep ones by contraction (r14)") {
+    // near-clique (diameter 2) — the shape real near-dup graphs have:
+    // propagation closes it within the fixed prefix budget
+    val shallow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val got = DedupClusters.connectedComponents(
+      (1L to 4L).toDF("id"), shallow)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L))
+    assert(DedupClusters.lastKernel === "propagation")
+    // 64-node path (diameter 63): the prefix cannot converge within its
+    // fixed budget, so the answer must come from star contraction over the
+    // label-compressed edges — rounds follow log n, never the data's
+    // diameter (the r13 30x scale property)
+    val n = 64
+    val deep = DedupClusters.connectedComponents(
+      (0L until n.toLong).toDF("id"),
+      (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b"))
+      .as[(Long, Long)].collect()
+    assert(deep.length === n && deep.forall(_._2 === 0L))
+    assert(DedupClusters.lastKernel === "contraction")
   }
 
   test("property: components equal driver-side union-find on random graphs") {
