@@ -67,6 +67,45 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out === Seq((1L, None), (2L, Some(1L))))
   }
 
+  test("null-ts LEFT rows (purchases) are dropped by aj01/aj02/aj03 — both-side " +
+    "null-ts filter semantics (r13 co-edit, left leg spec-pinned r14)") {
+    // The as-of contract is undefined for a missing timestamp and the
+    // engines disagree about it (DuckDB ASOF sorts a NULL ts as +infinity;
+    // the Spark kernels would give a null-ts purchase no match and drop a
+    // null-ts signup), so purchasesAndSignups filters BOTH sides and the
+    // oracle CTEs carry the same filter. The right-side legs are pinned
+    // above; this leg injects a null-ts PURCHASE (and a null-ts signup)
+    // into a copy of the fixture and asserts all three as-of queries —
+    // window kernel (aj01), custom AsOfJoinExec (aj02), tolerance (aj03) —
+    // emit exactly the un-injected output: the injected rows are invisible,
+    // not matched-as-latest and not null-matched.
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val src = graft.TestSpark.sf0001
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nullts").toString
+    val ev = graft.Tables(spark, src, "events")
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val someUser = ev.filter(col("event_type") === "purchase")
+      .select("user_id").head.getLong(0)
+    val extras = Seq(
+      (maxId + 1, someUser, "purchase"),
+      (maxId + 2, someUser, "signup")
+    ).toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    ev.unionByName(extras, allowMissingColumns = true)
+      .write.parquet(s"$tmp/events.parquet")
+    try {
+      for (q <- Seq("aj01_asof_join", "aj02_asof_exec", "aj03_asof_tolerance")) {
+        val base = TemporalJoins.queries(q)(spark, src).collect().toSeq
+        val injected = TemporalJoins.queries(q)(spark, tmp).collect().toSeq
+        assert(injected === base, s"$q output changed under null-ts injection")
+        assert(!injected.exists(_.getLong(0) > maxId),
+          s"$q emitted an injected null-ts purchase")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("asOf plan is one shuffle + window — no join operator") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((10L, ts("2024-01-01 09:30:00"), 5L)).toDF("k", "ts", "p")
