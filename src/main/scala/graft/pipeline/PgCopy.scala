@@ -91,26 +91,45 @@ object PgCopyText {
   final class RecordsReader(records: Iterator[String]) extends java.io.Reader {
     private var cur = ""
     private var pos = 0
+    // a high surrogate backed out of a 1-char chunk, re-emitted at the
+    // START of the next read so the pair still lands in one chunk for any
+    // caller buffer of >= 2 (r13 ADVICE: the n > 1 backoff alone let a
+    // len == 1 top-up read — e.g. a caller filling the last slot of its
+    // own buffer before encoding it — end that buffer on a lone high
+    // surrogate)
+    private var pending: Char = 0
     override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
-      while (pos >= cur.length) {
-        if (!records.hasNext) return -1
-        cur = records.next(); pos = 0
+      if (len == 0) return 0
+      var written = 0
+      if (pending != 0) {
+        // pending implies its low half is still first in `cur`, so the
+        // refill loop below cannot be needed and EOF cannot be reached here
+        cbuf(off) = pending; pending = 0; written = 1
+      } else {
+        while (pos >= cur.length) {
+          if (!records.hasNext) return -1
+          cur = records.next(); pos = 0
+        }
       }
-      var n = math.min(len, cur.length - pos)
+      var n = math.min(len - written, cur.length - pos)
       // never END a chunk on an unpaired high surrogate when its low half
       // is still pending: pgjdbc's CopyManager.copyIn(sql, Reader) encodes
       // EACH chunk independently, so a supplementary character (emoji,
       // CJK-B) split across the buffer boundary of a >bufferSize record
       // would encode as two replacement chars — silent text corruption
       // with the row-count audit green (r13 review wave). Backing off one
-      // char keeps the pair together in the next chunk; n == 1 can only
-      // hold a lone surrogate when the CALLER's buffer is one char, which
-      // no COPY consumer uses.
-      if (n > 1 && Character.isHighSurrogate(cur.charAt(pos + n - 1))
-        && pos + n < cur.length) n -= 1
-      cur.getChars(pos, pos + n, cbuf, off)
-      pos += n
-      n
+      // char keeps the pair together in the next chunk. When the whole
+      // chunk would BE that lone surrogate (a len == 1 caller), defer it
+      // and return 0 — the one Reader-legal way to refuse the split while
+      // guaranteeing progress: the next call emits it immediately, with
+      // its low half whenever the buffer allows.
+      if (n > 0 && Character.isHighSurrogate(cur.charAt(pos + n - 1))
+        && pos + n < cur.length) {
+        if (written + n > 1) n -= 1
+        else { pending = cur.charAt(pos); pos += 1; return 0 }
+      }
+      if (n > 0) { cur.getChars(pos, pos + n, cbuf, off + written); pos += n }
+      written + n
     }
     override def close(): Unit = ()
   }

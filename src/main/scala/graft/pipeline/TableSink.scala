@@ -84,23 +84,35 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     s"$outDir/$table/ref_month=$refMonth"
 
   /** Refuse loudly when `p` carries the OTHER protocol's layout.
-    * Discriminators: a completed rename-mode snapshot has `_SUCCESS`
-    * directly under the dir (the FileOutputCommitter contract this sink's
-    * recovery already relies on); a versioned root has `_txlog/`. One
-    * `getFileStatus`-class probe per call — noise next to the write it
-    * guards. (r11 order #3 / r12 verdict "what's wrong" item.)
+    * Discriminators: rename mode leaves `_SUCCESS` directly under the dir
+    * (the FileOutputCommitter contract this sink's recovery already relies
+    * on) — or, after a mid-swap crash, NO final dir at all but live data in
+    * the `_staging_`/`_backup_` siblings, which the rename-mode recovery
+    * will later rename over whatever now occupies the final path; a
+    * versioned root has `_txlog/`. So the versioned branch probes all
+    * three rename artifacts (r13 ADVICE — the `_SUCCESS`-only probe let a
+    * versioned sink initialize a TxLog root at a crashed rename table's
+    * path, and the recovery then renamed the staging dir onto the TxLog
+    * root). A handful of `getFileStatus`-class probes per call — noise
+    * next to the write they guard. (r11 order #3 / r12 verdict item.)
     */
   private def assertLayout(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
-    val marker =
-      if (versioned) new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      else new org.apache.hadoop.fs.Path(p, "_txlog")
-    if (fs.exists(marker)) throw new IllegalStateException(
-      s"$p holds a ${if (versioned) "rename-mode (staging-swap)"
-        else "versioned (TxLog)"} table, but this sink was constructed " +
-        s"with versioned=$versioned; the two overwrite protocols cannot " +
-        "share one table dir — use a sink matching the existing layout, " +
-        "or a different outDir")
+    val markers =
+      if (versioned) {
+        val parent = p.getParent
+        val name = p.getName
+        Seq(new org.apache.hadoop.fs.Path(p, "_SUCCESS"),
+          new org.apache.hadoop.fs.Path(parent, s"_staging_$name"),
+          new org.apache.hadoop.fs.Path(parent, s"_backup_$name"))
+      } else Seq(new org.apache.hadoop.fs.Path(p, "_txlog"))
+    markers.find(fs.exists).foreach(found =>
+      throw new IllegalStateException(
+        s"$p holds a ${if (versioned) "rename-mode (staging-swap)"
+          else "versioned (TxLog)"} table (found $found), but this sink " +
+          s"was constructed with versioned=$versioned; the two overwrite " +
+          "protocols cannot share one table dir — use a sink matching the " +
+          "existing layout, or a different outDir"))
   }
 
   override def overwrite(df: DataFrame, table: String, refMonth: String): Unit = {

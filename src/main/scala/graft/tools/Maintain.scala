@@ -35,8 +35,10 @@ import graft.operators.TxLog
   *   Maintain <keepVersions> <vacuumRetainMs> --lake <outDir>
   * `--lake` discovers every `outDir/TABLE/ref_month=M` dir carrying a
   * `_txlog` — the versioned [[graft.pipeline.ParquetSink]] layout — so one
-  * cron line maintains a whole snapshot lake. Pure driver-side metadata
-  * work (file counts ~ versions, never rows); needs no SparkSession.
+  * cron line maintains a whole snapshot lake; a dir carrying BOTH modes'
+  * markers (mid-migration / contested) is skipped loudly, never vacuumed
+  * ([[classifyLake]]). Pure driver-side metadata work (file counts ~
+  * versions, never rows); needs no SparkSession.
   */
 object Maintain {
 
@@ -93,39 +95,85 @@ object Maintain {
   }
 
   /** Discover versioned-sink table roots under a lake dir:
-    * `outDir/<table>/ref_month=<M>` dirs that carry a `_txlog`.
+    * `outDir/<table>/ref_month=<M>` dirs that carry a `_txlog`. Dirs that
+    * ALSO carry rename-mode markers are excluded — see [[classifyLake]].
     */
-  def discoverLake(outDir: Path): Seq[String] = {
-    if (!Files.isDirectory(outDir)) return Seq.empty
+  def discoverLake(outDir: Path): Seq[String] = classifyLake(outDir)._1
+
+  /** Lake discovery split into (cleanly versioned roots, MIXED-marker
+    * roots). Mixed = a `_txlog` dir that also shows rename-mode artifacts:
+    * `_SUCCESS` directly under it, or live `_staging_`/`_backup_` siblings
+    * — a state [[graft.pipeline.ParquetSink]]'s layout guard refuses to
+    * create, so it means a mid-migration table, outside interference, or a
+    * bug. Maintenance must SKIP those loudly (r13 verdict order #5):
+    * vacuum reads the TxLog head and reclaims "unreferenced" dirs, but on
+    * a contested root the rename protocol still owns data the log knows
+    * nothing about, and the rename-mode recovery may be about to rename
+    * the staging dir over the whole root.
+    */
+  def classifyLake(outDir: Path): (Seq[String], Seq[String]) = {
+    if (!Files.isDirectory(outDir)) return (Seq.empty, Seq.empty)
     val tables = Files.list(outDir)
-    try tables.iterator().asScala.filter(Files.isDirectory(_)).flatMap { t =>
-      val months = Files.list(t)
-      try months.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("ref_month=") &&
-          Files.isDirectory(p.resolve("_txlog")))
-        .map(_.toString).toSeq
-      finally months.close()
-    }.toSeq.sorted
-    finally tables.close()
+    val found =
+      try tables.iterator().asScala.filter(Files.isDirectory(_)).flatMap { t =>
+        val months = Files.list(t)
+        try months.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("ref_month=") &&
+            Files.isDirectory(p.resolve("_txlog")))
+          .map(p => (p.toString, hasRenameMarkers(p))).toSeq
+        finally months.close()
+      }.toSeq.sortBy(_._1)
+      finally tables.close()
+    (found.collect { case (p, false) => p },
+      found.collect { case (p, true) => p })
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
-    case keep :: retain :: "--lake" :: out :: Nil =>
-      val roots = discoverLake(Paths.get(out))
+  private def hasRenameMarkers(p: Path): Boolean = {
+    val name = p.getFileName.toString
+    Files.exists(p.resolve("_SUCCESS")) ||
+      Files.exists(p.resolveSibling(s"_staging_$name")) ||
+      Files.exists(p.resolveSibling(s"_backup_$name"))
+  }
+
+  /** Arg parse + dispatch, returning the process exit code (0 ok, 2 usage)
+    * so specs can exercise the parsing without a sys.exit. The knobs are
+    * validated IN the match guards (r13 ADVICE): a cron-line typo like
+    * `Maintain 5m 0 /t` must fall through to the usage message before any
+    * table is touched — `.toInt` in the body instead threw a
+    * NumberFormatException stack trace, and with multiple roots could land
+    * after some tables were already maintained. keepVersions < 1 is the
+    * same class (maintainTable would reject it per-table); it fails the
+    * guard up front.
+    */
+  def run(args: Array[String]): Int = args.toList match {
+    case keep :: retain :: "--lake" :: out :: Nil
+        if keep.toIntOption.exists(_ >= 1) && retain.toLongOption.isDefined =>
+      val (roots, mixed) = classifyLake(Paths.get(out))
+      mixed.foreach(m => System.err.println(
+        s"""{"maintain":"SKIPPED mixed-marker table (TxLog + rename-mode """ +
+          s"""artifacts): $m — resolve the contested layout first"}"""))
       if (roots.isEmpty) println(s"""{"maintain":"no TxLog tables under $out"}""")
       roots.foreach(t =>
         println(maintainTable(t, keep.toInt, retain.toLong)))
+      0
     case keep :: retain :: roots
-        if roots.nonEmpty && !roots.exists(_.startsWith("--")) =>
+        if keep.toIntOption.exists(_ >= 1) && retain.toLongOption.isDefined &&
+          roots.nonEmpty && !roots.exists(_.startsWith("--")) =>
       // the flag guard keeps a malformed --lake invocation (extra arg,
       // typo) from degrading into maintainTable("--lake", ...) no-op
       // reports that silently stop maintaining every table (r13 review)
       roots.foreach(t => println(maintainTable(t, keep.toInt, retain.toLong)))
+      0
     case other =>
       System.err.println(
-        "usage: Maintain <keepVersions> <vacuumRetainMs> <tableRoot>... | " +
-          "--lake <outDir>")
-      sys.exit(2)
+        "usage: Maintain <keepVersions (>= 1)> <vacuumRetainMs> " +
+          "<tableRoot>... | --lake <outDir>")
+      2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rc = run(args)
+    if (rc != 0) sys.exit(rc)
   }
 }

@@ -226,6 +226,55 @@ class JdbcSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("RecordsReader top-up reads (len shrinking to 1) still never split a pair " +
+    "(r13 ADVICE: deferred pending char)") {
+    // the caller pattern the n > 1 backoff alone could not protect: a
+    // consumer that fills ITS OWN buffer with repeated reads — the last
+    // top-up call has len == 1, and a splittable high surrogate there
+    // lands at the end of the caller's buffer, which is then encoded
+    // whole. The reader must refuse that read (return 0) and emit the
+    // pair together at the start of the next buffer.
+    val records = Seq(("x🙂" * 21) + "!", "🙂" * 13, "tail")
+    for (bufLen <- Seq(2, 3, 5)) {
+      val r = new PgCopyText.RecordsReader(records.iterator)
+      val cbuf = new Array[Char](bufLen)
+      val perBufferEncoded = new java.io.ByteArrayOutputStream()
+      var eof = false
+      while (!eof) {
+        var filled = 0
+        var flush = false
+        while (!eof && !flush && filled < bufLen) {
+          val n = r.read(cbuf, filled, bufLen - filled)
+          if (n == -1) eof = true
+          // 0 = the reader refused to split a pair into the 1-slot
+          // remainder: the buffer filled so far is safe to encode, and the
+          // next (fresh) buffer starts with the deferred pair together
+          else if (n == 0) flush = true
+          else filled += n
+        }
+        perBufferEncoded.write(
+          new String(cbuf, 0, filled).getBytes(StandardCharsets.UTF_8))
+      }
+      val whole = records.mkString.getBytes(StandardCharsets.UTF_8)
+      assert(perBufferEncoded.toByteArray === whole,
+        s"bufLen=$bufLen top-up per-buffer encode must equal whole encode")
+    }
+    // a pathological always-len==1 caller cannot keep pairs whole, but must
+    // still receive the exact char stream with no infinite 0-loop: a 0
+    // return is always followed by progress on the retry
+    val r1 = new PgCopyText.RecordsReader(records.iterator)
+    val sb = new StringBuilder
+    val one = new Array[Char](1)
+    var n = r1.read(one, 0, 1)
+    var consecutiveZeros = 0
+    while (n != -1) {
+      if (n == 0) { consecutiveZeros += 1; assert(consecutiveZeros <= 1) }
+      else { sb.append(one(0)); consecutiveZeros = 0 }
+      n = r1.read(one, 0, 1)
+    }
+    assert(sb.toString === records.mkString)
+  }
+
   test("concurrent first loads of a new month: the CREATE SCHEMA race fails no table") {
     // two JVMs (or threads) loading the same brand-new month both probe
     // "schema absent" and race the CREATE; the loser's SQLException used to

@@ -199,6 +199,42 @@ class ParquetSinkSpec extends AnyFunSuite {
       names.mkString(", "))
   }
 
+  test("layout guard: versioned sink refuses a rename-mode table crashed mid-swap " +
+    "(final dir absent, staging/backup siblings live) — r13 ADVICE") {
+    // crash state between the swap's two renames: old data moved aside to
+    // _backup_, the complete new snapshot still in _staging_, final dir
+    // ABSENT. The old _SUCCESS-under-final probe saw nothing and let a
+    // versioned sink initialize a TxLog root there — which the rename-mode
+    // recovery would then rename the staging dir onto. Either sibling must
+    // trip the guard.
+    val out = Files.createTempDirectory("psinkmix").toString
+    val sink = new ParquetSink(out)
+    sink.overwrite(Seq(("r", "x")).toDF("c0", "c1"), "rfb_mix3", "202401")
+    val table = new Path(s"$out/rfb_mix3/ref_month=202401")
+    val staging = new Path(s"$out/rfb_mix3/_staging_ref_month=202401")
+    val backup = new Path(s"$out/rfb_mix3/_backup_ref_month=202401")
+    val f = fs(table)
+    assert(f.rename(table, staging)) // simulate: staged, not yet promoted
+    val vSink = new ParquetSink(out, versioned = true)
+    val exS = intercept[IllegalStateException] {
+      vSink.overwrite(Seq(("v", "y")).toDF("c0", "c1"), "rfb_mix3", "202401")
+    }
+    assert(exS.getMessage.contains("rename-mode") &&
+      exS.getMessage.contains("_staging_"))
+    intercept[IllegalStateException] { vSink.readBack(spark, "rfb_mix3", "202401") }
+    // same with only the backup sibling (crash after staging promoted but
+    // with the aside copy still present)
+    assert(f.rename(staging, backup))
+    val exB = intercept[IllegalStateException] {
+      vSink.overwrite(Seq(("v", "y")).toDF("c0", "c1"), "rfb_mix3", "202401")
+    }
+    assert(exB.getMessage.contains("_backup_"))
+    // nothing was initialized at the contested path: the rename-mode
+    // recovery still owns it
+    assert(!f.exists(new Path(table, "_txlog")))
+    assert(!f.exists(table))
+  }
+
   test("a concurrent reader's promotion of our staging is success, not failure") {
     // r13 review wave: writer between its two swap renames, a concurrent
     // readBack sees {final absent, staging complete}, promotes staging

@@ -169,6 +169,21 @@ class MaintainSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() === 1L)
   }
 
+  test("malformed knobs fall to the usage exit before touching any table (r13 ADVICE)") {
+    val t = freshTable()
+    commitN(t, 0L, 2)
+    val before = logFiles(t)
+    // a cron-line typo ('5m', '1h') or a zero keep must exit 2 with the
+    // usage message, never a NumberFormatException mid-iteration
+    assert(Maintain.run(Array("5m", "0", t)) === 2)
+    assert(Maintain.run(Array("5", "1h", t)) === 2)
+    assert(Maintain.run(Array("0", "0", t)) === 2)
+    assert(Maintain.run(Array("5m", "0", "--lake", t)) === 2)
+    assert(logFiles(t) === before, "usage exits must not maintain anything")
+    // well-formed knobs still run
+    assert(Maintain.run(Array("5", "0", t)) === 0)
+  }
+
   test("--lake discovery finds versioned sink roots only") {
     val out = Files.createTempDirectory("mlake").toString
     val vsink = new ParquetSink(out, versioned = true)
@@ -181,5 +196,38 @@ class MaintainSpec extends AnyFunSuite {
     // maintaining the discovered lake is a no-op-safe pass
     found.foreach(tbl => Maintain.maintainTable(tbl, 5, 0L))
     assert(vsink.readBack(spark, "rfb_paises", "202401").count() === 1L)
+  }
+
+  test("--lake skips a mixed-marker table loudly instead of vacuuming it (r13 order #5)") {
+    // the adversarial state TableSink's layout guard refuses to CREATE but
+    // a lake can still contain (mid-migration, outside interference): one
+    // root carrying BOTH a _txlog and rename-mode artifacts. Maintenance
+    // must not vacuum it — the rename protocol owns data the log knows
+    // nothing about — and must say so, not silently drop it from the scan.
+    val out = Files.createTempDirectory("mlakemix").toString
+    val vsink = new ParquetSink(out, versioned = true)
+    vsink.overwrite(Seq(("1", "a")).toDF("c0", "c1"), "rfb_paises", "202401")
+    vsink.overwrite(Seq(("2", "b")).toDF("c0", "c1"), "rfb_quals", "202401")
+    // contaminate rfb_quals with each rename-mode marker in turn
+    val root = Paths.get(s"$out/rfb_quals/ref_month=202401")
+    for (mk <- Seq(root.resolve("_SUCCESS"),
+        root.resolveSibling("_staging_ref_month=202401"),
+        root.resolveSibling("_backup_ref_month=202401"))) {
+      if (mk.getFileName.toString == "_SUCCESS") Files.createFile(mk)
+      else Files.createDirectories(mk)
+      val (ok, mixed) = Maintain.classifyLake(Paths.get(out))
+      assert(ok === Seq(s"$out/rfb_paises/ref_month=202401"),
+        s"marker $mk must exclude the contested root")
+      assert(mixed === Seq(root.toString))
+      Files.delete(mk)
+    }
+    // clean again: both discovered
+    assert(Maintain.discoverLake(Paths.get(out)).size === 2)
+    // end-to-end through run(): the mixed root is reported, not maintained
+    Files.createFile(root.resolve("_SUCCESS"))
+    assert(Maintain.run(Array("5", "0", "--lake", out)) === 0)
+    // the contested table's live data survived untouched (nothing vacuumed)
+    Files.delete(root.resolve("_SUCCESS"))
+    assert(vsink.readBack(spark, "rfb_quals", "202401").count() === 1L)
   }
 }
