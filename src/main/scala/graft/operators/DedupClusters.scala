@@ -73,22 +73,25 @@ object DedupClusters {
     * propagation finishes in 3-4, doubling dd06/dd08's toy-scale bench
     * cost. So: when the canonical edge set is small enough that the
     * prefix is cheap ([[PropagationEdgeCap]]), run propagation for at
-    * most [[PropagationRounds]] rounds first. If a zero-change round
-    * PROVES convergence, serve that answer; otherwise the prefix is still
-    * not wasted — every node now carries the minimum of its k-hop
-    * neighborhood, so the edge set is COMPRESSED through the partial
-    * labels (edge → (lab(a), lab(b)), self-loops dropped) and contraction
-    * runs on the collapsed graph, with a final pull-back join. Near-clique
-    * components (the common dedup shape) collapse to single nodes;
-    * a deep path (the 4096-node-path spec; boilerplate chains at 100 TB)
-    * barely compresses and simply proceeds to the O(log² n) kernel —
+    * most [[PropagationRounds]] rounds first, with a geometric-decay gate
+    * that bails after two rounds if the per-round change count stops
+    * collapsing (chains plateau; cliques halve — the r14 ladder measured
+    * both shapes). If a zero-change round PROVES convergence, serve that
+    * answer; otherwise the prefix is still not wasted — every node now
+    * carries the minimum of its k-hop neighborhood, so the edge set is
+    * COMPRESSED through the partial labels (edge → (lab(a), lab(b)),
+    * self-loops dropped) and contraction runs on the collapsed graph,
+    * with a final pull-back join. Near-clique components (the common
+    * dedup shape) collapse to single nodes; a deep path (the
+    * 4096-node-path spec; boilerplate chains at 100 TB) barely compresses
+    * and proceeds to the O(log² n) kernel after the two-round bail —
     * rounds never follow the data's diameter, preserving the r13 scale
     * fix. Above the cap the prefix is skipped outright: at billions of
-    * edges k speculative rounds are real money and diameter statistics
-    * are unknowable up front, while the constant-factor gap the fast path
-    * recovers no longer dominates. Both paths feed the same independent
-    * edge certificate, so the served labels are proven, not trusted,
-    * regardless of which kernel produced them.
+    * edges even two speculative rounds are real money and diameter
+    * statistics are unknowable up front, while the constant-factor gap
+    * the fast path recovers no longer dominates. Both paths feed the same
+    * independent edge certificate, so the served labels are proven, not
+    * trusted, regardless of which kernel produced them.
     */
   private[operators] val PropagationEdgeCap = 10000000L
   // 8, not the 3-4 a pure near-clique needs: real near-dup graphs carry a
@@ -239,8 +242,10 @@ object DedupClusters {
         .transform(Checkpoints.truncate)
       val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
       var converged = false
+      var bail = false
+      var prevChanged = Long.MaxValue
       var round = 0
-      while (!converged && round < PropagationRounds) {
+      while (!converged && !bail && round < PropagationRounds) {
         val nbr = sym.join(labels.withColumnRenamed("id", "b"), "b")
           .groupBy("a").agg(min(col("lab")).as("nm"))
           .withColumnRenamed("a", "id")
@@ -254,8 +259,23 @@ object DedupClusters {
         rounds += next
         // one action per round: the frame is already materialized by the
         // eager truncate, so the changed-count scan reads checkpoint blocks
-        converged =
-          next.filter(col("lab") =!= col("oldlab")).count() == 0L
+        val changed = next.filter(col("lab") =!= col("oldlab")).count()
+        converged = changed == 0L
+        // geometric-decay gate (r14 ladder): a near-clique graph collapses
+        // its change count by >2x per round (dd08@sf0.1: 330, 77, 30, 9, 4,
+        // 0); a chain-deep graph PLATEAUS (dd08@30x: 33.6k, 27.2k, 25.0k,
+        // 24.3k, ... — each chain keeps one frontier moving forever). Once
+        // the count stops shrinking below 70% of the previous round's,
+        // convergence within any constant budget is hopeless — hand the
+        // partial labels to compression + contraction NOW instead of
+        // burning the rest of the budget on full-edge-set rounds.
+        // cross-multiplied (changed/prevChanged > 0.7): integer division
+        // of small counts would round the threshold to 0 and bail every
+        // tiny graph on its second round. No overflow: counts are bounded
+        // by the node set, itself bounded by the 10M-edge prefix cap.
+        if (!converged && round >= 1 && changed * 10L > prevChanged * 7L)
+          bail = true
+        prevChanged = changed
         labels = next.select(col("id"), col("lab"))
         round += 1
         while (rounds.length > 2) { unpersistCheckpoint(rounds.remove(0)) }

@@ -36,19 +36,20 @@ class DedupClustersSpec extends AnyFunSuite {
   }
 
   test("convergence within maxIter is accepted; a genuinely unconverged exit throws") {
-    // chain 0..15 (diameter 15): too deep for the 8-round propagation
-    // prefix, so it reaches star contraction over the prefix-compressed
-    // path 0..7 — which needs 3 improving rounds + the stability-detection
-    // lap. maxIter bounds ONLY the contraction rounds (the prefix is a
-    // fixed-budget constant), so 4 passes and 3 throws.
+    // chain 0..15 (diameter 15): the propagation prefix bails after two
+    // rounds (a path's change count plateaus — the geometric-decay gate),
+    // so star contraction runs over the prefix-compressed path 0..13 —
+    // which needs 4 improving rounds + the stability-detection lap.
+    // maxIter bounds ONLY the contraction rounds (the prefix is a bounded
+    // constant), so 5 passes and 4 throws.
     val nodes = (0L to 15L).toDF("id")
     val edges = (0L to 14L).map(i => (i, i + 1)).toDF("a", "b")
-    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 4)
+    val ok = DedupClusters.connectedComponents(nodes, edges, maxIter = 5)
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet === Set(0L))
-    // three rounds reach the star but cannot also certify stability
+    // four rounds reach the star but cannot also certify stability
     intercept[IllegalStateException] {
-      DedupClusters.connectedComponents(nodes, edges, maxIter = 3).collect()
+      DedupClusters.connectedComponents(nodes, edges, maxIter = 4).collect()
     }
   }
 
