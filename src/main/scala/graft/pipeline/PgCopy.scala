@@ -131,6 +131,20 @@ object PgCopyText {
       if (n > 0) { cur.getChars(pos, pos + n, cbuf, off + written); pos += n }
       written + n
     }
+    /** The inherited no-arg read() treats any non-(-1) return as "buffer
+      * filled" — a 0 from the defer branch would hand the caller a
+      * spurious NUL (the untouched scratch array's zero char) as
+      * stream data (r14 review).
+      * Loop the one deferral lap instead; the pair-splitting this path
+      * implies is unavoidable for a char-at-a-time consumer, which
+      * reassembles the stream itself anyway.
+      */
+    override def read(): Int = {
+      val one = new Array[Char](1)
+      var n = read(one, 0, 1)
+      while (n == 0) n = read(one, 0, 1)
+      if (n == -1) -1 else one(0)
+    }
     override def close(): Unit = ()
   }
 }

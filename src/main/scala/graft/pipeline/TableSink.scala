@@ -89,27 +89,42 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     * on) — or, after a mid-swap crash, NO final dir at all but live data in
     * the `_staging_`/`_backup_` siblings, which the rename-mode recovery
     * will later rename over whatever now occupies the final path; a
-    * versioned root has `_txlog/`. So the versioned branch probes all
-    * three rename artifacts (r13 ADVICE — the `_SUCCESS`-only probe let a
-    * versioned sink initialize a TxLog root at a crashed rename table's
-    * path, and the recovery then renamed the staging dir onto the TxLog
-    * root). A handful of `getFileStatus`-class probes per call — noise
-    * next to the write they guard. (r11 order #3 / r12 verdict item.)
+    * versioned root has `_txlog/` — or, before its FIRST commit lands, only
+    * a `v{N}-*` data dir (TxLog.write writes data before the commit
+    * creates the log dir), which the rename swap would silently move aside
+    * under a live writer. So the versioned branch probes all three rename
+    * artifacts (r13 ADVICE — the `_SUCCESS`-only probe let a versioned
+    * sink initialize a TxLog root at a crashed rename table's path, and
+    * the recovery then renamed the staging dir onto the TxLog root) and
+    * the rename branch probes the log dir AND the data-dir glob (r14
+    * review — the asymmetric mirror). A handful of `getFileStatus`-class
+    * probes + one glob per call — noise next to the write they guard.
+    * (r11 order #3 / r12 verdict item.) Marker names are the shared
+    * [[SnapshotLayout]] vocabulary.
     */
   private def assertLayout(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
-    val markers =
+    val found: Option[org.apache.hadoop.fs.Path] =
       if (versioned) {
         val parent = p.getParent
         val name = p.getName
-        Seq(new org.apache.hadoop.fs.Path(p, "_SUCCESS"),
-          new org.apache.hadoop.fs.Path(parent, s"_staging_$name"),
-          new org.apache.hadoop.fs.Path(parent, s"_backup_$name"))
-      } else Seq(new org.apache.hadoop.fs.Path(p, "_txlog"))
-    markers.find(fs.exists).foreach(found =>
+        Seq(new org.apache.hadoop.fs.Path(p, SnapshotLayout.Success),
+          new org.apache.hadoop.fs.Path(parent,
+            s"${SnapshotLayout.StagingPrefix}$name"),
+          new org.apache.hadoop.fs.Path(parent,
+            s"${SnapshotLayout.BackupPrefix}$name"))
+          .find(fs.exists)
+      } else {
+        val tx = new org.apache.hadoop.fs.Path(p, SnapshotLayout.TxLogDirName)
+        if (fs.exists(tx)) Some(tx)
+        else Option(fs.globStatus(
+            new org.apache.hadoop.fs.Path(p, SnapshotLayout.VersionDirGlob)))
+          .flatMap(_.headOption).map(_.getPath)
+      }
+    found.foreach(m =>
       throw new IllegalStateException(
         s"$p holds a ${if (versioned) "rename-mode (staging-swap)"
-          else "versioned (TxLog)"} table (found $found), but this sink " +
+          else "versioned (TxLog)"} table (found $m), but this sink " +
           s"was constructed with versioned=$versioned; the two overwrite " +
           "protocols cannot share one table dir — use a sink matching the " +
           "existing layout, or a different outDir"))
@@ -138,8 +153,8 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
       return
     }
     val finalPath = path(table, refMonth)
-    val staging = path(table, refMonth, "_staging_")
-    val backup = path(table, refMonth, "_backup_")
+    val staging = path(table, refMonth, SnapshotLayout.StagingPrefix)
+    val backup = path(table, refMonth, SnapshotLayout.BackupPrefix)
     val fs = finalPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     assertLayout(fs, finalPath) // BEFORE staging: never swap a TxLog root aside
@@ -194,7 +209,7 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
     */
   private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    fs.exists(new org.apache.hadoop.fs.Path(p, SnapshotLayout.Success))
 
   override def readBack(spark: SparkSession, table: String, refMonth: String): DataFrame = {
     if (versioned) {
@@ -224,8 +239,8 @@ class ParquetSink(outDir: String, versioned: Boolean = false)
       // the read. The backup leg re-probes finalPath right before its
       // rename: renaming onto a now-existing final would otherwise fall
       // back to a COPY INTO the new snapshot dir on the local filesystem.
-      val staging = path(table, refMonth, "_staging_")
-      val backup = path(table, refMonth, "_backup_")
+      val staging = path(table, refMonth, SnapshotLayout.StagingPrefix)
+      val backup = path(table, refMonth, SnapshotLayout.BackupPrefix)
       try {
         if (isComplete(fs, staging)) fs.rename(staging, finalPath)
         else if (fs.exists(backup) && !fs.exists(finalPath))

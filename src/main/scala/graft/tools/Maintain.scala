@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import graft.operators.TxLog
+import graft.pipeline.SnapshotLayout
 
 /** Composed lake-maintenance entry point (r11 order #5): one pass that caps
   * `_txlog/` growth AND reclaims orphaned data dirs for a set of TxLog
@@ -42,20 +43,25 @@ import graft.operators.TxLog
   */
 object Maintain {
 
+  /** JSON string-escape for operator-supplied paths: a quote or backslash
+    * must not break the one-line JSON a cron log parser reads (r13 review;
+    * now shared by Report and the mixed-marker skip line — the r14 review
+    * caught the skip line re-introducing the raw interpolation).
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   final case class Report(
       table: String,
       head: Long,
       cleanedCommits: Seq[String],
       vacuumedDirs: Seq[String]) {
     override def toString: String = {
-      // the path is operator-supplied: a quote or backslash in it must
-      // not break the JSON line a cron log parser reads (r13 review)
-      val esc = table.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+      val esc = jsonEscape(table)
       s"""{"table":"$esc","head":$head,""" +
         s""""cleaned_commits":${cleanedCommits.size},""" +
         s""""vacuumed_dirs":${vacuumedDirs.size}}"""
@@ -120,7 +126,7 @@ object Maintain {
         try months.iterator().asScala
           .filter(p => Files.isDirectory(p) &&
             p.getFileName.toString.startsWith("ref_month=") &&
-            Files.isDirectory(p.resolve("_txlog")))
+            Files.isDirectory(p.resolve(SnapshotLayout.TxLogDirName)))
           .map(p => (p.toString, hasRenameMarkers(p))).toSeq
         finally months.close()
       }.toSeq.sortBy(_._1)
@@ -131,34 +137,42 @@ object Maintain {
 
   private def hasRenameMarkers(p: Path): Boolean = {
     val name = p.getFileName.toString
-    Files.exists(p.resolve("_SUCCESS")) ||
-      Files.exists(p.resolveSibling(s"_staging_$name")) ||
-      Files.exists(p.resolveSibling(s"_backup_$name"))
+    Files.exists(p.resolve(SnapshotLayout.Success)) ||
+      Files.exists(p.resolveSibling(s"${SnapshotLayout.StagingPrefix}$name")) ||
+      Files.exists(p.resolveSibling(s"${SnapshotLayout.BackupPrefix}$name"))
   }
 
-  /** Arg parse + dispatch, returning the process exit code (0 ok, 2 usage)
-    * so specs can exercise the parsing without a sys.exit. The knobs are
-    * validated IN the match guards (r13 ADVICE): a cron-line typo like
-    * `Maintain 5m 0 /t` must fall through to the usage message before any
-    * table is touched — `.toInt` in the body instead threw a
-    * NumberFormatException stack trace, and with multiple roots could land
-    * after some tables were already maintained. keepVersions < 1 is the
-    * same class (maintainTable would reject it per-table); it fails the
-    * guard up front.
+  /** Arg parse + dispatch, returning the process exit code (0 ok, 2 usage,
+    * 3 = maintained but SKIPPED contested roots — distinct so cron
+    * alerting notices a permanently unmaintained table instead of reading
+    * eternal success) so specs can exercise the parsing without a
+    * sys.exit. The knobs are validated IN the match guards (r13 ADVICE): a
+    * cron-line typo like `Maintain 5m 0 /t` must fall through to the usage
+    * message before any table is touched — `.toInt` in the body instead
+    * threw a NumberFormatException stack trace, and with multiple roots
+    * could land after some tables were already maintained. keepVersions
+    * < 1 is the same class (maintainTable would reject it per-table), and
+    * so is a NEGATIVE vacuumRetainMs (r14 review: '-900000' parsed fine,
+    * but a negative window puts the vacuum cutoff in the FUTURE and
+    * reclaims a live writer's just-written data dir); both fail the guard
+    * up front.
     */
   def run(args: Array[String]): Int = args.toList match {
     case keep :: retain :: "--lake" :: out :: Nil
-        if keep.toIntOption.exists(_ >= 1) && retain.toLongOption.isDefined =>
+        if keep.toIntOption.exists(_ >= 1) &&
+          retain.toLongOption.exists(_ >= 0L) =>
       val (roots, mixed) = classifyLake(Paths.get(out))
       mixed.foreach(m => System.err.println(
         s"""{"maintain":"SKIPPED mixed-marker table (TxLog + rename-mode """ +
-          s"""artifacts): $m — resolve the contested layout first"}"""))
-      if (roots.isEmpty) println(s"""{"maintain":"no TxLog tables under $out"}""")
+          s"""artifacts)","table":"${jsonEscape(m)}"}"""))
+      if (roots.isEmpty && mixed.isEmpty)
+        println(s"""{"maintain":"no TxLog tables under ${jsonEscape(out)}"}""")
       roots.foreach(t =>
         println(maintainTable(t, keep.toInt, retain.toLong)))
-      0
+      if (mixed.nonEmpty) 3 else 0
     case keep :: retain :: roots
-        if keep.toIntOption.exists(_ >= 1) && retain.toLongOption.isDefined &&
+        if keep.toIntOption.exists(_ >= 1) &&
+          retain.toLongOption.exists(_ >= 0L) &&
           roots.nonEmpty && !roots.exists(_.startsWith("--")) =>
       // the flag guard keeps a malformed --lake invocation (extra arg,
       // typo) from degrading into maintainTable("--lake", ...) no-op
@@ -167,7 +181,7 @@ object Maintain {
       0
     case other =>
       System.err.println(
-        "usage: Maintain <keepVersions (>= 1)> <vacuumRetainMs> " +
+        "usage: Maintain <keepVersions (>= 1)> <vacuumRetainMs (>= 0)> " +
           "<tableRoot>... | --lake <outDir>")
       2
   }

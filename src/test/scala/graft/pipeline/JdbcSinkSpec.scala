@@ -273,6 +273,15 @@ class JdbcSinkSpec extends AnyFunSuite {
       n = r1.read(one, 0, 1)
     }
     assert(sb.toString === records.mkString)
+    // the no-arg read() must absorb the deferral lap itself: the inherited
+    // default treats a 0 as "filled" and would inject a NUL from its
+    // untouched scratch array (r14 review)
+    val r2 = new PgCopyText.RecordsReader(records.iterator)
+    val sb2 = new StringBuilder
+    var c = r2.read()
+    while (c != -1) { sb2.append(c.toChar); c = r2.read() }
+    assert(sb2.toString === records.mkString)
+    assert(!sb2.toString.contains('\u0000'))
   }
 
   test("concurrent first loads of a new month: the CREATE SCHEMA race fails no table") {

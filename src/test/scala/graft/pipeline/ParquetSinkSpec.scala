@@ -235,6 +235,28 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(!f.exists(table))
   }
 
+  test("layout guard: rename-mode sink refuses a versioned table before its " +
+    "FIRST commit (v-dir present, _txlog not yet created) — r14 review") {
+    // TxLog.write lands the v{N}-* data dir BEFORE commit() creates
+    // _txlog, so a versioned first write that crashed (or is in flight)
+    // shows only the data dir. The rename branch's _txlog-only probe
+    // passed and the swap would move the live writer's dir aside — the
+    // mirror of the r13 ADVICE staging-sibling gap.
+    val out = Files.createTempDirectory("psinkmix").toString
+    val inflight = new Path(s"$out/rfb_mix4/ref_month=202401/v1-deadbeef")
+    val f = fs(inflight)
+    f.mkdirs(inflight)
+    val renameSink = new ParquetSink(out)
+    val ex = intercept[IllegalStateException] {
+      renameSink.overwrite(Seq(("r", "y")).toDF("c0", "c1"), "rfb_mix4", "202401")
+    }
+    assert(ex.getMessage.contains("v1-deadbeef"))
+    intercept[IllegalStateException] { renameSink.readBack(spark, "rfb_mix4", "202401") }
+    // the in-flight dir is untouched — not swapped aside, not deleted
+    assert(f.exists(inflight))
+    assert(!f.exists(new Path(s"$out/rfb_mix4/_backup_ref_month=202401")))
+  }
+
   test("a concurrent reader's promotion of our staging is success, not failure") {
     // r13 review wave: writer between its two swap renames, a concurrent
     // readBack sees {final absent, staging complete}, promotes staging

@@ -179,6 +179,11 @@ class MaintainSpec extends AnyFunSuite {
     assert(Maintain.run(Array("5", "1h", t)) === 2)
     assert(Maintain.run(Array("0", "0", t)) === 2)
     assert(Maintain.run(Array("5m", "0", "--lake", t)) === 2)
+    // negative retain parses but must ALSO fall to usage: the vacuum cutoff
+    // would land in the future and reclaim a live writer's staged dir
+    // (r14 review)
+    assert(Maintain.run(Array("5", "-900000", t)) === 2)
+    assert(Maintain.run(Array("5", "-1", "--lake", t)) === 2)
     assert(logFiles(t) === before, "usage exits must not maintain anything")
     // well-formed knobs still run
     assert(Maintain.run(Array("5", "0", t)) === 0)
@@ -223,9 +228,11 @@ class MaintainSpec extends AnyFunSuite {
     }
     // clean again: both discovered
     assert(Maintain.discoverLake(Paths.get(out)).size === 2)
-    // end-to-end through run(): the mixed root is reported, not maintained
+    // end-to-end through run(): the mixed root is reported AND the exit
+    // code says so (3, not 0 — cron alerting must notice a permanently
+    // unmaintained table; r14 review)
     Files.createFile(root.resolve("_SUCCESS"))
-    assert(Maintain.run(Array("5", "0", "--lake", out)) === 0)
+    assert(Maintain.run(Array("5", "0", "--lake", out)) === 3)
     // the contested table's live data survived untouched (nothing vacuumed)
     Files.delete(root.resolve("_SUCCESS"))
     assert(vsink.readBack(spark, "rfb_quals", "202401").count() === 1L)
