@@ -416,6 +416,40 @@ object CorpusFilters {
   private[operators] val bm25TermsSql: String =
     Bm25Terms.map(t => s"'$t'").mkString(", ")
 
+  /** The BM25 oracle CTE chain (every relation name prefixed with `p`),
+    * ending in `${p}sc(doc_id, term, contrib)` — the per-(doc, term)
+    * cleared-denominator fixed-point contribution. Shared VERBATIM by the
+    * tx21 and ss11 oracles, the same convention as [[bm25TermsSql]]: the
+    * r14 review found ss11's re-inlined copy had already drifted (it lost
+    * the HUGEINT widening of the numerator, which passes 2^63 for rare
+    * terms at billions of docs), so the arithmetic now has exactly one
+    * spelling. Every count cast to BIGINT (DuckDB COUNT/SUM widen);
+    * division is BIGINT floor (//) at the same association as Spark's
+    * `div`s.
+    */
+  private[operators] def bm25OracleCteSql(p: String): String =
+    s"""${p}d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       | ${p}lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl
+       |   FROM ${p}d),
+       | ${p}st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |   CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+       |  FROM ${p}lens),
+       | ${p}tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+       |   (SELECT doc_id, unnest(w) AS term FROM ${p}d) e
+       |  WHERE term IN ($bm25TermsSql)
+       |  GROUP BY doc_id, term),
+       | ${p}dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ${p}tf
+       |   GROUP BY term),
+       | ${p}sc AS (SELECT ${p}tf.doc_id, ${p}tf.term,
+       |   CAST((CAST((${p}st.n_docs * 1000000) // ${p}dfq.df AS HUGEINT)
+       |      * 44 * ${p}tf.tf * ${p}st.avgdl)
+       |     // (20 * ${p}st.avgdl * ${p}tf.tf + 6 * ${p}st.avgdl
+       |       + 18 * ${p}lens.dl)
+       |    AS BIGINT) AS contrib
+       |  FROM ${p}tf JOIN ${p}dfq USING (term)
+       |   JOIN ${p}lens ON ${p}tf.doc_id = ${p}lens.doc_id, ${p}st)""".stripMargin
+
   /** tx21's BM25 scorer over the full corpus (no cut): one row per doc
     * that matches ≥ 1 query term, with the exact fixed-point score.
     * Shared with ss11's hybrid fusion.
@@ -577,29 +611,11 @@ object CorpusFilters {
         | JOIN uni ub ON ub.t = bg.b
         |ORDER BY pmi_fp DESC, a, b LIMIT 50""".stripMargin,
 
-    // Same cleared-denominator BM25 arithmetic; every count cast to
-    // BIGINT (DuckDB COUNT/SUM widen), division is BIGINT floor (//) at
-    // the same association as Spark's `div`s.
+    // The shared cleared-denominator BM25 chain ([[bm25OracleCteSql]] —
+    // one spelling for tx21 and ss11), aggregated per doc with the
+    // matched-term count.
     "tx21_bm25" ->
-      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-        |  FROM documents),
-        | lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
-        | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |   CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
-        |  FROM lens),
-        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
-        |   (SELECT doc_id, unnest(w) AS term FROM d) e
-        |  WHERE term IN ($bm25TermsSql)
-        |  GROUP BY doc_id, term),
-        | dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-        |   GROUP BY term),
-        | sc AS (SELECT tf.doc_id,
-        |   CAST((CAST((st.n_docs * 1000000) // dfq.df AS HUGEINT)
-        |      * 44 * tf.tf * st.avgdl)
-        |     // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * lens.dl)
-        |    AS BIGINT) AS contrib
-        |  FROM tf JOIN dfq USING (term)
-        |   JOIN lens ON tf.doc_id = lens.doc_id, st)
+      s"""WITH ${bm25OracleCteSql("")}
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
         | CAST(SUM(contrib) AS BIGINT) AS score_fp
         |FROM sc GROUP BY doc_id

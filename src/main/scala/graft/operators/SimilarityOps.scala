@@ -98,12 +98,6 @@ object SimilarityOps {
     p
   }
 
-  /** Multi-table hyperplane LSH signatures — (vec_id, tb, sig) with one row
-    * per (vector, table). 3 independent tables amplify recall (candidate if
-    * ANY table agrees). Materialized once per (tag, input dir) via
-    * MinHashDedup's scratch cache, so dd07, dd08 and ss05 all share one
-    * signature pass instead of re-shingling the corpus.
-    */
   /** Signature bit p = sign(v · plane_p) folded into an int bucket id —
     * the ONE hyperplane-signature construction shared by multiTableSigs,
     * ss03 and ss08, so the bit layout cannot drift between the Spark
@@ -118,6 +112,12 @@ object SimilarityOps {
         .otherwise(0)
     }.reduce(_ + _)
 
+  /** Multi-table hyperplane LSH signatures — (vec_id, tb, sig) with one row
+    * per (vector, table). Independent tables amplify recall (candidate if
+    * ANY table agrees). Materialized once per (tag, input dir) via
+    * MinHashDedup's scratch cache, so dd07, dd08 and ss05 all share one
+    * signature pass instead of re-shingling the corpus.
+    */
   private[operators] def multiTableSigs(
       s: SparkSession, dir: String): DataFrame =
     multiTableSigs(s, dir, Tables(s, dir, "embeddings").count())
@@ -904,29 +904,12 @@ object SimilarityOps {
          |   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
          |     AS rn FROM (SELECT * FROM dl0 ORDER BY cos DESC, vec_id
          |       LIMIT 20)) WHERE rn <= 20),
-         | bd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-         |   FROM documents),
-         | blens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM bd),
-         | bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |   CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
-         |  FROM blens),
-         | btf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
-         |   (SELECT doc_id, unnest(w) AS term FROM bd) e
-         |  WHERE term IN (${CorpusFilters.bm25TermsSql})
-         |  GROUP BY doc_id, term),
-         | bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM btf
-         |   GROUP BY term),
-         | bsc AS (SELECT btf.doc_id,
-         |   CAST(SUM((((bst.n_docs * 1000000) // bdf.df) * 44 * btf.tf
-         |       * bst.avgdl)
-         |     // (20 * bst.avgdl * btf.tf + 6 * bst.avgdl
-         |       + 18 * blens.dl)) AS BIGINT) AS score_fp
-         |  FROM btf JOIN bdf USING (term)
-         |   JOIN blens ON btf.doc_id = blens.doc_id, bst
-         |  GROUP BY btf.doc_id),
+         | ${CorpusFilters.bm25OracleCteSql("b")},
+         | bagg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_fp
+         |   FROM bsc GROUP BY doc_id),
          | ltop AS (SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
          |   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_fp DESC,
-         |     doc_id) AS rn FROM (SELECT * FROM bsc
+         |     doc_id) AS rn FROM (SELECT * FROM bagg
          |       ORDER BY score_fp DESC, doc_id LIMIT 20)) WHERE rn <= 20)
          |SELECT COALESCE(l.doc_id, d2.vec_id) AS doc_id,
          | l.lex_rank, d2.dense_rank,

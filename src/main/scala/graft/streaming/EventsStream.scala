@@ -209,9 +209,11 @@ object EventsStream {
           .withColumn("ts", date_trunc("second", col("ts")))
           .withWatermark("ts", "10 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          // null values contribute 0, never NULL out an all-null session —
+          // the st07/st13/oracle agreement (r14 review)
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(12,2)")).cast("double")
-              .as("session_value"))
+            coalesce(sum(col("value").cast("decimal(12,2)")).cast("double"),
+              lit(0.0)).as("session_value"))
       }
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -295,7 +297,13 @@ object EventsStream {
       val q = stream.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
-          val latest = batch.groupBy("user_id")
+          // an event without a timestamp cannot claim to be the latest:
+          // struct ordering sorts a null ts SMALLEST, so a user whose
+          // batch rows all carry null ts would rank below the 1970 seed
+          // and keep it, while the oracle's ROW_NUMBER pick (now filtered
+          // identically) replaced the seed (r14 review; fixture-dormant)
+          val latest = batch.filter(col("ts").isNotNull)
+            .groupBy("user_id")
             .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
               .as("m"))
             .select(col("user_id"),
@@ -339,6 +347,10 @@ object EventsStream {
       runAppendStream(s, dir, "st17_mem") { df =>
         df.withWatermark("ts", "10 minutes")
           .select(col("event_id"), col("ts"), col("event_type"))
+          // a null id is no identity to dedup on — and the oracle's
+          // COUNT(DISTINCT event_id) never counts NULLs, so a surviving
+          // null-id row would be counted by the stream only (r14 review)
+          .filter(col("event_id").isNotNull)
           // WithinWatermark, not dropDuplicates("event_id"): plain dedup
           // only evicts state when the event-time column is IN the key
           // set, so keying by id alone would grow state O(total events)
@@ -559,7 +571,8 @@ object EventsStream {
        | FROM f),
        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
        |  MIN(ts) AS st, $enExpr AS en,
-       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+       |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DOUBLE)
+       |    AS session_value
        | FROM sid GROUP BY user_id, session_id),
        |mx AS (SELECT user_id AS mu, MAX(session_id) AS max_sid
        | FROM sess GROUP BY user_id),
@@ -728,7 +741,7 @@ object EventsStream {
         |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
         |   event_id AS last_event_id
         |  FROM events
-        |  WHERE user_id IS NOT NULL
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) = 1),
         | seed AS (SELECT CAST(c_custkey AS BIGINT) AS user_id,

@@ -59,6 +59,15 @@ object Sessionize {
       // all (the non-nullable Event encoder would otherwise ABORT the
       // whole stream on the first null-user event)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      // null VALUE keeps the event (it still shapes the session's gaps and
+      // counts) and contributes 0 to session_value — the st07/st13/oracle
+      // agreement. Without this the non-nullable Event encoder aborted the
+      // whole query on the first null-value event while the oracle kept
+      // the row (r14 review; fixture-dormant, same class as the st10
+      // null-user guard)
+      .withColumn("value",
+        org.apache.spark.sql.functions.coalesce(col("value"),
+          org.apache.spark.sql.functions.lit(0.0)))
       .withColumn("ts", date_trunc("second", col("ts")))
       .as(Encoders.product[Event])
       .withWatermark("ts", "10 minutes")
