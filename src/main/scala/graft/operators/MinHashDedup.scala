@@ -114,15 +114,20 @@ object MinHashDedup {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   /** Snapshot-and-reset the per-tag scratch build seconds accumulated
-    * since the previous drain (or JVM start).
+    * since the previous drain (or JVM start). Removal is the ATOMIC
+    * `remove(key)`, not read-then-iterator-remove: a `merge` racing
+    * between those two steps was discarded — its seconds vanished from
+    * every future drain, the exact under-attribution the meter exists to
+    * prevent (r14 review; unreachable in the single-threaded bench loop,
+    * live the moment two queries build scratch concurrently).
     */
   private[graft] def drainBuildSeconds(): Map[String, Double] = {
     val snap = scala.collection.mutable.Map[String, Double]()
-    val it = buildSeconds.entrySet().iterator()
+    val it = buildSeconds.keySet().iterator()
     while (it.hasNext) {
-      val e = it.next()
-      snap(e.getKey) = e.getValue
-      it.remove()
+      val k = it.next()
+      val v = buildSeconds.remove(k)
+      if (v != null) snap(k) = v
     }
     snap.toMap
   }

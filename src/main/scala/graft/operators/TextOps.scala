@@ -159,8 +159,14 @@ object TextOps {
       docs(s, dir).select(col("doc_id"),
         nWords.as("n_words"),
         nStop.as("n_stopwords"),
+        // nWords needs no guard (split('', ' ') = ['']: size >= 1), but
+        // length('') = 0 and Spark 4's default ANSI mode THROWS on
+        // double/0 where the oracle yields NULL — an empty document must
+        // not kill the job (r14 review; the qualityFeatures nullif
+        // convention)
         round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
-        round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(punct.cast("double") /
+          nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
         qualityScore(words).as("quality_score"))
         .orderBy("doc_id")
     }),
@@ -249,9 +255,16 @@ object TextOps {
             Window.partitionBy(col("lang")).orderBy(asc("shard"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("lang"), col("shard"), col("offset"))
+      // null-SAFE join back: the oracle's PARTITION BY lang keeps a NULL
+      // lang as its own partition, but a plain equi-join (lang = lang)
+      // never matches NULL and silently dropped those docs from the
+      // packing (r14 review; fixture-dormant)
+      val o = offsets.withColumnsRenamed(
+        Map("lang" -> "o_lang", "shard" -> "o_shard"))
       toks
         .withColumn("cum_in_shard", sum(col("n_tokens")).over(within))
-        .join(broadcast(offsets), Seq("lang", "shard"))
+        .join(broadcast(o),
+          col("lang") <=> col("o_lang") && col("shard") <=> col("o_shard"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           floor((col("offset") + col("cum_in_shard") - col("n_tokens"))
             / budget).as("pack_id"))

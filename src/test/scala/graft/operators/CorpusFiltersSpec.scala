@@ -265,6 +265,33 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("head_tokens")) === "th|e|_|th|e|or|y")
   }
 
+  test("tx02 survives an empty document (ANSI divide-by-zero) and tx09 packs " +
+    "a null-lang document (r14 review null/edge injection)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("txnull").toString
+    Seq(
+      (0L, "some plain text here.", Some("en"), "s", 21L),
+      (1L, "", Some("en"), "s", 0L), // empty: length 0 divides tx02's ratio
+      (2L, "ein kleiner text", Option.empty[String], "s", 16L) // null lang
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    // tx02: under Spark 4's default ANSI mode an unguarded double/0 THROWS
+    // and kills the job; the contract (and the oracle) is a NULL ratio
+    val tx02 = TextOps.queries("tx02_quality")(spark, d).collect()
+    assert(tx02.length === 3)
+    val empty = tx02.find(_.getLong(0) == 1L).get
+    assert(empty.isNullAt(empty.fieldIndex("punct_ratio")),
+      s"empty doc must yield NULL punct_ratio, got $empty")
+    // tx09: the null-lang doc must appear in the packing (its own
+    // partition, like the oracle's PARTITION BY lang), not vanish through
+    // a non-null-safe join
+    val tx09 = TextOps.queries("tx09_sequence_pack")(spark, d).collect()
+    assert(tx09.length === 3, s"a doc vanished from packing: ${tx09.toSeq}")
+    assert(tx09.exists(r => r.getLong(0) == 2L && !r.isNullAt(3)),
+      "the null-lang doc must carry a pack id")
+  }
+
   test("tx21 BM25 matches a sequential fixed-point reference on the gate table") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
