@@ -19,6 +19,12 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 private[functions] abstract class BoundedK[E](k: Int)
     extends Aggregator[E, List[E], Seq[E]] {
+  // fail fast like MinHashArray's require: k <= 0 silently aggregated
+  // every group to an empty array, and insert() recurses up to k frames
+  // so an unbounded k risks executor StackOverflowError mid-job (r14
+  // review). 4096 is far above any top-k this engine serves and far
+  // below any default thread stack.
+  require(k > 0 && k <= 4096, s"bounded-k needs 0 < k <= 4096, got $k")
 
   protected def better(a: E, b: E): Boolean
 

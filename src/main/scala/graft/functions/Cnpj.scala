@@ -20,8 +20,20 @@ object Cnpj {
     // ASCII digits only: Character.isDigit also accepts fullwidth /
     // Arabic-Indic digits, which pass the length gate and then feed
     // charAt(i) - '0' values like 65249 into the mod-11 sums — an
-    // arbitrary verdict instead of a clean rejection
-    val digits = raw.filter(c => c >= '0' && c <= '9')
+    // arbitrary verdict instead of a clean rejection. And only the KNOWN
+    // formatting separators ('.', '/', '-', space) may ride along: a
+    // filter that stripped ALL non-digits validated arbitrary junk whose
+    // embedded digits happened to check out ('11x222x333x0001x81' — r14
+    // review), defeating the data-quality flag this exists to be
+    val sb = new java.lang.StringBuilder(14)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c >= '0' && c <= '9') sb.append(c)
+      else if (c != '.' && c != '/' && c != '-' && c != ' ') return false
+      i += 1
+    }
+    val digits = sb.toString
     if (digits.length != 14) return false
     if (digits.forall(_ == digits.head)) return false // 00000000000000 etc.
     // ONE mod-11 implementation: validation is "the suffix equals the

@@ -41,7 +41,10 @@ object MinHashKernel {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // primitive-backed result: GenericArrayData's long[] ctor boxes all
+    // k longs per ROW (it delegates to the Seq ctor) — pure GC pressure
+    // in the kernel's hot path (r14 review)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }
 

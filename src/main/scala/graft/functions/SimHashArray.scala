@@ -71,7 +71,12 @@ case class SimHashArray(child: Expression) extends UnaryExpression {
   // ExpectsInputTypes needs the private[sql] AbstractDataType, so enforce
   // the input type with the equivalent analysis-time check directly.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // `_: StringType`, not the StringType singleton: under a non-default
+    // session collation the element type is a collated StringType whose
+    // equals() compares collationIds — the singleton match spuriously
+    // rejected what the byte-hashing kernel (and sibling MinHashArray)
+    // handle identically (r14 review)
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"simhash_array requires array<string> input type, got ${other.sql}")
   }

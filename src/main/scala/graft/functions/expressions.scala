@@ -83,16 +83,19 @@ case class DotProduct(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private def elemNullable(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].containsNull
+  // schema facts are constant for the expression's lifetime — cached so
+  // the interpreted path doesn't re-pattern-match four ArrayType casts
+  // per row (r14 review; doGenCode already bakes them into the source)
+  @transient private lazy val lf = elemIsFloat(left)
+  @transient private lazy val rf = elemIsFloat(right)
+  @transient private lazy val ln = elemNullable(left)
+  @transient private lazy val rn = elemNullable(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val lf = elemIsFloat(left)
-    val rf = elemIsFloat(right)
-    val ln = elemNullable(left)
-    val rn = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -183,10 +183,14 @@ object AsOfJoinPlan {
     val lp = PlanBridge.analyzed(left)
     // re-alias every right column: a right side sharing lineage with the
     // left (self-join, common ancestor) would otherwise carry the SAME
-    // exprIds on both sides and bind to the wrong attributes
+    // exprIds on both sides and bind to the wrong attributes. Aliases are
+    // built from the plan's OWN output attributes, not Dataset.apply(name):
+    // right("a.b") parses the dot as a nested-field path and throws on a
+    // legitimately dotted column name (r14 review)
     val rp = PlanBridge.analyzed(
-      right.select(right.columns.toIndexedSeq.map(n =>
-        right(n).alias(n)): _*))
+      right.select(PlanBridge.analyzed(right).output.map(a =>
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          Alias(a, a.name)())): _*))
     val resolver = spark.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.filter(a => resolver(a.name, n)) match {

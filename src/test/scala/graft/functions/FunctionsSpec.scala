@@ -15,6 +15,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!Cnpj.isValidStr("00000000000000")) // repeated digits
     assert(!Cnpj.isValidStr("1122233300018")) // 13 digits
     assert(!Cnpj.isValidStr(null))
+    // only the known separators may ride along: junk whose embedded
+    // digits happen to check out must NOT validate (r14 review)
+    assert(!Cnpj.isValidStr("11x222x333x0001x81"))
+    assert(!Cnpj.isValidStr("CNPJ: 11.222.333/0001-81")) // letters + colon
+    assert(Cnpj.isValidStr(" 11.222.333/0001-81 ")) // spaces are separators
     // generator round-trips through the validator
     (0 until 50).foreach { i =>
       val prefix = f"${i * 7919 + 13}%012d"

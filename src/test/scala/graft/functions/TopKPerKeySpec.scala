@@ -34,6 +34,12 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("k is validated up front: k <= 0 fails fast instead of empty arrays (r14)") {
+    intercept[IllegalArgumentException] { TopKPerKey.topK(0) }
+    intercept[IllegalArgumentException] { TopKPerKey.topK(-5) }
+    intercept[IllegalArgumentException] { TopKPerKey.topK(5000) } // > recursion-safe bound
+  }
+
   test("plan aggregates with partial combine — no Window, no full sort") {
     val orders = Tables(spark, TestSpark.sf0001, "orders")
     val plan = orders.groupBy("o_custkey")

@@ -111,6 +111,17 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       3L -> Some(3L), 4L -> Some(4L)))
   }
 
+  test("dotted right-column names survive the re-alias (no nested-field parse)") {
+    // Dataset.apply("price.usd") parses the dot as a struct path and threw
+    // before the join was built; the re-alias now works from the plan's
+    // own attributes (r14 review)
+    val r = rightDf.withColumnRenamed("payload", "price.usd")
+    val got = AsOfJoinPlan.asOfJoin(leftDf, r, Seq("k"), Seq("rk"), "ts", "rts")
+      .select(col("id"), col("`price.usd`"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(101L))
+  }
+
   test("key/ts type mismatches are rejected, not silently mis-ordered") {
     val r = rightDf.select(col("rk").cast("int").as("rk"),
       col("rts"), col("payload"))
