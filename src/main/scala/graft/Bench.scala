@@ -24,8 +24,9 @@ object Bench {
     "dd03_simhash" -> Seq("dd03_"),
     "dd07_embedding_lsh_neardup" -> Seq("dd07_"),
     "ss04_ann_ivf" -> Seq("ss04_"),
-    // gr01 also owns the gr_pairs table all four graph queries share
-    // (gr02/gr03/rec01 measure marginal cost with it in place)
+    // gr01 also owns the gr_pairs table all four graph queries share AND
+    // the gr01_edges table gr03 now projects from (r14 consolidation) —
+    // gr02/gr03/rec01 measure marginal cost with both in place
     "gr01_pagerank" -> Seq("gr01_", "gr_pairs"),
     "gr03_bfs_hops" -> Seq("gr03_"),
     "dd06_dedup_clusters" -> Seq("dd06_"),

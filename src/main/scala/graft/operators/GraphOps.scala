@@ -42,17 +42,7 @@ object GraphOps {
     // fixed-point rank after 5 iterations (uniform 1.0 start).
     "gr01_pagerank" -> ((s, dir) => {
       // pairs from the SHARED gr_pairs scratch (gr02/rec01's table): the
-      // LSH candidate join + exact-cosine scoring runs once per session
-      // across all four graph queries instead of once per edge table
-      // (r10 review)
-      val pairs = sharedPairs(s, dir)
-      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      // (src, dst, deg-of-src), materialized once — iterations re-read it
-      val edges = MinHashDedup.materialized(
-        sym.join(deg, "src"), "gr01_edges", dir)
-      pageRanks(s, dir, edges).orderBy("node")
+      pageRanks(s, dir, edgesWithDeg(s, dir)).orderBy("node")
     }),
 
     // Bounded-hop BFS: hop distance (≤ 8) from the graph's canonical
@@ -63,11 +53,11 @@ object GraphOps {
     // rounds past convergence are idempotent, so fixed-k needs no
     // convergence count. Unreached nodes are excluded (null distance).
     "gr03_bfs_hops" -> ((s, dir) => {
-      val pairs = sharedPairs(s, dir) // see gr01 — one cosine stage
-      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      val edges = MinHashDedup.materialized(sym, "gr03_edges", dir)
-      bfsHops(s, dir, edges, pairs).orderBy("node")
+      // a strict projection of gr01's edge table — sharing the scratch
+      // halves the session's corpus-scale edge materializations (r14
+      // review; the r10 gr_pairs consolidation one level up)
+      val edges = edgesWithDeg(s, dir).select("src", "dst")
+      bfsHops(s, dir, edges, sharedPairs(s, dir)).orderBy("node")
     }),
 
     // Per-node triangle count over the same near-dup graph — the local
@@ -113,6 +103,18 @@ object GraphOps {
       recursiveWalk(s, sharedPairs(s, dir), MaxHops)),
   )
 
+  /** Walk-guard geometric tail: sum over levels ≈ deg(src)·B^(h−1)·tail
+    * with tail = min(B/(B−1), h). Both factors bound the geometric sum
+    * (B^h−1)/(B−1) from above, so the estimate stays an overcount — but
+    * B/(B−1) alone DIVERGES as B → 1⁺ (a huge sparse graph with one
+    * 3-node path pushes bGlobal to 1+1e-8 and the tail to ~1e8,
+    * spuriously refusing a ~8-row walk), while h is the exact tail at
+    * B = 1 and the continuous ceiling near it (r14 review).
+    */
+  private[operators] def walkTailFactor(b: Double, hops: Int): Double =
+    if (b > 1.0) math.min(b / (b - 1.0), hops.toDouble)
+    else hops.toDouble
+
   /** The ONE materialized near-dup pair table all four graph queries
     * build on (gr02/rec01 always used it; gr01/gr03 used to re-run the
     * LSH candidate join + cosine scoring into their own edge tables).
@@ -121,6 +123,20 @@ object GraphOps {
     MinHashDedup.materialized(
       SimilarityOps.embeddingNearDupPairs(s, dir)
         .select(col("id1"), col("id2")), "gr_pairs", dir)
+
+  /** The ONE symmetrized (src, dst, deg-of-src) edge table gr01 and gr03
+    * share — gr03 projects (src, dst) off it. The two queries used to
+    * materialize near-identical corpus-scale edge tables under separate
+    * tags ('gr01_edges' + 'gr03_edges'), doubling the session's edge
+    * scratch builds (r14 review).
+    */
+  private def edgesWithDeg(s: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(s, dir)
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    MinHashDedup.materialized(sym.join(deg, "src"), "gr01_edges", dir)
+  }
 
   /** gr01's iteration loop behind a scratch-cache PEEK (the rounds are
     * eager jobs — a cached result must skip them entirely, not just the
@@ -249,9 +265,7 @@ object GraphOps {
         val bLocal =
           if (nbrDeg.isNullAt(0)) 1.0 else math.max(1.0, nbrDeg.getDouble(0))
         val b = math.max(bGlobal, bLocal)
-        // sum over levels ≈ deg(src)·B^(h−1)·B/(B−1); the geometric tail
-        // factor keeps the estimate a (mild) overcount, never an undercount
-        val tail = if (b > 1.0) b / (b - 1.0) else hops.toDouble
+        val tail = walkTailFactor(b, hops)
         val est = dsrc.toDouble * math.pow(b, (hops - 1).toDouble) * tail
         if (est > WalkRowBudget.toDouble) throw new IllegalStateException(
           f"recursive walk refused: ~$est%.3g enumerated paths estimated " +

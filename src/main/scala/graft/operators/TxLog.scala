@@ -227,15 +227,35 @@ object TxLog {
     if (checkpointHint(table).exists(_ >= version))
       throw CommitConflict(table, latestVersion(table).getOrElse(0L))
     val tmp = Files.createTempFile(logDir(table), s".tmp-$version-", ".json")
-    Files.write(tmp, bytes)
-    try Files.createLink(commitFile(table, version), tmp)
-    catch {
+    // the write sits INSIDE the try: a failed write (disk full) must not
+    // leak the temp file past the finally — no cleanup path ever removes
+    // .tmp-* orphans, so a retry loop accumulated one per attempt (r14
+    // review; matches movePointerForward's discipline)
+    try {
+      Files.write(tmp, bytes)
+      Files.createLink(commitFile(table, version), tmp)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw CommitConflict(table, version)
     } finally Files.deleteIfExists(tmp)
     if (version % checkpointInterval == 0)
       try {
-        Files.write(checkpointFile(table, version), bytes)
+        // checkpoint records get the same atomicity as commits (temp +
+        // ATOMIC_MOVE), NOT an in-place Files.write: a truncated
+        // .checkpoint.json survives the swallowed exception below, then a
+        // later cleanup anchored above it deletes the plain commit — and
+        // from then on commitRecord throws a parse error vacuum's
+        // NoSuchFile guard does not catch, wedging maintenance and time
+        // travel permanently (r14 review). Two racing checkpointers write
+        // identical bytes; the replacing atomic move is idempotent.
+        val ctmp = Files.createTempFile(
+          logDir(table), s".ckpt-$version-", ".json")
+        try {
+          Files.write(ctmp, bytes)
+          Files.move(ctmp, checkpointFile(table, version),
+            StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(ctmp)
         movePointerForward(table, version)
       } catch { case _: Exception => () }
     version

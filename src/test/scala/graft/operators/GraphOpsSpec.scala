@@ -142,6 +142,17 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == (0L to 12L).map(i => i -> i.toInt).toMap)
   }
 
+  test("walk-guard tail factor is capped at hops — no divergence as B -> 1+ (r14)") {
+    // B/(B-1) alone explodes for near-1 branching (a huge sparse graph
+    // with one short path): the bound must fall back to the exact
+    // h-term tail instead of spuriously refusing a tiny walk
+    assert(GraphOps.walkTailFactor(1.0 + 1e-8, 8) === 8.0)
+    assert(GraphOps.walkTailFactor(1.0, 8) === 8.0)
+    assert(GraphOps.walkTailFactor(0.5, 8) === 8.0) // degenerate, still h
+    assert(GraphOps.walkTailFactor(2.0, 8) === 2.0) // b/(b-1) binds
+    assert(GraphOps.walkTailFactor(1.1, 8) === 8.0) // 11 > h -> h binds
+  }
+
   test("recursiveWalk runs sparse graphs and returns exact min-hops") {
     // path graph 0-1-2-...-9: well under budget; hops = node index
     val s = spark
