@@ -32,6 +32,12 @@ private[graft] object DistributedCumsum {
     */
   def cumulative(counts: DataFrame, valueCol: String, freqCol: String,
       buckets: Int = 32): DataFrame = {
+    // buckets = 0 would silently collapse the whole axis into one pid —
+    // the single-sorted-task shape this object exists to prevent — and
+    // the P×P offsets join bounds the broadcast only while P is small
+    // (r14 review; Skew.saltedJoin's salts guard)
+    require(buckets > 0 && buckets <= 256,
+      s"cumulative needs 0 < buckets <= 256, got $buckets")
     val v = col(valueCol)
     // hi = max+1 keeps (hi - lo) >= 1 even on a single-value axis; the
     // *buckets product stays in BIGINT for any axis narrower than
@@ -47,10 +53,14 @@ private[graft] object DistributedCumsum {
     // boundary downstream then reads against an unreachable total (r10
     // review; current callers are non-null, but the precondition doc
     // never excluded nulls).
+    // Integer DIV, not Column `/` (double division): above 2^52 the
+    // double quotient can round UP to exactly `buckets`, minting a
+    // phantom P+1th bucket and breaking the documented P×P bound; DIV is
+    // exact in BIGINT and v <= hi-1 keeps pid <= buckets-1 (r14 review).
     val bucketed = counts.crossJoin(broadcast(mm))
       .withColumn("pid",
         when(v.isNull, lit(-1)).otherwise(
-          (((v - col("lo")) * buckets) / (col("hi") - col("lo"))).cast("int")))
+          expr(s"CAST(((`$valueCol` - lo) * $buckets) DIV (hi - lo) AS INT)")))
     val psums = bucketed.groupBy("pid").agg(sum(col(freqCol)).as("psum"))
     val offsets = psums.as("a")
       .join(broadcast(psums.as("b")), col("b.pid") < col("a.pid"), "left")
@@ -61,5 +71,25 @@ private[graft] object DistributedCumsum {
     bucketed.join(broadcast(offsets), "pid")
       .select(v, (sum(col(freqCol)).over(wLocal) + col("off")).as("cum"),
         col("n"))
+  }
+
+  /** One-row rank-based boundary lookup over [[cumulative]]'s output: for
+    * each `(alias, num, den)` cut, boundary = MIN value whose cumulative
+    * count exceeds rank ⌊(n−1)·num/den⌋ — pure BIGINT arithmetic,
+    * identical in both engines. ONE spelling for q59's quartile bounds
+    * and q61's tertiles: the fold was previously stated independently in
+    * Relational5 and Relational6, free to drift — the exact twin-drift
+    * the cumsum extraction exists to stop (r14 review).
+    */
+  def rankBoundaries(counts: DataFrame, valueCol: String, freqCol: String,
+      cuts: Seq[(String, Int, Int)]): DataFrame = {
+    require(cuts.nonEmpty, "rankBoundaries needs at least one cut")
+    val cum = cumulative(counts, valueCol, freqCol)
+    def boundary(c: (String, Int, Int)) = {
+      val (alias, num, den) = c
+      min(when(col("cum") > expr(s"((n - 1) * $num) div $den"),
+        col(valueCol))).as(alias)
+    }
+    cum.agg(boundary(cuts.head), cuts.tail.map(boundary): _*)
   }
 }

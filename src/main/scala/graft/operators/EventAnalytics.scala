@@ -131,9 +131,11 @@ object EventAnalytics {
       // that merges with genuine ones) while the oracle's || operator
       // null-propagates the whole path — drop typeless events, and null
       // users with them (the family contract), on both sides (r11 review)
+      // event_id is the ts tie-break: NULL id sorts first in Spark,
+      // last in DuckDB — dropped on both sides like null ts (r14 review)
       val r = events(s, dir)
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-          col("event_type").isNotNull)
+          col("event_type").isNotNull && col("event_id").isNotNull)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -149,12 +151,6 @@ object EventAnalytics {
     }),
   )
 
-  /** The chained-min funnel TIMES per user over a (user_id, event_type,
-    * ts) frame: (user_id, vts, cts, pts) with nulls where a stage was
-    * never reached in order. The kernel under ev01 (stage counts) and
-    * ev05 (conversion-lag distribution); exposed for planted-fixture
-    * specs.
-    */
   /** The three chained stage tables (v, c, p) — each one (user_id,
     * min-ts) and only ever shrinking. ev05 consumes just v and p; ev01
     * left-joins all three onto the user base via [[funnelTimes]]. The
@@ -183,6 +179,12 @@ object EventAnalytics {
     (v, c, p)
   }
 
+  /** The chained-min funnel TIMES per user over a (user_id, event_type,
+    * ts) frame: (user_id, vts, cts, pts) with nulls where a stage was
+    * never reached in order. The kernel under ev01 (stage counts) and
+    * ev05 (conversion-lag distribution); exposed for planted-fixture
+    * specs.
+    */
   private[operators] def funnelTimes(ev: DataFrame): DataFrame = {
     val (v, c, p) = funnelStageTimes(ev)
     ev.filter(col("user_id").isNotNull)
@@ -222,8 +224,15 @@ object EventAnalytics {
     // null users drop per the family contract (e17570b): the NULL
     // pseudo-user otherwise fuses ALL unattributed events into one fake
     // per-"user" sequence whose transitions are noise (both engines
-    // agreed on that noise — this is a semantic fix, aligned both sides)
-    val tr = ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
+    // agreed on that noise — this is a semantic fix, aligned both sides).
+    // null event_type likewise (ev04's contract — a typeless event
+    // otherwise severed the bigram chain and its pairs leaked away via
+    // the from_ev equi-join with no declared filter), and null event_id
+    // because it is the ts TIE-BREAK: Spark window order puts a NULL id
+    // FIRST on a ts tie, DuckDB LAST — different (from, to) pairs (r14
+    // review; the q29/ev04 null-ts class)
+    val tr = ev.filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
       .select(col("user_id"), col("event_type").as("from_ev"),
         col("ts"), col("event_id"))
       .withColumn("to_ev", lead(col("from_ev"), 1).over(w))
@@ -295,7 +304,8 @@ object EventAnalytics {
       """WITH tr AS (SELECT event_type AS from_ev,
         |   LEAD(event_type) OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS to_ev
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
         | c AS (SELECT from_ev, to_ev, CAST(COUNT(*) AS BIGINT) AS n
         |   FROM tr WHERE to_ev IS NOT NULL GROUP BY from_ev, to_ev),
         | t AS (SELECT from_ev, CAST(SUM(n) AS BIGINT) AS total
@@ -321,7 +331,7 @@ object EventAnalytics {
         |   ROW_NUMBER() OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS rn
         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-        |    AND event_type IS NOT NULL),
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
         | p AS (SELECT user_id,
         |   MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
         |   MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,

@@ -250,12 +250,8 @@ object Relational5 {
           .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
           .groupBy("cents").agg(count(lit(1)).as("freq")),
         "q59_counts", dir)
-      val bounds = DistributedCumsum.cumulative(counts, "cents", "freq")
-        .agg(
-          min(when(col("cum") > expr("(n - 1) div 4"), col("cents"))).as("b1"),
-          min(when(col("cum") > expr("(n - 1) div 2"), col("cents"))).as("b2"),
-          min(when(col("cum") > expr("((n - 1) * 3) div 4"), col("cents")))
-            .as("b3"))
+      val bounds = DistributedCumsum.rankBoundaries(counts, "cents", "freq",
+        Seq(("b1", 1, 4), ("b2", 1, 2), ("b3", 3, 4)))
       counts.crossJoin(broadcast(bounds))
         .select(col("cents"), col("freq"),
           (lit(1) + (col("cents") > col("b1")).cast("int")

@@ -28,12 +28,8 @@ object Relational6 {
   private[operators] def tertiles(df: DataFrame, valueCol: String, prefix: String)
       : DataFrame = {
     val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("f"))
-    DistributedCumsum.cumulative(counts, "v", "f")
-      .agg(
-        min(when(col("cum") > expr("(n - 1) div 3"), col("v")))
-          .as(s"${prefix}_b1"),
-        min(when(col("cum") > expr("((n - 1) * 2) div 3"), col("v")))
-          .as(s"${prefix}_b2"))
+    DistributedCumsum.rankBoundaries(counts, "v", "f",
+      Seq((s"${prefix}_b1", 1, 3), (s"${prefix}_b2", 2, 3)))
   }
 
   val queries: Map[String, Q] = ListMap(

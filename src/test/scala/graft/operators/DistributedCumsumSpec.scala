@@ -45,4 +45,25 @@ class DistributedCumsumSpec extends AnyFunSuite {
   test("single-value axis (hi = lo + 1 guard)") {
     check(Seq(Some(7L) -> 9L))
   }
+
+  test("an axis past 2^53 stays exact (integer DIV, not double division) — r14") {
+    // with Column `/` the double quotient for v = 2^53 over hi-lo = 2^53+1
+    // rounds to exactly `buckets`, minting a phantom P+1th bucket; DIV is
+    // exact and the cum must still be the plain prefix sum
+    check(Seq(Some(0L) -> 1L, Some(1L << 53) -> 2L))
+  }
+
+  test("buckets knob is validated: 0, negative, and oversized fail fast (r14)") {
+    import spark.implicits._
+    val counts = Seq((1L, 1L)).toDF("v", "f")
+    intercept[IllegalArgumentException] {
+      DistributedCumsum.cumulative(counts, "v", "f", buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DistributedCumsum.cumulative(counts, "v", "f", buckets = -4)
+    }
+    intercept[IllegalArgumentException] {
+      DistributedCumsum.cumulative(counts, "v", "f", buckets = 1000)
+    }
+  }
 }
