@@ -125,8 +125,14 @@ object ZipScan {
       case EqualTo(a, v: String) =>
         col(a).map(c => (p, z, e) => c((p, z, e)) == v)
       case In(a, vs) =>
-        val set = vs.collect { case s: String => s }.toSet
-        col(a).filter(_ => set.size == vs.length)
+        // the all-strings probe counts the COLLECTED values, not the
+        // deduped set: an IN list carrying a duplicate (survives when
+        // OptimizeIn doesn't fold, e.g. under an OR branch) made
+        // set.size != vs.length and silently disabled pruning for a
+        // perfectly compilable filter (r14 review)
+        val strs = vs.collect { case s: String => s }
+        val set = strs.toSet
+        col(a).filter(_ => strs.length == vs.length)
           .map(c => (p, z, e) => set.contains(c((p, z, e))))
       case StringStartsWith(a, v) =>
         col(a).map(c => (p, z, e) => c((p, z, e)).startsWith(v))

@@ -93,6 +93,17 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     val bySize = df.filter($"size" > 0L)
     assert(bySize.rdd.getNumPartitions === 4)
     assert(bySize.count() === 4L)
+    // an IN list written with a DUPLICATE still prunes. Probed: today's
+    // Catalyst dedupes In values before the DSv2 pushdown even under an
+    // OR branch, so this leg passes either way — it pins the end-to-end
+    // shape, while the compile()-side guard (count collected values, not
+    // the deduped set — r14 review) defends against any future optimizer
+    // that forwards duplicates verbatim.
+    val dupIn = df.filter(($"zip_name".isin("b.zip", "b.zip") &&
+      $"size" >= 0L) || ($"zip_name" === "b.zip" && $"size" < 0L))
+    assert(dupIn.count() === 1L)
+    assert(dupIn.rdd.getNumPartitions === 1,
+      "duplicate IN values must not disable partition pruning")
   }
 
   test("duplicate entry names yield distinct rows with their own sizes") {
