@@ -157,7 +157,7 @@ object MinHashDedup {
     * Files that vanish between planning and listing hash as absent, which
     * still changes the fingerprint — exactly what invalidation wants.
     */
-  private def inputFingerprint(df: DataFrame): String = {
+  private[operators] def inputFingerprint(df: DataFrame): String = {
     val hc = df.sparkSession.sparkContext.hadoopConfiguration
     // normalize through Path: inputFiles says "file:///x", FileStatus says
     // "file:/x" — new Path(...).toString canonicalizes both to the latter

@@ -42,6 +42,28 @@ object SimilarityOps {
       .withColumn("nrm",
         sqrt(GraftFunctions.dot_product(col("v"), col("v"))))
 
+  /** Memoized embeddings row count per input dir. The count sizes LSH
+    * plane counts and the broadcast hint, and EVERY similarity/graph query
+    * re-derives it — un-memoized that is one count job per query per pass
+    * (the r15 gr03 adjudication clocked each resolution at ~0.2-0.4 s of
+    * the query's wall time). Invalidation rides the same file-metadata
+    * fingerprint as the scratch cache (one listStatus, no job): a
+    * rewritten table recounts, an unchanged one answers from the map.
+    */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private[operators] def embCount(s: SparkSession, dir: String): Long = {
+    val df = Tables(s, dir, "embeddings")
+    val fp = MinHashDedup.inputFingerprint(df)
+    val hit = embCountCache.get(dir)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val n = df.count()
+      embCountCache.put(dir, (fp, n))
+      n
+    }
+  }
+
   private val dot12: Column =
     GraftFunctions.dot_product(col("v1"), col("v2"))
 
@@ -120,7 +142,7 @@ object SimilarityOps {
     */
   private[operators] def multiTableSigs(
       s: SparkSession, dir: String): DataFrame =
-    multiTableSigs(s, dir, Tables(s, dir, "embeddings").count())
+    multiTableSigs(s, dir, embCount(s, dir))
 
   /** Variant taking a pre-computed corpus size so callers that already
     * counted (the near-dup kernel's broadcast decision) don't launch a
@@ -152,7 +174,7 @@ object SimilarityOps {
     */
   private[operators] def embeddingNearDupPairs(
       s: SparkSession, dir: String): DataFrame = {
-    val n = Tables(s, dir, "embeddings").count()
+    val n = embCount(s, dir)
     val e = emb(s, dir)
     val sigs = multiTableSigs(s, dir, n)
     val cands = sigs.select(col("vec_id").as("id1"), col("tb"), col("sig"))
@@ -294,8 +316,8 @@ object SimilarityOps {
     // constants inlined as double literals) and hash-gates the result;
     // recall vs ss02 is additionally asserted in the test suite.
     "ss03_ann_lsh" -> ((s, dir) => {
-      // parquet-metadata count: cheap even at lake scale
-      val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
+      // memoized parquet-metadata count: cheap even at lake scale
+      val nPlanes = planesFor(embCount(s, dir))
       val sig = emb(s, dir)
         .withColumn("sig", hyperplaneSig(planes(nPlanes, 64)))
         .select("vec_id", "v", "nrm", "sig")
@@ -321,7 +343,7 @@ object SimilarityOps {
     // post-filtering candidates (post-filter ANN starves top-k recall when
     // the predicate is selective; key composition is the index-level fix).
     "ss08_filtered_ann" -> ((s, dir) => {
-      val nPlanes = planesFor(Tables(s, dir, "embeddings").count())
+      val nPlanes = planesFor(embCount(s, dir))
       val sig = emb(s, dir)
         .withColumn("sig", hyperplaneSig(planes(nPlanes, 64)))
         .select("vec_id", "label", "v", "nrm", "sig")
