@@ -27,27 +27,18 @@ import graft.operators.TextOps
 object CorpusStream {
   type Q = (SparkSession, String) => DataFrame
 
-  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-
   val queries: Map[String, Q] = ListMap(
+    // Rides EventsStream's shared drive-and-stop harness (cloned session,
+    // unique sink, stop-in-finally) with the DOCUMENTS source swapped in —
+    // layout-aware via Tables.streamRaw (single file OR directory of part
+    // files; the old glob recipe silently streamed zero rows from a
+    // directory table — r11 10× rehearsal).
     "st05_stream_clean_corpus" -> ((s, dir) => {
-      // cloned session: the small-state shuffle override never leaks to the
-      // caller's session (same scoping contract as EventsStream.runStream)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      val schema = Tables(ss, dir, "documents").schema
-      val sink = s"st05_mem_${nameCounter.incrementAndGet()}"
-      // layout-aware source (single file OR directory of part files) — the
-      // old glob recipe silently streamed zero rows from a directory
-      // table, the production layout (r11 10× rehearsal; Tables.streamRaw)
-      val stream = Tables.streamRaw(ss, dir, "documents", schema)
-      val q = TextOps.scoredEnglish(stream)
-        .dropDuplicates("fp")
-        .select(col("fp"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).orderBy("fp")
+      EventsStream.runStreamFrom(s, "st05_mem", "append") { ss =>
+        Tables.streamRaw(ss, dir, "documents", Tables(ss, dir, "documents").schema)
+      } { stream =>
+        TextOps.scoredEnglish(stream).dropDuplicates("fp").select(col("fp"))
+      }.orderBy("fp")
     }),
   )
 

@@ -449,35 +449,64 @@ object EventsStream {
   private def runStream(
       s: SparkSession, dir: String, sinkPrefix: String, mode: String,
       extraConfs: Map[String, String] = Map.empty)(
+      xform: DataFrame => DataFrame): DataFrame =
+    runStreamFrom(s, sinkPrefix, mode, extraConfs)(eventsSource(_, dir))(xform)
+
+  /** The ONE drive-and-stop harness behind every memory-sink streaming
+    * query, parameterized by SOURCE: cloned session, unique sink name,
+    * start → processAllAvailable → stop (stop in finally — a failed query
+    * must not strand a running stream on the shared context). Events
+    * queries reach it through [[runStream]]; [[CorpusStream]] passes its
+    * documents source directly (r14's deferred cleanup: it used to carry a
+    * structural copy of this harness, and a fix here — e.g. the finally —
+    * would have silently missed st05).
+    */
+  private[streaming] def runStreamFrom(
+      s: SparkSession, sinkPrefix: String, mode: String,
+      extraConfs: Map[String, String] = Map.empty)(
+      source: SparkSession => DataFrame)(
       xform: DataFrame => DataFrame): DataFrame = {
-    val (ss, stream) = clonedSessionAndStream(s, dir, extraConfs)
+    val ss = clonedSession(s, extraConfs)
     val sink = s"${sinkPrefix}_${nameCounter.incrementAndGet()}"
-    val q = xform(stream).writeStream.outputMode(mode)
+    val q = xform(source(ss)).writeStream.outputMode(mode)
       .format("memory").queryName(sink).start()
     try q.processAllAvailable() finally q.stop()
     ss.table(sink)
   }
 
-  /** The cloned session + file-source events stream EVERY streaming query
-    * reads — one definition of the source recipe (schema, glob, normalize)
-    * shared by [[runStream]] and the custom-sink st16 path, so a fixture
-    * or partitioning change cannot give one query a silently different
-    * source than the rest.
+  /** Cloned session with the small-state shuffle override (see
+    * [[runStream]] doc: query-scoped via `newSession`, never
+    * session-global).
     */
-  private def clonedSessionAndStream(
-      s: SparkSession, dir: String,
-      extraConfs: Map[String, String] = Map.empty)
-      : (SparkSession, DataFrame) = {
+  private def clonedSession(
+      s: SparkSession, extraConfs: Map[String, String]): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     extraConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss
+  }
+
+  /** The file-source events stream EVERY events query reads — one
+    * definition of the source recipe (schema, glob, normalize) shared by
+    * [[runStream]] and the custom-sink st16 path, so a fixture or
+    * partitioning change cannot give one query a silently different
+    * source than the rest.
+    */
+  private def eventsSource(ss: SparkSession, dir: String): DataFrame = {
     val rawSchema = Tables.rawEvents(ss, dir).schema
     // layout-aware source (single file OR directory of part files) — the
     // old glob recipe silently streamed zero rows from a directory table,
     // the production layout (r11 10× rehearsal; Tables.streamRaw doc)
-    val stream = Tables.normalizeEvents(
-      Tables.streamRaw(ss, dir, "events", rawSchema))
-    (ss, stream)
+    Tables.normalizeEvents(Tables.streamRaw(ss, dir, "events", rawSchema))
+  }
+
+  /** st16's entry: it drives its own foreachBatch sink, so it needs the
+    * session and the stream, not the memory-sink harness.
+    */
+  private def clonedSessionAndStream(
+      s: SparkSession, dir: String): (SparkSession, DataFrame) = {
+    val ss = clonedSession(s, Map.empty)
+    (ss, eventsSource(ss, dir))
   }
 
   /** Complete-mode runner for streaming aggs (result == the batch agg). */
