@@ -22,18 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale shape: planning LISTS the zip files and reads each archive's
   * CENTRAL DIRECTORY — a bounded tail-of-file metadata read, the same
   * class of work as the parquet footer reads file-source planning does —
-  * and emits ONE INPUT PARTITION PER MEMBER, carrying the member's
-  * directory record (name + sizes) in the partition itself. Entry-level
-  * splits matter because the real RFB months are skewed: one archive
-  * (Estabelecimentos) dominates, and per-archive partitions serialize all
-  * downstream per-member work (decompress, transcode, audit) on one task
-  * while the other tasks idle. Carrying the record (16 bytes of metadata)
-  * instead of re-resolving the name at read time also makes DUPLICATE
-  * entry names — legal in zip — come back as N distinct rows with their
-  * own sizes (`ZipFile.getEntry(name)` resolves every duplicate to the
-  * first record), and drops the per-task archive reopen entirely: the
-  * reader emits straight from the partition. Member BYTES never visit
-  * anything — this is a metadata source.
+  * then splits the flattened MEMBER list into fixed-size input partitions
+  * (`zip.membersPerPartition`, default 1024), each carrying its members'
+  * directory records (name + sizes). The MEMBER stays the planning unit —
+  * name predicates prune members before grouping, and a skewed month (one
+  * dominating archive) spreads evenly because groups cut across archive
+  * boundaries — but the TASK is a group: this source emits 16-byte
+  * metadata rows with zero read-time I/O, so one task per member was pure
+  * scheduler overhead (a 1 M-member lake scheduled 1 M single-row tasks —
+  * r14 review). A composition that hangs heavyweight per-member work
+  * (decompress, transcode) off this scan in the same stage should set
+  * `zip.membersPerPartition=1` to recover per-member task granularity.
+  * Carrying the record instead of re-resolving the name at read time also
+  * makes DUPLICATE entry names — legal in zip — come back as N distinct
+  * rows with their own sizes (`ZipFile.getEntry(name)` resolves every
+  * duplicate to the first record), and drops the per-task archive reopen
+  * entirely: the reader emits straight from the partition. Member BYTES
+  * never visit anything — this is a metadata source.
   *
   * Directory reads run on a bounded driver pool for ordinary months
   * (~37 archives), and shift to a distributed Spark job when the archive
@@ -43,8 +48,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical partitions (spec-asserted).
   *
   * Column pruning is pushed down ([[ZipScan.pruneColumns]]), and name
-  * predicates on `zip_name` / `entry_name` prune member partitions at
-  * planning ([[ZipScan.pushFilters]]) — the zip analogue of parquet
+  * predicates on `zip_name` / `entry_name` prune members at planning,
+  * before grouping ([[ZipScan.pushFilters]]) — the zip analogue of parquet
   * partition-column pruning. Pushed filters are compiled ONCE per scan
   * (not per member × filter — the planning walk is O(members)).
   *
@@ -89,10 +94,15 @@ class ZipTable(path: String) extends Table with SupportsRead {
       "zip_entries requires exactly ONE load path (a .zip file or a " +
         "directory to walk recursively); multiple load(...) paths are not " +
         "supported — union several reads instead")
+    val groupSize = options.getInt("zip.membersPerPartition",
+      ZipScan.DefaultMembersPerPartition)
+    if (groupSize < 1) throw new IllegalArgumentException(
+      s"zip.membersPerPartition must be >= 1, got $groupSize")
     new ZipScan(resolved,
       ZipEntriesSource.schema,
       options.getInt("zip.distributedPlanningThreshold",
-        ZipScan.DefaultDistributedPlanningThreshold))
+        ZipScan.DefaultDistributedPlanningThreshold),
+      groupSize)
   }
 }
 
@@ -103,6 +113,15 @@ object ZipScan {
     * archives plans distributed.
     */
   val DefaultDistributedPlanningThreshold = 64
+
+  /** Members per input partition. Each member costs the reader ~nothing
+    * (one InternalRow from an in-partition record), so the floor is task
+    * overhead: 1024 metadata rows per task keeps a 1 M-member lake at
+    * ~1000 tasks instead of 1 M, while a ~500-member month collapses to
+    * one. Set `zip.membersPerPartition=1` when composing per-member
+    * heavyweight work into the scan stage.
+    */
+  val DefaultMembersPerPartition = 1024
 
   import org.apache.spark.sql.sources._
 
@@ -150,20 +169,20 @@ object ZipScan {
     }
   }
 
-  /** One archive's members as partitions: central-directory iteration (no
+  /** One archive's members: central-directory iteration (no
     * decompression), keep-filtered, with each member's directory record
-    * captured in its partition. Runs on the driver pool OR inside the
-    * distributed planning job — one body, identical partitions either path.
+    * captured. Runs on the driver pool OR inside the distributed planning
+    * job — one body, identical member lists either path.
     */
   private[sources] def membersOf(zipPath: String,
-      keep: Array[(String, String, String) => Boolean]): Array[ZipPartition] = {
+      keep: Array[(String, String, String) => Boolean]): Array[ZipMember] = {
     val zipName = Paths.get(zipPath).getFileName.toString
     val zf = new ZipFile(zipPath)
     try zf.entries().asScala.zipWithIndex
       .filterNot(_._1.isDirectory)
       .filter { case (e, _) => keep.forall(_(zipPath, zipName, e.getName)) }
       .map { case (e, i) =>
-        ZipPartition(zipPath, e.getName, e.getSize, e.getCompressedSize, i)
+        ZipMember(zipPath, e.getName, e.getSize, e.getCompressedSize, i)
       }
       .toArray
     finally zf.close()
@@ -174,7 +193,8 @@ object ZipScan {
   * three roles share the pruned-schema and pushed-filter state.
   */
 class ZipScan(path: String, var required: StructType,
-    distThreshold: Int = ZipScan.DefaultDistributedPlanningThreshold)
+    distThreshold: Int = ZipScan.DefaultDistributedPlanningThreshold,
+    groupSize: Int = ZipScan.DefaultMembersPerPartition)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -189,11 +209,12 @@ class ZipScan(path: String, var required: StructType,
     required = requiredSchema
 
   /** Member-level filter pushdown: name predicates on `zip_name` /
-    * `entry_name` prune INPUT PARTITIONS at planning (each partition IS one
-    * member, so a name filter is partition pruning — the zip analogue of
-    * parquet's partition-column pruning). Every filter is also returned as
-    * a residual so Spark re-applies it — pruning is an optimization, never
-    * the correctness boundary.
+    * `entry_name` prune MEMBERS at planning, before the member list is
+    * chunked into input partitions — the zip analogue of parquet's
+    * partition-column pruning (a pruned member never plans, ships, or
+    * emits). Every filter is also returned as a residual so Spark
+    * re-applies it — pruning is an optimization, never the correctness
+    * boundary.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compilable = filters.flatMap(f => ZipScan.compile(f).map(f -> _))
@@ -207,8 +228,9 @@ class ZipScan(path: String, var required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // Planning: LIST archives, then read each central directory and split to
-  // ONE PARTITION PER MEMBER carrying its directory record. The walk is
+  // Planning: LIST archives, read each central directory into a flat
+  // keep-filtered MEMBER list, then chunk it into groupSize-member input
+  // partitions, each carrying its members' directory records. The walk is
   // RECURSIVE like the built-in file sources, so nested layouts
   // (dir/month=…/x.zip) scan their archives instead of silently yielding
   // an empty table; a directory with zero archives is a loud error for
@@ -216,7 +238,8 @@ class ZipScan(path: String, var required: StructType,
   // ≤ distThreshold archives: bounded driver pool (parquet-footer-class
   // work). Above it: a Spark job reads directories on executors and
   // collects only the member metadata — the driver never serially opens
-  // 100k archive tails.
+  // 100k archive tails. Both paths hand the SAME path-sorted member list
+  // to the chunker, so dual-path partition equality holds group-for-group.
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val zips =
@@ -233,20 +256,21 @@ class ZipScan(path: String, var required: StructType,
           s"zip_entries: no .zip files under '$path' (recursive walk)")
         found
       } else Array(path)
-    val parts =
+    val members =
       if (zips.length > distThreshold) planDistributed(zips)
       else planOnDriver(zips)
-    parts.map(p => p: InputPartition)
+    members.grouped(groupSize).map(g => ZipPartition(g): InputPartition)
+      .toArray
   }
 
-  private def planOnDriver(zips: Array[String]): Array[ZipPartition] = {
+  private def planOnDriver(zips: Array[String]): Array[ZipMember] = {
     val keep = compiled
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, zips.length)))
     try {
       val futures = zips.map { z =>
-        pool.submit(new java.util.concurrent.Callable[Array[ZipPartition]] {
-          override def call(): Array[ZipPartition] =
+        pool.submit(new java.util.concurrent.Callable[Array[ZipMember]] {
+          override def call(): Array[ZipMember] =
             ZipScan.membersOf(z, keep)
         })
       }
@@ -276,7 +300,7 @@ class ZipScan(path: String, var required: StructType,
     * paths to be EXECUTOR-VISIBLE (shared/distributed storage); archives
     * on driver-local disk only plan through the ≤threshold driver pool.
     */
-  private def planDistributed(zips: Array[String]): Array[ZipPartition] = {
+  private def planDistributed(zips: Array[String]): Array[ZipMember] = {
     val filters = pushed
     val spark = org.apache.spark.sql.SparkSession.active
     spark.sparkContext
@@ -286,22 +310,29 @@ class ZipScan(path: String, var required: StructType,
         zs.flatMap(z => ZipScan.membersOf(z, keep))
       }
       .collect()
-      .sortBy(zp => (zp.zipPath, zp.entryIndexKey))
+      .sortBy(zm => (zm.zipPath, zm.entryIndexKey))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZipReaderFactory(required.fieldNames)
 }
 
-/** One archive MEMBER — the split unit — with its central-directory record
-  * captured at planning. The reader emits straight from this (no re-open,
-  * no name re-resolution: `getEntry(name)` would collapse legal duplicate
-  * entry names onto the first record). `entryIndexKey` disambiguates
-  * duplicates for the distributed path's deterministic sort.
+/** One archive MEMBER — the planning/pruning unit — with its
+  * central-directory record captured at planning. The reader emits straight
+  * from this (no re-open, no name re-resolution: `getEntry(name)` would
+  * collapse legal duplicate entry names onto the first record).
+  * `entryIndexKey` disambiguates duplicates for the distributed path's
+  * deterministic sort.
   */
-case class ZipPartition(zipPath: String, entryName: String,
+case class ZipMember(zipPath: String, entryName: String,
     size: Long, compressedSize: Long, entryIndexKey: Int = 0)
-    extends InputPartition
+
+/** The TASK unit: a fixed-size group of member records (see
+  * `zip.membersPerPartition`). Metadata emission is ~free per member, so
+  * the group amortizes task scheduling; the member list inside stays the
+  * pruned, deterministically ordered planning output.
+  */
+case class ZipPartition(members: Array[ZipMember]) extends InputPartition
 
 class ZipReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -311,24 +342,24 @@ class ZipReaderFactory(fields: Array[String])
   }
 }
 
-/** Executor-side: one member row, emitted from the partition's captured
-  * directory record — zero archive I/O at read time.
+/** Executor-side: one row per member of the partition's group, emitted
+  * from the captured directory records — zero archive I/O at read time.
   */
 class ZipEntryReader(zp: ZipPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
-  private var done = false
+  private var i = -1
 
-  override def next(): Boolean =
-    if (done) false else { done = true; true }
+  override def next(): Boolean = { i += 1; i < zp.members.length }
 
   override def get(): InternalRow = {
+    val m = zp.members(i)
     InternalRow.fromSeq(fields.toSeq.map {
-      case "zip_path" => UTF8String.fromString(zp.zipPath)
+      case "zip_path" => UTF8String.fromString(m.zipPath)
       case "zip_name" =>
-        UTF8String.fromString(Paths.get(zp.zipPath).getFileName.toString)
-      case "entry_name" => UTF8String.fromString(zp.entryName)
-      case "size" => zp.size
-      case "compressed_size" => zp.compressedSize
+        UTF8String.fromString(Paths.get(m.zipPath).getFileName.toString)
+      case "entry_name" => UTF8String.fromString(m.entryName)
+      case "size" => m.size
+      case "compressed_size" => m.compressedSize
     })
   }
 

@@ -19,7 +19,7 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     } finally z.close()
   }
 
-  test("reads every member of every archive; one partition per MEMBER") {
+  test("reads every member of every archive; one TASK per member group") {
     val dir = Files.createTempDirectory("zipsrc")
     mkZip(dir, "a.zip", Seq(
       "K1.CNAECSV" -> "0111301;x\n".getBytes("UTF-8"),
@@ -35,21 +35,35 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
       ("a.zip", "K1.CNAECSV", 10L),
       ("a.zip", "K2.MUNIC", 500L),
       ("b.zip", "K3.PAIS", 11L)))
-    // entry-level splits: a skewed month (one dominating archive) must not
-    // serialize per-member work on one task — 3 members -> 3 partitions
-    assert(df.rdd.getNumPartitions === 3)
+    // metadata rows are ~free to emit, so the default groups members into
+    // one task instead of scheduling 3 single-row tasks (r14 review)
+    assert(df.rdd.getNumPartitions === 1)
+    // per-member task granularity stays available for compositions that
+    // hang heavyweight per-member work off the scan stage
+    val perMember = spark.read.format("graft.sources.ZipEntriesSource")
+      .option("zip.membersPerPartition", 1).load(dir.toString)
+    assert(perMember.rdd.getNumPartitions === 3)
   }
 
-  test("a 2-entry archive scans as 2 partitions") {
+  test("metadata scans chunk members into fixed-size groups") {
     val dir = Files.createTempDirectory("zipsrc6")
-    mkZip(dir, "big.zip", Seq(
-      "PART1.CSV" -> "a\n".getBytes("UTF-8"),
-      "PART2.CSV" -> "b\n".getBytes("UTF-8")))
-    val df = spark.read.format("graft.sources.ZipEntriesSource")
-      .load(dir.toString)
-    assert(df.rdd.getNumPartitions === 2)
-    assert(df.select("entry_name").collect().map(_.getString(0)).toSet ===
-      Set("PART1.CSV", "PART2.CSV"))
+    mkZip(dir, "big.zip", (1 to 5).map(i =>
+      f"PART$i%d.CSV" -> s"$i\n".getBytes("UTF-8")))
+    mkZip(dir, "small.zip", Seq("PART6.CSV" -> "x\n".getBytes("UTF-8"),
+      "PART7.CSV" -> "y\n".getBytes("UTF-8")))
+    def scan(group: Int) = spark.read
+      .format("graft.sources.ZipEntriesSource")
+      .option("zip.membersPerPartition", group).load(dir.toString)
+    // 7 members at groupSize 3 -> ceil(7/3) = 3 partitions, groups cutting
+    // across the archive boundary (5 + 2 members flatten before chunking)
+    val g3 = scan(3)
+    assert(g3.rdd.getNumPartitions === 3)
+    assert(g3.count() === 7L)
+    // partition count never exceeds ceil(members/groupSize)
+    assert(scan(4).rdd.getNumPartitions === 2)
+    assert(scan(100).rdd.getNumPartitions === 1)
+    val ex = intercept[Exception](scan(0).collect())
+    assert(ex.getMessage.contains("membersPerPartition"))
   }
 
   test("walks nested directories recursively; empty dir fails fast") {
@@ -78,8 +92,10 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
       "K2.ESTABELE" -> "y\n".getBytes("UTF-8"),
       "K3.SOCIOCSV" -> "z\n".getBytes("UTF-8")))
     mkZip(dir, "b.zip", Seq("K4.EMPRECSV" -> "w\n".getBytes("UTF-8")))
+    // membersPerPartition=1 makes member pruning directly observable as
+    // the partition count (grouping would fold survivors together)
     val df = spark.read.format("graft.sources.ZipEntriesSource")
-      .load(dir.toString)
+      .option("zip.membersPerPartition", 1).load(dir.toString)
     // suffix predicate: only the 2 EMPRECSV members plan as partitions
     val emp = df.filter($"entry_name".endsWith("EMPRECSV"))
     assert(emp.rdd.getNumPartitions === 2)
@@ -138,7 +154,7 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     le32(cdSize); le32(cdStart); le16(0)
     Files.write(dir.resolve("dup.zip"), out.toByteArray)
     val df = spark.read.format("graft.sources.ZipEntriesSource")
-      .load(dir.toString)
+      .option("zip.membersPerPartition", 1).load(dir.toString)
     val rows = df.select("entry_name", "size").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows.sorted === Seq(("SAME.CSV", 1L), ("SAME.CSV", 4L)))
@@ -152,9 +168,10 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
       mkZip(dir, f"m$i%02d.zip", Seq(
         f"K$i.EMPRECSV" -> ("e" * (i + 1)).getBytes("UTF-8"),
         f"K$i.ESTABELE" -> ("s" * (i + 10)).getBytes("UTF-8")))
-    def scan(threshold: Int) = spark.read
+    def scan(threshold: Int, group: Int = 1) = spark.read
       .format("graft.sources.ZipEntriesSource")
       .option("zip.distributedPlanningThreshold", threshold)
+      .option("zip.membersPerPartition", group)
       .load(dir.toString)
     // threshold 1 < 5 archives -> distributed pre-pass; default -> driver
     val viaExecutors = scan(1)
@@ -166,6 +183,13 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
       viaDriver.collect().map(key).sorted.toSeq)
     assert(viaExecutors.rdd.getNumPartitions ===
       viaDriver.rdd.getNumPartitions)
+    // grouped chunking preserves dual-path equality too: both paths hand
+    // the same path-sorted member list to the chunker (10 members at
+    // groupSize 3 -> 4 partitions either way, same rows)
+    assert(scan(1, 3).rdd.getNumPartitions === 4)
+    assert(scan(1000, 3).rdd.getNumPartitions === 4)
+    assert(scan(1, 3).collect().map(key).sorted.toSeq ===
+      scan(1000, 3).collect().map(key).sorted.toSeq)
     // name pruning works identically through the distributed path
     val emp = scan(1).filter($"entry_name".endsWith("EMPRECSV"))
     assert(emp.rdd.getNumPartitions === 5)
