@@ -110,6 +110,15 @@ object DedupClusters {
     */
   @volatile private[operators] var lastKernel: String = ""
 
+  /** How many rounds the propagation prefix of the LAST cache-miss call
+    * ran before converging or bailing (-1 = prefix skipped by the edge
+    * cap) — test observability only, like [[lastKernel]]: the welded
+    * clique+chain spec asserts the decay gate bails EARLY on a mixed
+    * shape, which labels alone cannot show (a silent full-budget burn
+    * would still produce correct labels, just at 4× the prefix cost).
+    */
+  @volatile private[operators] var lastPropagationRounds: Int = -1
+
   /** Min-label connected components over undirected `edges` (a, b) for all
     * `nodes` (id). Returns (id, cluster_id = component min id).
     *
@@ -284,6 +293,7 @@ object DedupClusters {
       // the final round's frame is the live result either way; release the
       // one superseded frame still in the buffer
       rounds.dropRight(1).foreach(unpersistCheckpoint)
+      lastPropagationRounds = round
       if (converged) Right(labels) else Left(labels)
     }
     // partial-propagation labels awaiting pull-back through the contraction
@@ -292,6 +302,7 @@ object DedupClusters {
     var preLabels: Option[DataFrame] = None
     try {
       var sig = signature(star)
+      lastPropagationRounds = -1 // stays -1 when the cap skips the prefix
       if (sig._1 <= PropagationEdgeCap) {
         propagationPrefix() match {
           case Right(labels) =>

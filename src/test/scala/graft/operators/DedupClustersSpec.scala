@@ -93,6 +93,47 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(DedupClusters.lastKernel === "contraction")
   }
 
+  test("welded clique+chain: the decay gate bails early and both kernels stay exact (r14 verdict #5)") {
+    // The fast-path constants were measured on two PURE topologies (clique
+    // halves its change count; chain plateaus). The mixed shape — a
+    // 16-clique welded at node 15 to a chain tail — interleaves both
+    // signals: round 1 is clique-dominated (big collapse), later rounds are
+    // chain-dominated (plateau). The gate must still fire on the plateau,
+    // and the compressed handoff must still label everything with the
+    // component minimum.
+    val cliqueEdges = for {
+      i <- 0L until 16L; j <- (i + 1) until 16L
+    } yield (i, j)
+    def welded(tail: Int) = {
+      val chain = (15L until (15L + tail)).map(i => (i, i + 1))
+      val n = 16 + tail
+      ((0L until n.toLong).toDF("id"),
+        (cliqueEdges ++ chain).toDF("a", "b"))
+    }
+    // LONG tail (40): changes go ~55 (clique+wave) -> ~40 -> plateau; the
+    // gate must bail within the first few rounds — a silent full-budget
+    // burn (8 rounds of full-edge-set joins) is the regression this pins —
+    // and the answer must come from contraction over the compressed edges.
+    val (nL, eL) = welded(40)
+    val gotL = DedupClusters.connectedComponents(nL, eL)
+      .as[(Long, Long)].collect()
+    assert(gotL.length === 56 && gotL.forall(_._2 === 0L))
+    assert(DedupClusters.lastKernel === "contraction")
+    assert(DedupClusters.lastPropagationRounds >= 2 &&
+      DedupClusters.lastPropagationRounds <= 3,
+      s"decay gate must bail early on the welded shape, not burn the " +
+        s"full prefix budget (ran ${DedupClusters.lastPropagationRounds})")
+    // SHORT tail (2): the wave closes the whole graph before the plateau
+    // can trip the gate — propagation proves convergence and serves.
+    val (nS, eS) = welded(2)
+    val gotS = DedupClusters.connectedComponents(nS, eS)
+      .as[(Long, Long)].collect()
+    assert(gotS.length === 18 && gotS.forall(_._2 === 0L))
+    assert(DedupClusters.lastKernel === "propagation")
+    assert(DedupClusters.lastPropagationRounds <=
+      DedupClusters.PropagationRounds)
+  }
+
   test("property: components equal driver-side union-find on random graphs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val prop = Prop.forAll(
