@@ -87,6 +87,18 @@ object PgCopyText {
   /** Streams pre-encoded records to the COPY consumer without ever holding
     * a partition's data in one buffer — the executor-side memory contract
     * at scale.
+    *
+    * CONTRACT DEVIATION, deliberate: `read(cbuf, off, len)` may return 0
+    * for a `len == 1` call whose only available char is a high surrogate
+    * with its low half still buffered — `java.io.Reader` says a read
+    * "blocks until some input is available", and 0 is outside that
+    * letter. Returning the lone surrogate would let pgjdbc's
+    * per-chunk encoder emit a replacement char (silent text corruption);
+    * 0 defers it one lap and the next call emits the pair together.
+    * Consumers must treat only -1 as EOF (pgjdbc does; the no-arg
+    * `read()` below loops the deferral lap for char-at-a-time callers).
+    * pgjdbc never issues `len == 1` array reads, so the branch is
+    * defensive — but a new consumer that maps 0 to EOF would truncate.
     */
   final class RecordsReader(records: Iterator[String]) extends java.io.Reader {
     private var cur = ""

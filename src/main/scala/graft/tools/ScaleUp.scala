@@ -44,6 +44,7 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scale10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val decorrelate = args.lift(3).contains("decorrelate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,11 +53,26 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, src, out, factor)
+    write(spark, src, out, factor, decorrelate)
     spark.stop()
   }
 
-  def write(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `decorrelateEmbeddings`: compose each copy's rotation with a per-copy
+    * deterministic SIGN FLIP (a diagonal ±1 orthogonal transform, seeded
+    * by the copy index). Like the rotation it preserves every intra-copy
+    * cosine exactly (both vectors flip the same coordinates:
+    * ⟨Dx, Dy⟩ = ⟨x, y⟩), but the composed family has dim·2^dim distinct
+    * orientations instead of the rotation's dim — so copies k ≡ k′ (mod
+    * dim) are no longer cosine-correlated and the TRUE near-dup pair count
+    * stays ~linear in the copy count at any factor. LADDER-ONLY: the
+    * default (false) keeps the committed oracle fixtures byte-identical;
+    * this flag exists to measure the engine's scaling in its true input
+    * without the fixture's pair blow-up (the r14 dd08 100× finding:
+    * rotation reuse grew edges 7× per 3.33× rows, and the ladder measured
+    * the fixture, not the engine).
+    */
+  def write(spark: SparkSession, src: String, out: String, factor: Int,
+      decorrelateEmbeddings: Boolean = false): Unit = {
     // up front, before any table lands: factor 0 used to crash on
     // empty.reduce AFTER region/nation were already written — a half-built
     // output dir that read like a corpus with dims but no facts (r13
@@ -144,7 +160,13 @@ object ScaleUp {
         // so copies k ≡ 0 (mod dim) ARE cosine-correlated with copy 0 —
         // fine for rehearsal factors (≤30) against ≥64-dim fixtures; a
         // factor beyond dim would need a per-copy orthogonal transform.
-        val e = col("embedding")
+        val e0 = col("embedding")
+        // optional per-copy sign flip BEFORE the rotation (see the write()
+        // scaladoc): coordinate i flips iff xxhash64(k, i) is odd — a
+        // deterministic diagonal orthogonal transform, distinct per copy
+        val e = if (!decorrelateEmbeddings) e0
+          else transform(e0, (x, i) =>
+            when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x))
         val r = pmod(lit(k), size(e))
         d.withColumn("embedding",
           concat(slice(e, r + lit(1), size(e) - r), slice(e, lit(1), r)))

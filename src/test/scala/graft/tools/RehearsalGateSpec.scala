@@ -69,6 +69,11 @@ class RehearsalGateSpec extends AnyFunSuite {
   }
 
   test("variant B gate: halt after the 4th overwrite, resume, content-equal to control") {
+    // This gate is the suite's single most expensive spec (~35 s in r14);
+    // the wall time prints below so budget creep stays visible round over
+    // round (r14 verdict order #6) — check it in the sbt test log before
+    // blaming suite growth elsewhere.
+    val t0 = System.nanoTime()
     val base = Files.createTempDirectory("rehearse_gate")
     try {
       // ~120 K rows total: 3 K/part x 10 parts x 3 big tables + tail part +
@@ -100,6 +105,7 @@ class RehearsalGateSpec extends AnyFunSuite {
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      info(f"rehearsal gate wall time: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
   }
 }
