@@ -44,7 +44,15 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scale10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val decorrelate = args.lift(3).contains("decorrelate")
+    // strict: a typo'd mode arg must not silently write the CORRELATED
+    // fixture the flag exists to avoid (same loud-failure reasoning as the
+    // factor >= 1 require in write())
+    val decorrelate = args.lift(3) match {
+      case None => false
+      case Some("decorrelate") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown ScaleUp mode '$other' — the only mode is 'decorrelate'")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

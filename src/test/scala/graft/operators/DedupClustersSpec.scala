@@ -130,8 +130,11 @@ class DedupClustersSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(gotS.length === 18 && gotS.forall(_._2 === 0L))
     assert(DedupClusters.lastKernel === "propagation")
-    assert(DedupClusters.lastPropagationRounds <=
-      DedupClusters.PropagationRounds)
+    // exactly 4 rounds, deterministic (changed: 17, 2, 1, 0 — the clique
+    // collapses in one, the 2-tail drains one node per round, the zero
+    // round proves convergence); a <= PropagationRounds bound would be
+    // tautological — the loop guard already enforces it (r15 review)
+    assert(DedupClusters.lastPropagationRounds === 4)
   }
 
   test("property: components equal driver-side union-find on random graphs") {

@@ -206,8 +206,11 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     val m6 = Files.createDirectories(dir.resolve("month=2024-06"))
     mkZip(m5, "Empresas0.zip", Seq("K1.EMPRECSV" -> "a\n".getBytes("UTF-8")))
     mkZip(m6, "Empresas0.zip", Seq("K1.EMPRECSV" -> "bb\n".getBytes("UTF-8")))
+    // membersPerPartition=1 keeps the pruning observable: at the grouped
+    // default BOTH members fold into one partition and the count below
+    // passes whether or not zip_path pushdown prunes (r15 review)
     val df = spark.read.format("graft.sources.ZipEntriesSource")
-      .load(dir.toString)
+      .option("zip.membersPerPartition", 1).load(dir.toString)
     // both months visible and tellable apart
     val byPath = df.select("zip_path", "size").collect()
       .map(r => (r.getString(0).contains("month=2024-05"), r.getLong(1)))
