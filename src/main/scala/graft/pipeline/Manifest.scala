@@ -73,15 +73,20 @@ object Manifest {
 
   def load(spark: SparkSession, path: String): Seq[ManifestEntry] = {
     if (!exists(path)) Seq.empty
-    // pin the file:// scheme: save/exists are driver-local java.nio, but a
+    // pin the file: scheme: save/exists are driver-local java.nio, but a
     // schemeless path here would resolve against fs.defaultFS — on an HDFS
     // cluster exists() says true and the read then misses the file,
     // breaking exactly the crash-resume this manifest exists for (r10
-    // review)
+    // review). Raw path after the scheme, NOT toUri's percent-encoded
+    // form: Hadoop Path never decodes %XX, so a non-ASCII workDir (the
+    // lake uses pt-BR folder names) would percent-encode here and read a
+    // nonexistent literal %-named file (r15 review — the same latent bug
+    // the corrected-CSV read hit on cp437 member names)
     else {
       val d = ManifestEntry("", "")
       spark.read.schema(schema)
-        .json(java.nio.file.Paths.get(path).toAbsolutePath.toUri.toString)
+        .json("file:" +
+          java.nio.file.Paths.get(path).toAbsolutePath.toString)
         .collect().toSeq
         // NULL-TOLERANT row mapping, not .as[ManifestEntry]: the typed
         // deserializer threw 'Null value appeared in non-nullable field'

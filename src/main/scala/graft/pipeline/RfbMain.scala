@@ -76,11 +76,20 @@ object RfbMain {
 
     val outDir = destDir(rootDir, year, month)
     Files.createDirectories(outDir)
-    Files.createDirectories(workDir)
-    val pipe = new RfbPipeline(spark, workDir, outDir.toString,
+    // workspace namespaced PER PERIOD: the RFB dump reuses the same
+    // archive basenames every month, so two periods sharing one workDir
+    // collide in downloads/ (month N+1 overwrites month N's zips), and
+    // the fresh-period wipe — keyed to THIS period's manifest but deleting
+    // the shared dirs — destroyed a crashed previous period's resumable
+    // state (r15 review; the r10 per-period manifest fix stopped halfway).
+    // A per-refMonth subdir makes both impossible by construction; the
+    // wipe below now only ever touches this period's own namespace.
+    val periodWork = workDir.resolve(Period.refMonth(year, month))
+    Files.createDirectories(periodWork)
+    val pipe = new RfbPipeline(spark, periodWork, outDir.toString,
       Period.refMonth(year, month), fetcher, backoffMs = 5000L,
       strictAudits = strictAudits, sink0 = sink0)
-    cleanWorkspace(workDir, pipe.manifestPath)
+    cleanWorkspace(periodWork, pipe.manifestPath)
     try {
       val entries = pipe.run(listingUrl)
       val report = pipe.report(entries)

@@ -84,6 +84,12 @@ class RfbPipeline(
     */
   @volatile var lastAudits: Map[String, Audits.AuditResult] = Map.empty
 
+  /** Exception text per table whose load threw (last `load` call) — the
+    * per-table catch converts failures to `falhou` statuses, and without
+    * this record the root cause was discarded entirely (r15 review).
+    */
+  @volatile var lastLoadErrors: Map[String, String] = Map.empty
+
   // namespaced BY PERIOD: with one shared manifesto.json, a new month's
   // run against the same workDir found the previous month's completed
   // manifest, skipped the workspace wipe, saw every status sucesso, did
@@ -163,6 +169,18 @@ class RfbPipeline(
         ManifestEntry(arquivo = name, url = listingUrl + name,
           caminhoZip = downloadDir.resolve(name).toString)
       }
+      // REFUSE to persist an empty manifest: a maintenance/truncated page
+      // (HTTP 200, zero .zip anchors — possible even milliseconds after
+      // the Vigilante poll validated the listing) would otherwise mark
+      // the period permanently complete-with-zero-work — every later run
+      // "resumes" 0 entries and reports success until the manifest is
+      // hand-deleted (r15 review). Throwing reaches Reporter.failed, the
+      // alerting path a silently-empty month needs. Same loud-failure
+      // stance as the zip source's empty-directory error.
+      if (entries.isEmpty) throw new IllegalStateException(
+        s"listing at $listingUrl contains no .zip anchors — refusing to " +
+          "persist an empty manifest (maintenance page / truncated " +
+          "response?); nothing was saved, the next run will re-fetch")
       save(entries)
       entries
     }
@@ -240,9 +258,11 @@ class RfbPipeline(
           // green, and the earlier name-prefix scheme (m0_NAME) broke
           // RfbTables.route for DOTLESS routable names — m0_SIMPLES has
           // no dot suffix to survive the mangling, so both duplicates
-          // went ignorada (r11 review). The subdir name embeds the
-          // archive name so the fix phase's one-level dir mirror cannot
-          // collide across archives either.
+          // went ignorada (r11 review). The fix phase mirrors the path
+          // RELATIVE to the extract root, so these nested subdirs cannot
+          // collide with any archive's own dir there (r15 review: the
+          // old one-level mirror collided with an archive literally
+          // named "<archive>_m<idx>.zip").
           val basenames =
             names.map(ze => Paths.get(ze.getName).getFileName.toString)
           val dups = basenames.groupBy(identity)
@@ -274,11 +294,20 @@ class RfbPipeline(
           // run actually recovers.
           e.copy(statusExtracao = Status.Pendente,
             statusDownload = Status.Pendente)
+        case _: java.nio.file.NoSuchFileException |
+            _: java.io.FileNotFoundException =>
+          // the zip itself VANISHED (workspace cleanup, disk eviction):
+          // that is precisely what re-downloading fixes, and the r10
+          // IOException→Falhou hardening below was accidentally marking
+          // it terminal — the one IOException the self-heal exists for
+          // (r15 review)
+          e.copy(statusExtracao = Status.Pendente,
+            statusDownload = Status.Pendente)
         case _: java.io.IOException =>
-          // a LOCAL write failure (disk full, permissions) is not archive
-          // corruption: re-downloading a good zip can't fix it, and the
-          // old blanket reset looped re-download → same error forever
-          // with no terminal state recorded (r10 review)
+          // any OTHER local I/O failure (disk full, permissions) is not
+          // archive corruption: re-downloading a good zip can't fix it,
+          // and the old blanket reset looped re-download → same error
+          // forever with no terminal state recorded (r10 review)
           e.copy(statusExtracao = Status.Falhou)
       }
     }
@@ -326,11 +355,21 @@ class RfbPipeline(
           case -1 => (name, "")
           case k => (name.substring(0, k), name.substring(k))
         }
-        // mirror the per-archive extract layout: members of different
-        // archives may share basenames, and the transcode tasks run
-        // concurrently — corrected files must not collide either
-        val sub = Option(src.getParent).map(_.getFileName.toString)
-          .getOrElse("_")
+        // mirror the extract layout RELATIVE to the extract root: members
+        // of different archives may share basenames, and the transcode
+        // tasks run concurrently — corrected files must not collide. The
+        // old one-level mirror (parent dir name only) could still collide
+        // across archives: X.zip's duplicate-member subdir X_m1 and an
+        // archive literally named X_m1.zip both mapped to fixed/X_m1
+        // (r15 review); the relative path keeps X/X_m1 and X_m1 distinct.
+        // Files outside the extract root (spec fixtures) keep the
+        // one-level fallback.
+        val sub = Option(src.getParent) match {
+          case Some(p) if p.startsWith(extractDir) =>
+            extractDir.relativize(p).toString
+          case Some(p) => p.getFileName.toString
+          case None => "_"
+        }
         (i, f, csName,
           fixedDir.resolve(sub).resolve(s"${base}__corrigido$ext").toString)
       }
@@ -365,6 +404,7 @@ class RfbPipeline(
     * destination table with a single atomic overwrite per table.
     */
   def load(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    lastLoadErrors = Map.empty
     lastAudits = Map.empty // "the LAST load call" — a resumed second load
     // must not report a stale audit for a table it never touched
     var entries = entries0
@@ -446,11 +486,23 @@ class RfbPipeline(
           // the line-count audit still passed (the reference's pandas
           // reader infers per file; the layout map is the stronger form)
           val nCols = RfbTables.typedColumns(table).size
+          // paths qualified file: like Manifest.load (r10): corrected
+          // files are written via java.nio, so they live on a
+          // POSIX-visible mount by construction — schemeless strings
+          // would resolve against fs.defaultFS and miss every file on an
+          // HDFS-default cluster, with the miss swallowed into a bare
+          // falhou below (r15 review; the Manifest fix stopped short of
+          // this, the much bigger read). RAW path after the scheme, not
+          // java.net.URI's percent-encoded form: Hadoop Path does not
+          // decode %XX, so a pre-encoded URI breaks every non-ASCII
+          // member name (Domicílio → Domic%C3%ADlio, file not found —
+          // caught by the cp437 spec when this fix first used toUri)
           val df = spark.read
             .options(Map("sep" -> ";", "header" -> "false",
               "encoding" -> "UTF-8", "mode" -> "PERMISSIVE"))
             .schema(RfbTables.rawSchema(nCols))
-            .csv(paths: _*)
+            .csv(paths.map(f =>
+              "file:" + Paths.get(f).toAbsolutePath.toString): _*)
           // Single-pass write-side metrics (SURVEY §1.3: row-count audits →
           // observe()): the row count must agree with the corrected-file
           // line counts AND the sink read-back (reference main.py:207-216);
@@ -471,7 +523,17 @@ class RfbPipeline(
           lastAudits += table -> audit
           audit.rows == expected && loaded == expected &&
             (!strictAudits || audit.passed)
-        } catch { case _: Exception => false }
+        } catch {
+          case e: Exception =>
+            // the failure becomes a falhou status either way, but the
+            // ACTUAL error (CommitConflict, AnalysisException, ...) must
+            // not vanish — Reporter.failed only fires on run-level
+            // crashes, so an operator debugging a per-table falhou had
+            // zero root-cause signal (r15 review)
+            lastLoadErrors += table -> e.toString
+            System.err.println(s"load: table $table failed: $e")
+            false
+        }
       table -> ok
     }
     // propagate per-table audit to contributing entries

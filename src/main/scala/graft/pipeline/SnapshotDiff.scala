@@ -17,12 +17,22 @@ object SnapshotDiff {
   /** Per-key diff of two snapshots of `table`: `added` (only in `m2`),
     * `removed` (only in `m1`), `changed` (key in both, any column differs).
     * `keyCols` defaults to the first raw column (the RFB code).
+    *
+    * Snapshots are read THROUGH the sink (`sink0`, default a rename-mode
+    * [[ParquetSink]] on `outDir`), never via a raw directory read: a
+    * versioned (TxLog) table's root holds every published version's
+    * `v{N}-{uuid}` data dir, so `spark.read.parquet(root)` unions ALL
+    * versions into one frame — every key doubled, the diff silently wrong
+    * — and a raw read also skips readBack's mid-swap crash recovery in
+    * rename mode (r15 review). Callers of versioned tables pass their
+    * versioned sink.
     */
   def diff(spark: SparkSession, outDir: String, table: String,
       m1: String, m2: String,
-      keyCols: Seq[String] = Seq("c0")): DataFrame = {
-    def snap(m: String): DataFrame =
-      spark.read.parquet(s"$outDir/$table/ref_month=$m")
+      keyCols: Seq[String] = Seq("c0"),
+      sink0: TableSink = null): DataFrame = {
+    val sink = Option(sink0).getOrElse(new ParquetSink(outDir))
+    def snap(m: String): DataFrame = sink.readBack(spark, table, m)
     def keyed(df: DataFrame): DataFrame = {
       val dataCols = df.columns.filterNot(keyCols.contains).sorted
       df.select(
@@ -44,7 +54,7 @@ object SnapshotDiff {
 
   /** Summary counts per status. */
   def summary(spark: SparkSession, outDir: String, table: String,
-      m1: String, m2: String): DataFrame =
-    diff(spark, outDir, table, m1, m2)
+      m1: String, m2: String, sink0: TableSink = null): DataFrame =
+    diff(spark, outDir, table, m1, m2, sink0 = sink0)
       .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
 }

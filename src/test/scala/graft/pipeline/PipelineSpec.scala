@@ -181,6 +181,103 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/rfb_qualificacoes").count() == 1)
   }
 
+  test("an empty listing is refused loudly, never persisted as a done manifest") {
+    // a maintenance/truncated page (HTTP 200, zero .zip anchors) used to
+    // persist manifesto_*.json with 0 entries — every later run "resumed"
+    // 0 entries and reported success until the file was hand-deleted
+    // (r15 review). The throw also reaches Reporter.failed via RfbMain.
+    val (src, work, out) = freshDirs()
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq.empty).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val ex = intercept[IllegalStateException](pipe.run("file://rfb/"))
+    assert(ex.getMessage.contains("no .zip anchors"))
+    assert(!Manifest.exists(pipe.manifestPath), "nothing may be persisted")
+    // the listing comes back; the next run plans and loads normally
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Paises.zip")).getBytes(StandardCharsets.UTF_8))
+    val r = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L).run("file://rfb/")
+    assert(r.head.statusCarga == Status.Sucesso)
+  }
+
+  test("a VANISHED zip self-heals like a corrupt one: re-download, not terminal falhou") {
+    // statusDownload=sucesso but the file is gone (workspace cleanup, disk
+    // eviction): the r10 IOException→Falhou hardening accidentally made
+    // this terminal, though re-downloading is exactly what fixes it
+    // (r15 review)
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Paises.zip")).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    // manifest claims a completed download whose file does not exist
+    Manifest.save(pipe.manifestPath, Seq(ManifestEntry(
+      arquivo = "Paises.zip", url = "file://rfb/Paises.zip",
+      caminhoZip = work.resolve("downloads").resolve("Paises.zip").toString,
+      statusDownload = Status.Sucesso)))
+    val r1 = pipe.run("file://rfb/")
+    assert(r1.head.statusDownload == Status.Pendente, "reset for re-download")
+    assert(r1.head.statusExtracao == Status.Pendente)
+    val r2 = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L).run("file://rfb/")
+    assert(r2.head.statusCarga == Status.Sucesso)
+    assert(spark.read.parquet(s"$out/rfb_paises").count() == 1)
+  }
+
+  test("fix mirror cannot collide: archive named like another's duplicate subdir") {
+    // X.zip's duplicate members extract to X/X_m<idx>/; an archive
+    // literally named X_m1.zip used to land in the SAME fixed/X_m1 mirror
+    // dir under the one-level scheme — concurrent transcodes then clobber
+    // each other (r15 review). The relative-path mirror keeps X/X_m1 and
+    // X_m1 apart; all three rows must load.
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Mix.zip", Seq(
+      "a/K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8),
+      "b/K1.D509.PAIS" -> "106;Argentina\n".getBytes(StandardCharsets.UTF_8)))
+    mkZip(src, "Mix_m1.zip", Seq(
+      "K1.D509.PAIS" -> "107;Chile\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Mix.zip", "Mix_m1.zip"))
+        .getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val done = pipe.run("file://rfb/")
+    assert(done.forall(_.statusCarga == Status.Sucesso))
+    val rows = spark.read.parquet(s"$out/rfb_paises")
+      .collect().map(_.getString(0)).toSet
+    assert(rows === Set("105", "106", "107"))
+  }
+
+  test("a load that THROWS records the root cause, not just a bare falhou") {
+    val (src, work, out) = freshDirs()
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    Files.write(src.resolve("listing.html"),
+      listingHtml(Seq("Paises.zip")).getBytes(StandardCharsets.UTF_8))
+    val pipe = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r1 = pipe.run("file://rfb/")
+    assert(r1.head.statusCarga == Status.Sucesso)
+    // force a rebuild whose corrected file is gone: the CSV read throws
+    // and the exception text must survive into lastLoadErrors (r15
+    // review: the catch used to discard it entirely)
+    Files.delete(java.nio.file.Paths.get(r1.head.arquivosCorrigidos.head))
+    Manifest.save(pipe.manifestPath,
+      r1.map(_.copy(statusCarga = Status.Pendente)))
+    val pipe2 = new RfbPipeline(spark, work, out.toString, "202601",
+      new LocalFetcher(src), backoffMs = 0L)
+    val r2 = pipe2.run("file://rfb/")
+    assert(r2.head.statusCarga == Status.Falhou)
+    assert(pipe2.lastLoadErrors.contains("rfb_paises"),
+      s"root cause missing: ${pipe2.lastLoadErrors}")
+  }
+
   test("manifest from an older build loads with defaults; corrupt lines re-plan") {
     // r11 review: .as[ManifestEntry] threw 'Null value appeared in
     // non-nullable field' on any manifest line missing a primitive field
@@ -383,6 +480,14 @@ class PipelineSpec extends AnyFunSuite {
     Manifest.save(p.toString, entries)
     val loaded = Manifest.load(spark, p.toString)
     assert(loaded.toSet == entries.toSet)
+    // non-ASCII workDir (the lake's own folder names are pt-BR, "Março"):
+    // the load's file: qualification must not percent-encode the path —
+    // Hadoop Path never decodes %XX, so toUri's encoded form read a
+    // nonexistent literal %-named file (r15 review)
+    val p2 = Files.createTempDirectory("mani-Março")
+      .resolve("manifesto.json")
+    Manifest.save(p2.toString, entries)
+    assert(Manifest.load(spark, p2.toString).toSet == entries.toSet)
   }
 
   test("listing parser keeps only .zip anchors (main.py:61-64)") {

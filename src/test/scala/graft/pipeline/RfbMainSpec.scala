@@ -176,6 +176,16 @@ class RfbMainSpec extends AnyFunSuite {
     assert(second.sucesso === 1)
     val dest = RfbMain.destDir(root, 2026, 8)
     assert(spark.read.parquet(s"$dest/rfb_paises").count() === 1L)
+    // per-period workspace namespacing (r15 review): month 8's fresh-period
+    // wipe must only touch ITS OWN namespace — month 7's manifest and
+    // downloaded zip survive, so a crashed month stays resumable after a
+    // newer month runs (and same-named downloads never collide)
+    assert(Files.exists(work.resolve("202607")
+      .resolve("manifesto_202607.json")))
+    assert(Files.exists(work.resolve("202607").resolve("downloads")
+      .resolve("Paises.zip")))
+    assert(Files.exists(work.resolve("202608")
+      .resolve("manifesto_202608.json")))
   }
 
   test("resumable period (manifest exists) keeps partial downloads") {
