@@ -88,6 +88,60 @@ class ScaleUpSpec extends AnyFunSuite {
       assert(lev(x, y) >= 2, s"suffixed names must not be edit-1 adjacent: $x / $y")
   }
 
+  test("decorrelate mode: intra-copy cosines exact, alias copies distinct") {
+    // the sign-flip is a diagonal ±1 orthogonal transform: within a copy
+    // both vectors flip the same coordinates, so every intra-copy dot
+    // product (hence cosine) must be EXACTLY preserved — the ladder's
+    // validity rests on this. Across copies, k ≡ k' (mod dim) must no
+    // longer be identical (the rotation-alias the flag exists to break).
+    val src = Files.createTempDirectory("scaleup-src").toString
+    def save(t: String)(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$src/$t.parquet")
+    save("region")(Seq((0L, "r")).toDF("r_regionkey", "r_name"))
+    save("nation")(Seq((0L, "n")).toDF("n_nationkey", "n_name"))
+    save("customer")(Seq((1L, "c")).toDF("c_custkey", "c_name"))
+    save("supplier")(Seq((1L, "s")).toDF("s_suppkey", "s_name"))
+    save("part")(Seq((1L, "p")).toDF("p_partkey", "p_name"))
+    save("orders")(Seq((1L, 1L)).toDF("o_orderkey", "o_custkey"))
+    save("lineitem")(Seq((1L, 1L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey"))
+    save("events")(Seq((1L, 1L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts"))
+    save("documents")(Seq((1L, "alpha beta", 10L))
+      .toDF("doc_id", "text", "n_chars"))
+    // two base vectors with a known dot product, dim 4
+    save("embeddings")(Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(4f, 3f, 2f, 1f)))
+      .toDF("vec_id", "embedding"))
+    val out = Files.createTempDirectory("scaleup-out").toString
+    ScaleUp.write(spark, src, out, 6, decorrelateEmbeddings = true)
+    val em = spark.read.parquet(s"$out/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val baseDot = dot(em(1L), em(2L))
+    val stride = 1000000000L
+    for (k <- 1 until 6) {
+      val (a, b) = (em(k * stride + 1L), em(k * stride + 2L))
+      assert(dot(a, b) === baseDot,
+        s"copy $k must preserve the intra-copy dot product exactly")
+      assert(dot(a, a) === dot(em(1L), em(1L)), s"copy $k norm drifted")
+    }
+    // rotation alone made copy 4 ≡ copy 0 (mod dim 4) IDENTICAL — the
+    // sign flip must break that alias
+    assert(em(4L * stride + 1L) !== em(1L),
+      "alias copy k=dim must differ from copy 0 under decorrelate")
+    // and the default mode stays byte-identical to the old behavior
+    val out2 = Files.createTempDirectory("scaleup-out").toString
+    ScaleUp.write(spark, src, out2, 6)
+    val plain = spark.read.parquet(s"$out2/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(plain(4L * stride + 1L) === plain(1L),
+      "default mode keeps the documented rotation alias")
+  }
+
   test("events leg survives the INT64 TIMESTAMP(NANOS) vintage") {
     val src = tinySrc(4)
     // swap in the nanos-vintage fixture (Spark cannot write one itself)
