@@ -697,19 +697,19 @@ object EventsStream {
     "st08_stream_ohlc" -> LakeOps.ohlcOracleSql,
 
     // Streaming custom-state sessionization == the batch q29 sessions the
-    // STREAM has closed: a session with a SUCCESSOR session for its user
-    // is closed (and emitted) the moment the gap-splitting event arrives —
-    // flatMapGroupsWithState append emission, independent of the
-    // watermark — and only each user's FINAL session waits for the
-    // watermark to pass end + 30-min gap (the event-time timeout). The
-    // old predicate modeled every session as watermark-gated and missed
-    // successor-closed sessions ending within the last watermark+gap
-    // window (r11 review; dormant on the fixture, exhibited by
-    // SessionizeSpec's own boundary data). Open tail sessions are
-    // withheld state by design.
+    // STREAM has closed: every session is watermark-gated — emitted only
+    // once the watermark STRICTLY passes end + 30-min gap (the event-time
+    // timeout). The r11→r14 engine also emitted a session the moment a
+    // gap-splitting SUCCESSOR arrived (and this predicate then modeled
+    // that with `session_id < max_sid`), but prompt emission is unsound:
+    // a late-but-admitted event can bridge an already-emitted session to
+    // its successor, splitting what the batch sort computes as ONE
+    // session (r15 review — the engine now welds via list state and
+    // emits only on watermark closure, so the predicate returns to the
+    // pure watermark gate). Open/unclosed tail sessions are withheld
+    // state by design.
     "st07_stream_sessionize" ->
-      sessionOracleSql("MAX(ts)",
-        "(session_id < max_sid OR en + INTERVAL 30 MINUTE < w)"),
+      sessionOracleSql("MAX(ts)", "en + INTERVAL 30 MINUTE < w"),
 
     // Streaming complete-mode leaderboard == the batch top-5 by count.
     "st09_stream_topk" ->

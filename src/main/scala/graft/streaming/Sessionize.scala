@@ -9,8 +9,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Custom stateful streaming: gap-based sessionization via
   * `flatMapGroupsWithState` with an event-time timeout (SURVEY §2.2
   * streaming row — "custom state"; the batch twin is query
-  * `q29_sessionize`). A session closes when the watermark passes its last
-  * event plus the gap; the closed session is emitted exactly once.
+  * `q29_sessionize`). A session is emitted exactly once, when the
+  * watermark STRICTLY passes its last event plus the gap — the one
+  * emission rule that is sound under admissible lateness: an event the
+  * watermark still admits (ts > watermark) can never extend or bridge a
+  * session whose end + gap < watermark. The pre-r15 design also closed a
+  * session the moment a gap-splitting SUCCESSOR event arrived
+  * (watermark-independent prompt emission); that is provably unsound —
+  * with watermark delay (10 min) < gap (30 min), a successor landing
+  * 30–40 min after the predecessor's end leaves a window where a
+  * late-but-admitted event bridges the two, and the stream had already
+  * emitted the predecessor: two sessions where the batch sort computes
+  * one (r15 review). State is therefore a small LIST of open sessions
+  * per user; an admitted event merges into every session within the gap
+  * of its span (possibly welding two open sessions), exactly the batch
+  * transitive rule.
   *
   * Event times are SECOND-truncated on entry (and null event times
   * dropped), because that is the batch twin's arithmetic: q29 and the
@@ -32,6 +45,13 @@ object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sumCents: Long)
+
+  /** Per-user state: every session the watermark has not yet closed.
+    * Bounded small: a session leaves the list as soon as the watermark
+    * passes end + gap, and with watermark delay < gap at most a couple of
+    * sessions per user are ever simultaneously open-or-unclosed.
+    */
+  case class SessionsState(sessions: Seq[SessionState])
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, session_value: Double)
 
@@ -50,9 +70,24 @@ object Sessionize {
     Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n,
       s.sumCents / 100.0)
 
+  /** Merge one admitted event into the open-session list: every session
+    * within the gap of the event (on either side) welds with it — and
+    * with EACH OTHER, the batch sort's transitive rule — into one
+    * session; the rest pass through.
+    */
+  private def insert(list: Seq[SessionState], t: Long, c: Long)
+      : Seq[SessionState] = {
+    val (near, far) = list.partition(s =>
+      t >= s.start - GapMs && t <= s.end + GapMs)
+    val welded = near.foldLeft(SessionState(t, t, 1, c))((a, s) =>
+      SessionState(math.min(a.start, s.start), math.max(a.end, s.end),
+        a.n + s.n, a.sumCents + s.sumCents))
+    far :+ welded
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     implicit val sessEnc = Encoders.product[Session]
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[SessionsState]
     implicit val longEnc = Encoders.scalaLong
     events.toDF()
       // the q29/ts03/ts04 convention — and a null user has no session at
@@ -72,51 +107,33 @@ object Sessionize {
       .as(Encoders.product[Event])
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end+gap: close and emit the session
-            val s = state.get
-            state.remove()
-            Iterator.single(emit(userId, s))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              val c = cents(e.value)
-              cur match {
-                case Some(s) if t > s.end + GapMs =>
-                  closed ::= emit(userId, s)
-                  cur = Some(SessionState(t, t, 1, c))
-                case Some(s) if t < s.start - GapMs =>
-                  // a late event more than the gap BEFORE the session: in
-                  // the batch sort it is its own earlier, already-ended
-                  // session — emit it closed, leave the live session
-                  // alone. (Unreachable while watermark delay < gap: an
-                  // admitted event is at most 10 min behind this user's
-                  // end; kept as the defined fallback rather than the old
-                  // behavior of absorbing it into a session it predates.)
-                  closed ::= Session(userId, e.ts, e.ts, 1, c / 100.0)
-                case Some(s) =>
-                  // within the gap of the session's span on either side:
-                  // a late-but-admitted event may EXTEND the start
-                  // backward, exactly as the batch sort would have
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1,
-                    sumCents = s.sumCents + c))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, c))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + GapMs)
-            }
-            closed.reverseIterator
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[SessionsState]) =>
+          // ONE body for data batches and timeout firings (rows is empty
+          // on timeout): fold admitted events into the open-session list,
+          // then sweep — emit every session the watermark has strictly
+          // closed, keep the rest with the earliest remaining close as
+          // the next timeout. Emission is ONLY here, never on successor
+          // arrival (see the object scaladoc: prompt emission splits
+          // sessions a late-but-admitted bridge event would weld).
+          val open0 = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val open = rows.toSeq.sortBy(_.ts.getTime).foldLeft(open0) {
+            (list, e) => insert(list, e.ts.getTime, cents(e.value))
           }
+          val wm = state.getCurrentWatermarkMs()
+          // strict closure (end + gap < watermark) — the boundary-equal
+          // session stays open, matching the oracle's close predicate and
+          // the event-time-timeout spec's pinned semantics
+          val (closed, stillOpen) = open.partition(_.end + GapMs < wm)
+          if (stillOpen.nonEmpty) {
+            state.update(SessionsState(stillOpen))
+            // a timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(stillOpen.map(_.end + GapMs).min, wm + 1))
+          } else state.remove()
+          closed.sortBy(_.start).iterator.map(emit(userId, _))
       }
   }
 }

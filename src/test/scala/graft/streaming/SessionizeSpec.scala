@@ -28,12 +28,15 @@ class SessionizeSpec extends AnyFunSuite {
         Event(1L, t("2024-01-01 10:50:00"), 4.0),
         Event(2L, t("2024-01-01 10:05:00"), 8.0))
       q.processAllAvailable()
-      // user 1's first session closed by the in-batch gap split; user 2's
-      // session (end 10:05, timeout 10:35) closed by the watermark, which
-      // advanced to 10:40 (= max event 10:50 − 10 min delay)
+      // ONLY user 2's session (end 10:05, close 10:35) is strictly past
+      // the watermark (10:40 = max event 10:50 − 10 min). User 1's first
+      // session is gap-SPLIT in state but NOT emitted: its close (10:10 +
+      // 30 min = 10:40) equals the watermark, and emission is strictly
+      // watermark-gated — never successor-prompt (r15: prompt emission
+      // splits sessions a late-but-admitted bridge event would weld)
       val afterBatch1 = spark.table("sess_test").as[Sessionize.Session]
         .collect().map(s => (s.user_id, s.n_events, s.session_value)).toSet
-      assert(afterBatch1 == Set((1L, 2L, 3.0), (2L, 1L, 8.0)))
+      assert(afterBatch1 == Set((2L, 1L, 8.0)))
 
       // advance watermark far past every open session's end+gap
       ms.addData(Event(99L, t("2024-01-01 13:00:00"), 0.0))
@@ -48,6 +51,41 @@ class SessionizeSpec extends AnyFunSuite {
       val afterLate = spark.table("sess_test").as[Sessionize.Session]
         .collect().map(s => (s.user_id, s.n_events, s.session_value)).toSet
       assert(afterLate == after)
+    } finally q.stop()
+  }
+
+  test("a late bridge event WELDS an already-split pair into the batch session") {
+    // The r15 finding: a successor 31 min after the predecessor used to
+    // close-and-emit the predecessor immediately; a late-but-admitted
+    // event between them (here 11:25, watermark 11:21:01) then bridged
+    // the two in batch semantics but the stream had already emitted the
+    // first half — two sessions where q29 computes one. Emission is now
+    // watermark-gated with list state, so the bridge welds in state and
+    // exactly ONE session comes out.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Sessionize.sessionize(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_weld").start()
+    try {
+      ms.addData(Event(1L, t("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable() // watermark 10:50
+      ms.addData(Event(1L, t("2024-01-01 11:31:01"), 2.0)) // gap-splits
+      q.processAllAvailable() // watermark 11:21:01; nothing emitted yet
+      assert(spark.table("sess_weld").collect().isEmpty,
+        "premature emission: the split pair must stay in state")
+      ms.addData(Event(1L, t("2024-01-01 11:25:00"), 4.0)) // admitted bridge
+      q.processAllAvailable()
+      ms.addData(Event(99L, t("2024-01-01 15:00:00"), 0.0)) // close all
+      q.processAllAvailable()
+      val got = spark.table("sess_weld").as[Sessionize.Session]
+        .collect().filter(_.user_id == 1L)
+        .map(s => (s.session_start.toString, s.session_end.toString,
+          s.n_events, s.session_value))
+      assert(got.toSeq === Seq(
+        ("2024-01-01 11:00:00.0", "2024-01-01 11:31:01.0", 3L, 7.0)),
+        s"expected ONE welded session, got: ${got.mkString(", ")}")
     } finally q.stop()
   }
 
