@@ -68,6 +68,21 @@ object Bench {
       results.collect { case (k, _, _, b) if b > 0 => (k, b) }.toMap)
   }
 
+  /** JSON string escape (backslash, quote, ALL control chars) — the ONE
+    * escaper behind every hand-emitted JSON artifact (bench line, detail
+    * file, Verify's oracle_sql.json): an unescaped tab or CR in
+    * builder-authored SQL makes the driver's json.load fail and silently
+    * zero the round's signal, and two private copies of this table had
+    * already drifted once (r15 review).
+    */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -127,6 +142,7 @@ object Bench {
     }.toMap
     // a query that failed in EITHER pass reports as an error, never a time
     val errMap = errMap1 ++ errMap2
+    // (string escaping via the object-level [[jstr]] — shared with Verify)
     // Scratch-build attribution rides with the pass that supplied the
     // reported (min) time, so query-time − build-time is internally
     // consistent per query. Sub-5ms builds are noise, not attribution, and
@@ -138,13 +154,6 @@ object Bench {
       if (b > 0.005) Some(k -> b) else None
     }.toMap
     val okClean = ok -- errMap.keys
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     // Double.toString is locale-independent ('.' decimal point always);
     // String.format would honor the JVM default locale and could emit ','.
     def num(v: Double): String = (math.round(v * 100) / 100.0).toString

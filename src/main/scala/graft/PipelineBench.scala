@@ -139,7 +139,12 @@ object PipelineBench {
       s"pipeline bench: ${rep.sucesso}/$nZips archives loaded — " +
         rep.failed.map(_.arquivo).mkString(","))
     require(loaded == nRows, s"pipeline bench: $loaded of $nRows rows loaded")
-    def s(v: Double): String = f"$v%.3f"
+    // locale-INDEPENDENT millisecond rounding: f"%.3f" honors the JVM
+    // default locale and emits "0,123" on comma-decimal hosts — invalid
+    // JSON that Bench's parse-validated embed silently drops and the
+    // driver's json.load rejects (r15 review; the same trap Bench.num
+    // documents). Double.toString always uses '.'.
+    def s(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     def rate(t: Double): Long = if (t > 0) (nRows / t).toLong else 0L
     s"""{"zips":$nZips,"rows":$nRows,"plan_s":${s(tPlan)},""" +
       s""""download_s":${s(tDl)},"extract_s":${s(tEx)},""" +

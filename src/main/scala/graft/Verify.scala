@@ -38,22 +38,23 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a query that fails BEFORE the overwrite deletes anything leaves
+        // the PREVIOUS run's dump in a reused outDir — the compare would
+        // then verify stale rows as current and report a vacuously clean
+        // round for a query that no longer runs (r15 review; the same
+        // failure class as the typo'd-name guard above). Delete the dump
+        // so a failed query is always a LOUD missing-output compare.
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(s"$outDir/$name"))
+        catch { case _: Exception => () }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escaping shared with the bench emitters ([[Bench.jstr]]
+    // — this file used to carry its own copy of the escape table, the
+    // drift hazard the r15 review flagged)
     val json = selected(SparkEntry.oracleSql)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${Bench.jstr(k)}: ${Bench.jstr(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     operators.MinHashDedup.clearScratch() // all consuming actions are done
     spark.stop()
