@@ -328,11 +328,19 @@ object MinHashDedup {
       // digit-less source = loud error, matching the oracle's failure
       // mode: DuckDB's CAST('' AS INT) aborts, while a bare Spark cast
       // yields null and the g1 =!= g2 filter would SILENTLY drop every
-      // pair involving that doc — a divergent result set, not a crash
+      // pair involving that doc — a divergent result set, not a crash.
+      // A NULL source is the one shape BOTH engines agree to drop
+      // (DuckDB's CAST(NULL AS INT) is NULL, no abort): an unclassifiable
+      // doc belongs to neither corpus, so its pairs leave the result —
+      // the ev03/tx09 null-key family contract, now EXPLICIT rather than
+      // an accident of null-propagation through the === guard (r15
+      // review: `when(srcNum === "")` null-skips the raise branch, which
+      // read as a guard hole rather than a decision)
       val srcNum = regexp_extract(col("source"), "\\d+", 0)
       val grp = Tables(s, dir, "documents").select(col("doc_id"),
-        (when(srcNum === "", raise_error(concat(
-          lit("dd11: source without digits: "), col("source"))))
+        (when(col("source").isNull, lit(null).cast("string"))
+          .when(srcNum === "", raise_error(concat(
+            lit("dd11: source without digits: "), col("source"))))
           .otherwise(srcNum).cast("int") < 10)
           .as("curated"))
       lshPairs(s, dir)

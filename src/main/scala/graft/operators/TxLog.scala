@@ -90,6 +90,41 @@ object TxLog {
 
   private val mapper = new ObjectMapper
 
+  /** Reject scheme-prefixed roots AT THE LAYER THAT OWNS THE INVARIANT:
+    * this log is java.nio (hard links), so a "file:/mnt/lake/t" root
+    * resolves as a CWD-relative LITERAL directory here while Spark's
+    * Hadoop side writes the data under /mnt/lake/t — a split-brain table
+    * whose vacuum, run from another CWD, sees zero commits and reclaims
+    * every live data dir. TableSink.overwrite carries the same guard with
+    * a friendlier deployment message, but TxLog is a public object with
+    * direct callers, and the guard only protected that one entry (r15
+    * review; the r13 split-brain scenario). Applied on every mutating
+    * entry (commit, vacuum, cleanupBefore — write reaches commit).
+    */
+  private def requirePosixRoot(table: String): Unit =
+    require(!table.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*"),
+      s"TxLog needs a plain POSIX path (no URI scheme), got $table — " +
+        "a scheme-prefixed root split-brains the java.nio log from the " +
+        "Hadoop-side data (see the class doc's object-store note)")
+
+  /** Write bytes with StandardOpenOption.SYNC: the data (and file
+    * metadata) reach the device BEFORE the caller publishes the name via
+    * createLink/ATOMIC_MOVE. Without it, Files.write buffers and the
+    * publish is pure metadata — on a delayed-allocation journaled FS a
+    * power loss can surface a PUBLISHED <version>.json with zero/torn
+    * bytes, which latestVersion counts as the head and commitRecord then
+    * rejects on every read, wedging vacuum and time travel permanently —
+    * the r14 atomic-checkpoint fix closed that for process crashes, this
+    * closes it for machine crashes (r15 review). Residual caveat, out of
+    * java.nio's portable reach: full durability of the published NAME
+    * also needs a directory fsync; the failure mode there is a cleanly
+    * MISSING head (the previous version serves), never a torn one.
+    */
+  private def writeDurable(p: Path, bytes: Array[Byte]): Unit =
+    Files.write(p, bytes, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.SYNC)
+
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
 
   private def commitFile(table: String, version: Long): Path =
@@ -201,6 +236,7 @@ object TxLog {
     */
   def commit(table: String, expected: Long, dataDir: String,
       action: String = "write"): Long = {
+    requirePosixRoot(table)
     val version = expected + 1
     val cur = latestVersion(table).getOrElse(0L)
     if (cur != expected) throw CommitConflict(table, cur)
@@ -232,7 +268,7 @@ object TxLog {
     // .tmp-* orphans, so a retry loop accumulated one per attempt (r14
     // review; matches movePointerForward's discipline)
     try {
-      Files.write(tmp, bytes)
+      writeDurable(tmp, bytes) // synced BEFORE the link publishes the name
       Files.createLink(commitFile(table, version), tmp)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -251,7 +287,7 @@ object TxLog {
         val ctmp = Files.createTempFile(
           logDir(table), s".ckpt-$version-", ".json")
         try {
-          Files.write(ctmp, bytes)
+          writeDurable(ctmp, bytes)
           Files.move(ctmp, checkpointFile(table, version),
             StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)
@@ -295,7 +331,7 @@ object TxLog {
         if (checkpointHint(table).exists(_ >= version)) return
         val ptmp = Files.createTempFile(logDir(table), ".tmp-ptr-", ".json")
         try {
-          Files.write(ptmp, s"""{"version":$version}""".getBytes(
+          writeDurable(ptmp, s"""{"version":$version}""".getBytes(
             StandardCharsets.UTF_8))
           Files.move(ptmp, pointerFile(table),
             StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -354,6 +390,7 @@ object TxLog {
     */
   def vacuum(table: String,
       retainMs: Long = defaultVacuumRetainMs): Seq[String] = {
+    requirePosixRoot(table)
     // A version listed a moment ago can lose its record to a CONCURRENT
     // cleanupBefore. If both its files are verifiably gone now, that is
     // cleanup's documented outcome — the data dir becomes an intentional
@@ -412,6 +449,7 @@ object TxLog {
   }
 
   def cleanupBefore(table: String, horizon: Long): Seq[String] = {
+    requirePosixRoot(table)
     val ckpts = checkpointVersions(table)
     require(ckpts.exists(_ >= horizon),
       s"cleanup horizon $horizon has no checkpoint at or above it — " +

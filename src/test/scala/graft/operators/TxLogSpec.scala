@@ -223,4 +223,22 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).as[(Int, String)].collect().toSet ==
       Set((3, "v3")))
   }
+
+  test("scheme-prefixed roots are rejected by TxLog itself, not just the sink") {
+    // a "file:/..." root split-brains the java.nio log (CWD-relative
+    // literal dir) from the Hadoop-side data; the guard used to live only
+    // in TableSink.overwrite while TxLog's own public mutating entries
+    // accepted the path (r15 review)
+    for (bad <- Seq("file:/mnt/lake/t", "hdfs://nn/lake/t", "s3a://b/t")) {
+      val e1 = intercept[IllegalArgumentException](TxLog.commit(bad, 0L, "d"))
+      assert(e1.getMessage.contains("no URI scheme"))
+      assert(intercept[IllegalArgumentException](TxLog.vacuum(bad, 0L))
+        .getMessage.contains("no URI scheme"))
+      assert(intercept[IllegalArgumentException](TxLog.cleanupBefore(bad, 1L))
+        .getMessage.contains("no URI scheme"))
+    }
+    // plain absolute and relative roots still pass the guard
+    val t = freshTable()
+    assert(TxLog.commit(t, 0L, "v1-x") === 1L)
+  }
 }
