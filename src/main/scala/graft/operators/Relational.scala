@@ -36,7 +36,17 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Exact money arithmetic: see numeric-determinism policy above. */
+  /** Exact money arithmetic: see numeric-determinism policy above.
+    *
+    * DOCUMENTED LIMIT (r15 review): the double→decimal(12,2) cast itself
+    * forks across engines on values that are not exactly 2-dp
+    * representable — Spark rounds the double's SHORTEST DECIMAL STRING
+    * (8.845 → "8.845" → HALF_UP → 8.85) while DuckDB rounds the BINARY
+    * value (8.84499999999999886… → 8.84). Every money/value column in the
+    * fixtures is generated as exact cents, so the fork is unreachable
+    * here; a corpus with free doubles would need one engine's rounding
+    * spelled explicitly on both sides before this cast.
+    */
   // private[operators]: the decimal widths are a cross-engine exactness
   // contract shared with Relational4 (q43/q46) — hand-replicated copies
   // would silently miss a policy change (r10 review)

@@ -19,14 +19,20 @@ object Relational2 {
   val queries: Map[String, Q] = ListMap(
     // SQL API entry point: same engine, text-SQL front door.
     "q24_sql_entrypoint" -> ((s, dir) => {
-      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
-      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql(
-        """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_early
-          |FROM customer_v c JOIN orders_v o ON o.o_custkey = c.c_custkey
-          |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
-          | AND datediff(o.o_orderdate, DATE '1995-01-01') <= 60
-          |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin)
+      // invocation-unique, dropped-after-analysis views via the shared
+      // withViews bracket: the old fixed customer_v/orders_v names raced
+      // concurrent invocations on one session (the second
+      // createOrReplaceTempView silently retargets the first query's
+      // data) and leaked into the catalog — the r10 bug class withViews
+      // closed for q37/q44/q48, left open here (r15 review)
+      Relational4.withViews(s, dir, "q24") { (cv, ov) =>
+        s.sql(
+          s"""SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_early
+             |FROM $cv c JOIN $ov o ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+             | AND datediff(o.o_orderdate, DATE '1995-01-01') <= 60
+             |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin)
+      }
     }),
 
     // Distinct + statistical aggregates.

@@ -73,12 +73,17 @@ object Relational3 {
 
     // Correlated-free scalar subquery through the SQL front door.
     "q35_scalar_subquery" -> ((s, dir) => {
-      Tables(s, dir, "orders").createOrReplaceTempView("orders_sq")
-      s.sql(
-        """SELECT o_orderstatus, COUNT(*) AS n_above_avg
-          |FROM orders_sq
-          |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_sq)
-          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      // invocation-unique view, dropped after analysis (same r10
+      // race-and-leak class as q24 — see withViews; r15 review)
+      val view =
+        s"q35_orders_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables(s, dir, "orders").createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n_above_avg
+           |FROM $view
+           |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM $view)
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      finally s.catalog.dropTempView(view) // sql() analyzes eagerly
     }),
     // Sliding windows (1 h width, 15 min slide) — each event lands in 4
     // overlapping windows; batch twin of the streaming windowed agg.
@@ -122,7 +127,10 @@ object Relational3 {
       val combos = li
         .groupBy(cols.map { case (name, v) => v.as(name) }: _*)
         .agg(count(lit(1)).as("cnt"))
-      val aggs = sum("cnt").as("n") +: cols.flatMap { case (name, _) => Seq(
+      // coalesce: on an EMPTY table the global aggregate still emits one
+      // row with sum(cnt) = NULL where the oracle's COUNT(*) says 0 — the
+      // r11 zero-row-rehearsal divergence class (r15 review)
+      val aggs = coalesce(sum("cnt"), lit(0L)).as("n") +: cols.flatMap { case (name, _) => Seq(
         countDistinct(col(name)).as(s"nd_$name"),
         sum(when(col(name).isNull, col("cnt")).otherwise(0L)).as(s"nn_$name"),
         min(col(name)).as(s"min_$name"), max(col(name)).as(s"max_$name")) }

@@ -163,7 +163,12 @@ object Relational4 {
       // text is one".
       Tables(s, dir, "events").filter(col("event_id") < 500)
         .select(col("event_id"),
-          expr("""CASE WHEN trim(props) RLIKE '^[+-]?[0-9]+$'
+          // \\z, not $: Java regex '$' also matches BEFORE a final
+          // newline while DuckDB's RE2 '$' is end-of-text only — and
+          // trim() strips spaces, not newlines, so props = "42\n" gated
+          // true here but false in the oracle (r15 review;
+          // fixture-dormant). \\z pins end-of-input on the Java side.
+          expr("""CASE WHEN trim(props) RLIKE '^[+-]?[0-9]+\\z'
                  |  THEN try_cast(trim(props) AS INT) END""".stripMargin)
             .as("props_int"),
           expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))").as("div3"),
@@ -283,7 +288,7 @@ object Relational4 {
     * review). `sql()` analyzes eagerly, so the resolved plan survives
     * the drop.
     */
-  private def withViews(s: SparkSession, dir: String, tag: String)(
+  private[operators] def withViews(s: SparkSession, dir: String, tag: String)(
       body: (String, String) => DataFrame): DataFrame = {
     val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
     val cv = s"${tag}_customer_$sfx"
