@@ -26,7 +26,14 @@ object Relational5 {
     // work — no second shuffle, no explode-and-regroup round trip.
     // Quantities cast to BIGINT so the folds are integer-exact.
     "q52_higher_order" -> ((s, dir) => {
-      Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+      // null quantities are DROPPED on both sides by declaration (the
+      // decoded()/q64 convention): Spark's collect_list silently omits
+      // NULLs while DuckDB's list() keeps them, so without the shared
+      // filter a null-quantity row shrinks n_items here but not in the
+      // oracle, and an all-null group forks has_large/all_positive
+      // (0/1 vs NULL) — fixture-dormant, declared anyway (r15 review)
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 2000 && col("l_quantity").isNotNull)
         .groupBy("l_orderkey")
         // round-then-cast (the q57 pattern): Spark's bare cast TRUNCATES
         // toward zero while the oracle's CAST rounds — divergent on any
@@ -342,7 +349,9 @@ object Relational5 {
       """WITH g AS (SELECT l_orderkey,
         |   list(CAST(round(l_quantity) AS BIGINT)
         |        ORDER BY CAST(round(l_quantity) AS BIGINT)) AS qs
-        | FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+        | FROM lineitem
+        | WHERE l_orderkey <= 2000 AND l_quantity IS NOT NULL
+        | GROUP BY l_orderkey)
         |SELECT l_orderkey, len(qs) AS n_items,
         | CAST(COALESCE(list_sum(qs), 0) AS BIGINT) AS total_qty,
         | CAST(COALESCE(list_sum(list_filter(qs, x -> x % 2 = 0)), 0) AS BIGINT)
@@ -389,7 +398,8 @@ object Relational5 {
         |    TRY_CAST(TRUNC(TRY_CAST(json_extract(props, '$.k') AS DOUBLE))
         |      AS INT) END AS k,
         |  CASE WHEN json_valid(props) THEN
-        |    TRY_CAST(json_extract(props, '$.missing') AS INT) END AS m
+        |    TRY_CAST(TRUNC(TRY_CAST(json_extract(props, '$.missing')
+        |      AS DOUBLE)) AS INT) END AS m
         | FROM events)
         |SELECT event_type,
         | COUNT(k) AS n_k,

@@ -190,14 +190,23 @@ object Relational6 {
     val stats = o.groupBy("key")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
         sum(col("x") * col("x")).as("q"))
-    val dev = col("n") * col("x") - col("s")
-    val varN = col("n") * col("q") - col("s") * col("s")
+    // ONE spelling of the deviation/variance algebra, shared by the
+    // zero-variance guard, the integer-div quotient and the outlier
+    // test: the old code stated it twice (Column objects for the guards,
+    // a string inside expr for the quotient), the rankBoundaries-class
+    // twin-drift hazard — an edit to one spelling silently left the
+    // other's denominator stale (r15 review). String fragments because
+    // the quotient needs SQL's integer `div` (floor-through-double would
+    // lose exactness past 2^52 — the r14 DistributedCumsum lesson).
+    val devSql = "(n * x - s)"
+    val varSql = "(n * q - s * s)"
+    val varN = expr(varSql)
     o.join(stats, "key")
       .select(col("row_id"), col("key"), col("x"), col("n"),
         when(varN === 0L, lit(0L))
-          .otherwise(expr("((n * x - s) * (n * x - s) * 1000)"
-            + " div (n * q - s * s)")).as("z2_milli"),
-        (col("n") >= 4 && dev * dev > lit(4L) * varN)
+          .otherwise(expr(s"($devSql * $devSql * 1000) div $varSql"))
+          .as("z2_milli"),
+        (col("n") >= 4 && expr(s"$devSql * $devSql") > lit(4L) * varN)
           .cast("int").as("is_outlier"))
   }
 
