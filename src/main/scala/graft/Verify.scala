@@ -46,7 +46,14 @@ object Verify {
         // so a failed query is always a LOUD missing-output compare.
         try org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(s"$outDir/$name"))
-        catch { case _: Exception => () }
+        catch { case de: Exception =>
+          // a FAILED delete (permissions, open handle) leaves that stale
+          // dump in place, and the compare would re-verify it as current —
+          // the exact vacuously-clean failure mode the delete exists to
+          // prevent. Make the survival loud instead of silent (r15 ADVICE).
+          System.err.println(s"[verify] $name: stale-dump delete FAILED " +
+            s"($de) — $outDir/$name may hold a PREVIOUS run's rows")
+        }
       }
     }
     // JSON string escaping shared with the bench emitters ([[Bench.jstr]]

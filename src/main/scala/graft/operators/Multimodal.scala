@@ -38,15 +38,20 @@ object Multimodal {
     * Frames = 100-byte windows; per-frame hash + a 4-dim "feature" vector
     * derived from byte sums. Replace with a real codec at deployment.
     * `withFeature = false` skips the feature pass for hash-only consumers
-    * (mm03/mm07) — the "decode only what the stage needs" contract a real
-    * codec call would honor; Catalyst cannot prune inside mapPartitions,
-    * so the kernel has to.
+    * (mm03/mm07), and `frameStride > 1` decodes only every stride-th frame
+    * for sampling consumers (mm03) — the "decode only what the stage
+    * needs" contract a real codec call would honor (a video decoder seeks
+    * keyframes instead of decoding all and discarding); Catalyst cannot
+    * prune inside mapPartitions, so the kernel has to. The emitted array
+    * holds frames 0, stride, 2·stride, …; `n_frames` stays the TOTAL
+    * frame count, so a consumer recovers true indices as position ×
+    * stride.
     */
   def fakeDecode(docId: Long, bytes: Array[Byte],
-      withFeature: Boolean = true): Row = {
+      withFeature: Boolean = true, frameStride: Int = 1): Row = {
     val n = bytes.length
     val nFrames = n / 100 + 1
-    val frameHashes = (0 until nFrames).map { f =>
+    val frameHashes = (0 until nFrames by frameStride).map { f =>
       val frame = bytes.slice(f * 100, math.min((f + 1) * 100, n))
       frame.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
     }.toArray
@@ -160,13 +165,20 @@ object Multimodal {
     }),
     // Frame sampling: one row per (stub-)decoded frame — the shape of a
     // video/audio frame-extraction stage (explode after a narrow decode).
+    // The every-2nd-frame sampling rides INTO the decode kernel as a
+    // stride (the r15 deferred restructure): the old shape hashed every
+    // frame and discarded half post-explode — with a real codec that is
+    // half the decode work thrown away; frame_idx is recovered as
+    // position × stride.
     "mm03_frame_sample" -> ((s, dir) => {
       decoded(s, dir, featureSchema, maxId = Some(50)) { (id, b) =>
-        Iterator.single(fakeDecode(id, b, withFeature = false))
+        Iterator.single(fakeDecode(id, b, withFeature = false,
+          frameStride = 2))
       }
         .select(col("doc_id"),
-          posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
-        .filter(col("frame_idx") % 2 === 0) // sample every 2nd frame
+          posexplode(col("frame_hashes")).as(Seq("pos", "frame_hash")))
+        .select(col("doc_id"), (col("pos") * 2).cast("int").as("frame_idx"),
+          col("frame_hash"))
         .orderBy("doc_id", "frame_idx")
     }),
 

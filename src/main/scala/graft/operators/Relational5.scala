@@ -305,13 +305,20 @@ object Relational5 {
     // to all-pairs-per-block on low-entropy prefixes. Exact Levenshtein
     // then decides on the deduplicated candidates.
     "er01_fuzzy_match" -> ((s, dir) => {
-      val c = Tables(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-        .withColumn("v", explode(expr(
-          """array_union(array(c_name),
-            | transform(sequence(1, length(c_name)),
-            |   i -> concat(substring(c_name, 1, i - 1),
-            |     substring(c_name, i + 1, length(c_name)))))""".stripMargin)))
+      // the exploded variant frame is MATERIALIZED once (the r15 deferred
+      // restructure): as lineage, the customer scan + O(len) deletion-
+      // neighborhood explode re-ran on BOTH sides of the self-join; from
+      // scratch parquet the two sides are cheap re-reads of one small
+      // (|customers| × ~name-length rows) table.
+      val c = MinHashDedup.materialized(
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+          .withColumn("v", explode(expr(
+            """array_union(array(c_name),
+              | transform(sequence(1, length(c_name)),
+              |   i -> concat(substring(c_name, 1, i - 1),
+              |     substring(c_name, i + 1, length(c_name)))))""".stripMargin))),
+        "er01_variants", dir)
       val a = c.select(col("c_custkey").as("id1"),
         col("c_nationkey").as("n1"), col("c_name").as("name1"), col("v"))
       val b = c.select(col("c_custkey").as("id2"),

@@ -45,24 +45,39 @@ object Relational6 {
     // the boundaries would come from approx_percentile under q51's
     // accuracy contract — the bucket pass is unchanged (q59's note).
     "q61_rfm_segments" -> ((s, dir) => {
-      val maxd = Tables(s, dir, "orders").agg(max(col("o_orderdate")).as("maxd"))
       // materialized once (q59's stats-build shape): left as lineage, the
-      // customer-NDV aggregate subtree — orders scan + groupBy +
-      // crossJoin — is re-evaluated by each of the three tertiles
-      // lookups AND the final select, with only exchange reuse between
-      // them (r10 review); after this, every pass reads one tiny
-      // per-customer table.
-      val rfm = MinHashDedup.materialized(
+      // customer-NDV aggregate subtree — orders scan + groupBy — is
+      // re-evaluated by each of the three tertiles lookups AND the final
+      // select, with only exchange reuse between them (r10 review); after
+      // this, every pass reads one tiny per-customer table. The fact
+      // table is scanned exactly ONCE: the global recency anchor
+      // max(o_orderdate) ≡ max over the per-customer lastd maxima, so it
+      // derives from the materialized table instead of a second orders
+      // scan (the r15 deferred restructure).
+      val perCust = MinHashDedup.materialized(
         Tables(s, dir, "orders")
           .groupBy("o_custkey")
           .agg(max(col("o_orderdate")).as("lastd"),
             count(lit(1)).as("freq"),
-            sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
-          .crossJoin(broadcast(maxd))
-          .select(col("o_custkey"),
-            datediff(col("maxd"), col("lastd")).cast("long").as("rec_days"),
-            col("freq"), col("mon_cents")),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents")),
         "q61_rfm", dir)
+      // ONE-ROW driver lookup (the recursiveWalk guard pattern), folded in
+      // as a literal: rfm stays a pure projection over the scratch
+      // parquet, so the three tertiles passes + final select never re-run
+      // an anchor aggregate or carry a per-pass broadcast join. An empty
+      // orders table gives a null anchor — rfm is empty anyway, the typed
+      // null just keeps datediff analyzable.
+      // type-agnostic extraction: o_orderdate is TIMESTAMP_NTZ in the
+      // fixture (LocalDateTime), DATE in a classic warehouse — lit()
+      // handles both; the null branch casts to the column's own type
+      val maxd = perCust.agg(max(col("lastd"))).head().get(0) match {
+        case null => lit(null).cast(perCust.schema("lastd").dataType)
+        case v => lit(v)
+      }
+      val rfm = perCust
+        .select(col("o_custkey"),
+          datediff(maxd, col("lastd")).cast("long").as("rec_days"),
+          col("freq"), col("mon_cents"))
       rfm
         .crossJoin(broadcast(tertiles(rfm, "rec_days", "r")))
         .crossJoin(broadcast(tertiles(rfm, "freq", "f")))

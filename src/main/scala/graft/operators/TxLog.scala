@@ -102,7 +102,12 @@ object TxLog {
     * entry (commit, vacuum, cleanupBefore — write reaches commit).
     */
   private def requirePosixRoot(table: String): Unit =
-    require(!table.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*"),
+    // `*` not `+` after the first letter: RFC 3986 allows SINGLE-letter
+    // schemes ("s3:" is two letters, but "x:/t" is a legal URI too), and
+    // this repo targets Linux where "x:/t" as a relative directory named
+    // "x:" is pathological — treat it as a scheme, not a carve-out for
+    // Windows drive letters (r15 ADVICE).
+    require(!table.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"),
       s"TxLog needs a plain POSIX path (no URI scheme), got $table — " +
         "a scheme-prefixed root split-brains the java.nio log from the " +
         "Hadoop-side data (see the class doc's object-store note)")

@@ -3,6 +3,8 @@ package graft.pipeline
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Runnable pipeline entry point (reference `main.py:240-282`): resolve the
@@ -42,6 +44,66 @@ object RfbMain {
         }
       true
     }
+  }
+
+  /** One-time adoption of the pre-r15 SHARED workspace layout
+    * (`workDir/{downloads,extracted,fixed}` + root-level
+    * `manifesto_<refMonth>.json`), which the per-period namespacing
+    * otherwise STRANDS: a crashed pre-upgrade run would never resume (the
+    * fresh periodWork re-downloads the whole month) and its root-level
+    * dirs would leak disk forever (r15 ADVICE).
+    *
+    * Rules, in order:
+    *  1. THIS period's manifest at the root and none in periodWork →
+    *     this period owns the shared dirs (the legacy wipe rule kept at
+    *     most one period's files in them): MOVE manifest + dirs into
+    *     periodWork, so the pre-upgrade crash resumes where it stopped.
+    *     A dir whose target already exists (a post-upgrade run raced it)
+    *     is left in place and reported — never merged blindly.
+    *  2. Legacy dirs with NO root manifest at all → orphaned
+    *     unresumable state; DELETE (the legacy layout's own
+    *     fresh-run wipe would have done the same on the next run).
+    *  3. Legacy dirs owned by a DIFFERENT period's root manifest →
+    *     untouched; that period's own next run migrates them via rule 1.
+    * Returns whether anything was moved or deleted.
+    */
+  def migrateLegacyWorkspace(
+      workDir: Path, periodWork: Path, refMonth: String): Boolean = {
+    val legacyDirs = Seq("downloads", "extracted", "fixed")
+      .map(workDir.resolve).filter(Files.exists(_))
+    val legacyManifest = workDir.resolve(s"manifesto_$refMonth.json")
+    val newManifest = periodWork.resolve(s"manifesto_$refMonth.json")
+    if (Files.exists(legacyManifest) && !Files.exists(newManifest)) {
+      Files.createDirectories(periodWork)
+      legacyDirs.foreach { d =>
+        val target = periodWork.resolve(d.getFileName.toString)
+        if (Files.exists(target)) System.err.println(
+          s"[rfb] legacy workspace dir $d NOT adopted: $target already " +
+            "exists (a namespaced run already started) — inspect and " +
+            "remove the legacy dir manually")
+        else Files.move(d, target) // same filesystem: an atomic rename
+      }
+      Files.move(legacyManifest, newManifest)
+      true
+    } else if (legacyDirs.nonEmpty) {
+      val anyRootManifest = {
+        val s = Files.list(workDir)
+        try s.iterator().asScala.exists { p =>
+          val n = p.getFileName.toString
+          n.startsWith("manifesto_") && n.endsWith(".json")
+        } finally s.close()
+      }
+      if (anyRootManifest) false // rule 3: another period still owns them
+      else {
+        legacyDirs.foreach { dir =>
+          val s = Files.walk(dir)
+          try s.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.delete(p))
+          finally s.close()
+        }
+        true
+      }
+    } else false
   }
 
   /** Destination lake root for a period — the reference's
@@ -85,6 +147,9 @@ object RfbMain {
     // A per-refMonth subdir makes both impossible by construction; the
     // wipe below now only ever touches this period's own namespace.
     val periodWork = workDir.resolve(Period.refMonth(year, month))
+    // adopt (or clean) any pre-namespacing root-level workspace BEFORE the
+    // fresh-run wipe decision reads the manifest (see the method doc)
+    migrateLegacyWorkspace(workDir, periodWork, Period.refMonth(year, month))
     Files.createDirectories(periodWork)
     val pipe = new RfbPipeline(spark, periodWork, outDir.toString,
       Period.refMonth(year, month), fetcher, backoffMs = 5000L,

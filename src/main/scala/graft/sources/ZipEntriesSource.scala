@@ -30,9 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * boundaries — but the TASK is a group: this source emits 16-byte
   * metadata rows with zero read-time I/O, so one task per member was pure
   * scheduler overhead (a 1 M-member lake scheduled 1 M single-row tasks —
-  * r14 review). A composition that hangs heavyweight per-member work
-  * (decompress, transcode) off this scan in the same stage should set
-  * `zip.membersPerPartition=1` to recover per-member task granularity.
+  * r14 review). MIGRATION NOTE — the default CHANGED in r15 from one
+  * partition per member to 1024: a composition that hangs heavyweight
+  * per-member work (decompress, transcode) off this scan in the same
+  * stage and relied on the old default now runs up to 1024 members
+  * serially per task — the skew the old default existed to avoid. Such
+  * call sites MUST set `zip.membersPerPartition=1` explicitly to recover
+  * per-member task granularity (no in-repo call site composes heavy work
+  * into the scan stage today; the pipeline extracts via its own
+  * per-archive tasks — r15 ADVICE).
   * Carrying the record instead of re-resolving the name at read time also
   * makes DUPLICATE entry names — legal in zip — come back as N distinct
   * rows with their own sizes (`ZipFile.getEntry(name)` resolves every

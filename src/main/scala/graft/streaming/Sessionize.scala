@@ -73,16 +73,21 @@ object Sessionize {
   /** Merge one admitted event into the open-session list: every session
     * within the gap of the event (on either side) welds with it — and
     * with EACH OTHER, the batch sort's transitive rule — into one
-    * session; the rest pass through.
+    * session; the rest pass through. The list is kept ASCENDING BY `end`
+    * (welding removes a contiguous-in-end run and re-inserts one merged
+    * session in order), so the close sweep below can stop at the first
+    * still-open session instead of scanning the whole list — the r15
+    * sweep-cost note.
     */
-  private def insert(list: Seq[SessionState], t: Long, c: Long)
+  private[streaming] def insert(list: Seq[SessionState], t: Long, c: Long)
       : Seq[SessionState] = {
     val (near, far) = list.partition(s =>
       t >= s.start - GapMs && t <= s.end + GapMs)
     val welded = near.foldLeft(SessionState(t, t, 1, c))((a, s) =>
       SessionState(math.min(a.start, s.start), math.max(a.end, s.end),
         a.n + s.n, a.sumCents + s.sumCents))
-    far :+ welded
+    val (before, after) = far.span(_.end < welded.end)
+    (before :+ welded) ++ after
   }
 
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
@@ -125,13 +130,17 @@ object Sessionize {
           val wm = state.getCurrentWatermarkMs()
           // strict closure (end + gap < watermark) — the boundary-equal
           // session stays open, matching the oracle's close predicate and
-          // the event-time-timeout spec's pinned semantics
-          val (closed, stillOpen) = open.partition(_.end + GapMs < wm)
+          // the event-time-timeout spec's pinned semantics. `span`, not
+          // `partition`: the list is end-ascending (insert's invariant),
+          // so closable sessions are exactly a prefix and the sweep
+          // early-exits at the first survivor.
+          val (closed, stillOpen) = open.span(_.end + GapMs < wm)
           if (stillOpen.nonEmpty) {
             state.update(SessionsState(stillOpen))
-            // a timeout must sit strictly past the current watermark
+            // a timeout must sit strictly past the current watermark;
+            // head is the min-end survivor (end-ascending invariant)
             state.setTimeoutTimestamp(
-              math.max(stillOpen.map(_.end + GapMs).min, wm + 1))
+              math.max(stillOpen.head.end + GapMs, wm + 1))
           } else state.remove()
           closed.sortBy(_.start).iterator.map(emit(userId, _))
       }

@@ -229,7 +229,11 @@ class TxLogSpec extends AnyFunSuite {
     // literal dir) from the Hadoop-side data; the guard used to live only
     // in TableSink.overwrite while TxLog's own public mutating entries
     // accepted the path (r15 review)
-    for (bad <- Seq("file:/mnt/lake/t", "hdfs://nn/lake/t", "s3a://b/t")) {
+    // incl. a SINGLE-letter scheme — legal per RFC 3986, and on Linux an
+    // "x:/t" relative dir named "x:" is pathological, so it's a scheme,
+    // not a Windows-drive carve-out (r15 ADVICE)
+    for (bad <- Seq("file:/mnt/lake/t", "hdfs://nn/lake/t", "s3a://b/t",
+        "x:/mnt/lake/t")) {
       val e1 = intercept[IllegalArgumentException](TxLog.commit(bad, 0L, "d"))
       assert(e1.getMessage.contains("no URI scheme"))
       assert(intercept[IllegalArgumentException](TxLog.vacuum(bad, 0L))

@@ -188,6 +188,50 @@ class RfbMainSpec extends AnyFunSuite {
       .resolve("manifesto_202608.json")))
   }
 
+  test("legacy root-level workspace migrates into the period namespace") {
+    // pre-r15 layout (shared workDir/{downloads,...} + root manifest):
+    // owned by THIS period → adopted wholesale, so the pre-upgrade crash
+    // resumes instead of re-downloading the month (r15 ADVICE)
+    val work = Files.createTempDirectory("rfb-legacy1")
+    val partial = work.resolve("downloads").resolve("partial.zip")
+    Files.createDirectories(partial.getParent)
+    Files.write(partial, Array[Byte](1, 2, 3))
+    Manifest.save(work.resolve("manifesto_202607.json").toString,
+      Seq(ManifestEntry(arquivo = "partial.zip", url = "http://x/partial.zip",
+        caminhoZip = partial.toString)))
+    val periodWork = work.resolve("202607")
+    assert(RfbMain.migrateLegacyWorkspace(work, periodWork, "202607"))
+    assert(Files.exists(periodWork.resolve("manifesto_202607.json")))
+    assert(Files.exists(periodWork.resolve("downloads")
+      .resolve("partial.zip")))
+    assert(!Files.exists(work.resolve("downloads")))
+    assert(!Files.exists(work.resolve("manifesto_202607.json")))
+    // second call: nothing left to migrate
+    assert(!RfbMain.migrateLegacyWorkspace(work, periodWork, "202607"))
+  }
+
+  test("orphaned legacy dirs (no root manifest) are cleaned; another period's are not") {
+    // no root manifest at all → unresumable pre-upgrade leftovers; the
+    // legacy layout's own fresh-run wipe would have deleted them, so the
+    // migration does (otherwise they leak disk forever — r15 ADVICE)
+    val work = Files.createTempDirectory("rfb-legacy2")
+    Files.createDirectories(work.resolve("extracted").resolve("sub"))
+    Files.write(work.resolve("extracted").resolve("sub").resolve("f.csv"),
+      "x".getBytes(StandardCharsets.UTF_8))
+    assert(RfbMain.migrateLegacyWorkspace(work, work.resolve("202608"),
+      "202608"))
+    assert(!Files.exists(work.resolve("extracted")))
+
+    // a DIFFERENT period's root manifest still owns the shared dirs →
+    // untouched here; that period's own next run adopts them via rule 1
+    val work2 = Files.createTempDirectory("rfb-legacy3")
+    Files.createDirectories(work2.resolve("downloads"))
+    Manifest.save(work2.resolve("manifesto_202605.json").toString, Seq.empty)
+    assert(!RfbMain.migrateLegacyWorkspace(work2, work2.resolve("202608"),
+      "202608"))
+    assert(Files.exists(work2.resolve("downloads")))
+  }
+
   test("resumable period (manifest exists) keeps partial downloads") {
     val work = Files.createTempDirectory("rfb-work")
     val partial = work.resolve("downloads").resolve("partial.zip")

@@ -166,6 +166,28 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("insert keeps the open list ascending by end — the sweep's early-exit invariant") {
+    // the close sweep is a `span` prefix take (r15 sweep-cost note): it is
+    // only correct if insert maintains end-ascending order through both
+    // plain inserts and transitive welds. Violating order would silently
+    // LEAK a closable session past the watermark (kept open forever), so
+    // the invariant gets its own pin.
+    def m(n: Int): Long = n * 60000L
+    val empty = Seq.empty[Sessionize.SessionState]
+    // three disjoint single-event sessions arriving out of end order
+    val l1 = Seq(m(150), m(0), m(100)).foldLeft(empty)((l, t) =>
+      Sessionize.insert(l, t, 1L))
+    assert(l1.map(_.end) === Seq(m(0), m(100), m(150)))
+    // an in-gap event extends the middle session; order must hold
+    val l2 = Sessionize.insert(l1, m(115), 1L)
+    assert(l2.map(_.end) === Seq(m(0), m(115), m(150)))
+    // a bridge within the gap of BOTH middle and last welds them into ONE
+    // (the transitive rule) and the merged session lands in order
+    val l3 = Sessionize.insert(l2, m(125), 1L)
+    assert(l3.map(s => (s.start, s.end, s.n)) ===
+      Seq((m(0), m(0), 1L), (m(100), m(150), 4L)))
+  }
+
   test("st07 emits exactly the batch q29 sessions the final watermark closed") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001

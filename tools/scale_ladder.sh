@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Decorrelated scale ladder — the repeatable form of the r15 §3 measurement
+# (r15 verdict #5): build DECORRELATED 10x/30x/100x blow-ups of sf0.1 and
+# bench the heavy-hitter queries on each point, so "per-edge cost falls
+# with scale" is a re-runnable check instead of a one-session worktree
+# exercise.
+#
+# Why decorrelate: a plain N-fold copy leaves every copy's vectors in the
+# SAME orientation, so LSH buckets go Nx denser and within-bucket pair
+# generation ~N^2 — a synthetic quadratic no real Nx corpus exhibits.
+# ScaleUp's `decorrelate` mode composes each copy's rotation with a
+# per-copy deterministic +-1 diagonal orthogonal transform: intra-copy
+# cosines are preserved EXACTLY (the workload scales linearly in true
+# pairs), cross-copy cosines collapse to noise. The residual super-linear
+# edge growth that survives decorrelation is the cosine>=0.4 threshold's
+# own accidental crossings (~3.2 sigma at dim 64) — fixture-owned, not an
+# engine artifact; see ROUND15.md §3 for the full decomposition and the
+# r15 reference numbers (dec 10x/30x/100x: 1.11 / 0.38 / 0.27 ms/edge).
+#
+# Usage: tools/scale_ladder.sh [factors...]   (default: 10 30 100)
+#   env: SPARK_GRAFT_LADDER_ONLY  queries to bench (default dd08)
+#        SPARK_GRAFT_CPUS         bench threads (default 32)
+# Fixtures land in /tmp/graft_scale<N>d and are LEFT for re-use (delete
+# them to rebuild). Expect ~2 GB and ~10 min at 100x.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [ $# -gt 0 ]; then FACTORS=("$@"); else FACTORS=(10 30 100); fi
+ONLY="${SPARK_GRAFT_LADDER_ONLY:-dd08_semantic_clusters}"
+
+sbt -batch compile >/tmp/scale_ladder_compile.log 2>&1 || {
+  tail -n 20 /tmp/scale_ladder_compile.log; exit 1; }
+
+for f in "${FACTORS[@]}"; do
+  out="/tmp/graft_scale${f}d"
+  if [ ! -d "$out" ]; then
+    echo "== building decorrelated ${f}x at $out =="
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $out $f decorrelate" \
+      >"/tmp/scale_ladder_build_${f}.log" 2>&1 || {
+        tail -n 20 "/tmp/scale_ladder_build_${f}.log"; exit 1; }
+  else
+    echo "== reusing $out =="
+  fi
+  echo "== bench $ONLY at ${f}x (min-of-2 passes inside one invocation) =="
+  SPARK_GRAFT_SF_DIR="$out" SPARK_GRAFT_ONLY="$ONLY" \
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -n 1
+done
+echo "ladder done — compare ms/edge against ROUND15.md §3's reference table"
