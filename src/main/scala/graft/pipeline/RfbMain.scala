@@ -57,9 +57,14 @@ object RfbMain {
     *  1. THIS period's manifest at the root and none in periodWork →
     *     this period owns the shared dirs (the legacy wipe rule kept at
     *     most one period's files in them): MOVE manifest + dirs into
-    *     periodWork, so the pre-upgrade crash resumes where it stopped.
-    *     A dir whose target already exists (a post-upgrade run raced it)
-    *     is left in place and reported — never merged blindly.
+    *     periodWork, REWRITING the manifest's recorded absolute paths
+    *     (caminhoZip / arquivosExtraidos / arquivosCorrigidos) from the
+    *     old shared root to the namespace — adopted verbatim they would
+    *     point at files this migration just moved, and "resume" would
+    *     degrade to the vanished-zip self-heal (full re-download) or
+    *     load failures. So the pre-upgrade crash resumes where it
+    *     stopped. A dir whose target already exists (a post-upgrade run
+    *     raced it) is left in place and reported — never merged blindly.
     *  2. Legacy dirs with NO root manifest at all → orphaned
     *     unresumable state; DELETE (the legacy layout's own
     *     fresh-run wipe would have done the same on the next run).
@@ -67,7 +72,7 @@ object RfbMain {
     *     untouched; that period's own next run migrates them via rule 1.
     * Returns whether anything was moved or deleted.
     */
-  def migrateLegacyWorkspace(
+  def migrateLegacyWorkspace(spark: SparkSession,
       workDir: Path, periodWork: Path, refMonth: String): Boolean = {
     val legacyDirs = Seq("downloads", "extracted", "fixed")
       .map(workDir.resolve).filter(Files.exists(_))
@@ -83,7 +88,19 @@ object RfbMain {
             "remove the legacy dir manually")
         else Files.move(d, target) // same filesystem: an atomic rename
       }
-      Files.move(legacyManifest, newManifest)
+      // path rewrite (see rule 1 in the doc): old-root-prefixed absolute
+      // paths move to the namespace; anything else passes through
+      val oldRoot = workDir.toAbsolutePath.toString
+      val newRoot = periodWork.toAbsolutePath.toString
+      def re(p: String): String =
+        if (p.startsWith(oldRoot + "/")) newRoot + p.substring(oldRoot.length)
+        else p
+      val entries = Manifest.load(spark, legacyManifest.toString).map(e =>
+        e.copy(caminhoZip = re(e.caminhoZip),
+          arquivosExtraidos = e.arquivosExtraidos.map(re),
+          arquivosCorrigidos = e.arquivosCorrigidos.map(re)))
+      Manifest.save(newManifest.toString, entries) // atomic, like save()
+      Files.delete(legacyManifest)
       true
     } else if (legacyDirs.nonEmpty) {
       val anyRootManifest = {
@@ -149,7 +166,8 @@ object RfbMain {
     val periodWork = workDir.resolve(Period.refMonth(year, month))
     // adopt (or clean) any pre-namespacing root-level workspace BEFORE the
     // fresh-run wipe decision reads the manifest (see the method doc)
-    migrateLegacyWorkspace(workDir, periodWork, Period.refMonth(year, month))
+    migrateLegacyWorkspace(spark, workDir, periodWork,
+      Period.refMonth(year, month))
     Files.createDirectories(periodWork)
     val pipe = new RfbPipeline(spark, periodWork, outDir.toString,
       Period.refMonth(year, month), fetcher, backoffMs = 5000L,

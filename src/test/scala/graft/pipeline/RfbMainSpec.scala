@@ -200,14 +200,23 @@ class RfbMainSpec extends AnyFunSuite {
       Seq(ManifestEntry(arquivo = "partial.zip", url = "http://x/partial.zip",
         caminhoZip = partial.toString)))
     val periodWork = work.resolve("202607")
-    assert(RfbMain.migrateLegacyWorkspace(work, periodWork, "202607"))
+    assert(RfbMain.migrateLegacyWorkspace(TestSpark.spark, work, periodWork,
+      "202607"))
     assert(Files.exists(periodWork.resolve("manifesto_202607.json")))
     assert(Files.exists(periodWork.resolve("downloads")
       .resolve("partial.zip")))
     assert(!Files.exists(work.resolve("downloads")))
     assert(!Files.exists(work.resolve("manifesto_202607.json")))
+    // the adopted manifest's recorded ABSOLUTE paths are rewritten to the
+    // namespace — verbatim they would point at the files just moved, and
+    // resume would re-download (vanished-zip self-heal) instead of resuming
+    val adopted = Manifest.load(TestSpark.spark,
+      periodWork.resolve("manifesto_202607.json").toString)
+    assert(adopted.map(_.caminhoZip) ===
+      Seq(periodWork.resolve("downloads").resolve("partial.zip").toString))
     // second call: nothing left to migrate
-    assert(!RfbMain.migrateLegacyWorkspace(work, periodWork, "202607"))
+    assert(!RfbMain.migrateLegacyWorkspace(TestSpark.spark, work, periodWork,
+      "202607"))
   }
 
   test("orphaned legacy dirs (no root manifest) are cleaned; another period's are not") {
@@ -218,8 +227,8 @@ class RfbMainSpec extends AnyFunSuite {
     Files.createDirectories(work.resolve("extracted").resolve("sub"))
     Files.write(work.resolve("extracted").resolve("sub").resolve("f.csv"),
       "x".getBytes(StandardCharsets.UTF_8))
-    assert(RfbMain.migrateLegacyWorkspace(work, work.resolve("202608"),
-      "202608"))
+    assert(RfbMain.migrateLegacyWorkspace(TestSpark.spark, work,
+      work.resolve("202608"), "202608"))
     assert(!Files.exists(work.resolve("extracted")))
 
     // a DIFFERENT period's root manifest still owns the shared dirs →
@@ -227,8 +236,8 @@ class RfbMainSpec extends AnyFunSuite {
     val work2 = Files.createTempDirectory("rfb-legacy3")
     Files.createDirectories(work2.resolve("downloads"))
     Manifest.save(work2.resolve("manifesto_202605.json").toString, Seq.empty)
-    assert(!RfbMain.migrateLegacyWorkspace(work2, work2.resolve("202608"),
-      "202608"))
+    assert(!RfbMain.migrateLegacyWorkspace(TestSpark.spark, work2,
+      work2.resolve("202608"), "202608"))
     assert(Files.exists(work2.resolve("downloads")))
   }
 
