@@ -47,5 +47,22 @@ object BoundedLevenshteinRule extends Rule[LogicalPlan] {
       case LessThanOrEqual(IntegerLiteral(kv), Levenshtein(a, b, None))
           if kv >= 1 =>
         LessThan(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+      // EQUALITY bands too: lev(a,b) = k ⟺ lev(a,b,k) = k (the banded
+      // kernel returns the exact distance when ≤ k and -1 ≠ k when above;
+      // null inputs give null = k ⟹ null on both forms, and for <=> both
+      // sides give false). The "exactly one edit" filter was left on the
+      // quadratic kernel for no reason (r16 review).
+      case EqualTo(Levenshtein(a, b, None), k @ IntegerLiteral(kv))
+          if kv >= 0 =>
+        EqualTo(Levenshtein(a, b, Some(k)), k)
+      case EqualTo(k @ IntegerLiteral(kv), Levenshtein(a, b, None))
+          if kv >= 0 =>
+        EqualTo(Levenshtein(a, b, Some(k)), k)
+      case EqualNullSafe(Levenshtein(a, b, None), k @ IntegerLiteral(kv))
+          if kv >= 0 =>
+        EqualNullSafe(Levenshtein(a, b, Some(k)), k)
+      case EqualNullSafe(k @ IntegerLiteral(kv), Levenshtein(a, b, None))
+          if kv >= 0 =>
+        EqualNullSafe(Levenshtein(a, b, Some(k)), k)
     }
 }

@@ -126,13 +126,14 @@ object EventsStream {
         runCompleteStream(s, dir, "st08_mem")(LakeOps.ohlcAgg))),
 
     // Custom-state sessionization (flatMapGroupsWithState, event-time
-    // timeout) driven over the real file stream. Append mode emits a
-    // session through TWO doors: a session with a successor is emitted
-    // the moment the gap-splitting event arrives (watermark-independent),
-    // and each user's final session once the watermark passes its end +
-    // the 30-min gap (event-time timeout). The oracle states exactly that
-    // pair of close conditions. The still-open tail sessions are withheld
-    // state, not missing data: honest streaming semantics.
+    // timeout) driven over the real file stream. Emission is ONE door,
+    // strictly watermark-gated: a session emits only once the watermark
+    // strictly passes its end + the 30-min gap (the r15 soundness fix —
+    // the pre-r15 second door, prompt emission on a gap-splitting
+    // successor, could split a session a late-but-admitted bridge event
+    // would weld; see Sessionize's scaladoc). The oracle states the same
+    // single close condition. The still-open/unclosed tail sessions are
+    // withheld state, not missing data: honest streaming semantics.
     "st07_stream_sessionize" -> ((s, dir) => {
       runAppendStream(s, dir, "st07_mem") { df =>
         val enc = org.apache.spark.sql.Encoders.product[Sessionize.Event]

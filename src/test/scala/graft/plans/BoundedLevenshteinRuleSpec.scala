@@ -74,6 +74,21 @@ class BoundedLevenshteinRuleSpec extends AnyFunSuite {
       === ((0, 1)))
   }
 
+  test("equality bands: lev = k becomes banded lev(k) = k, result unchanged") {
+    // lev(a,b) = k ⟺ lev(a,b,k) = k: exact distance when ≤ k, -1 ≠ k above
+    for ((q, expected) <- Seq(
+        (df.filter(levenshtein($"a", $"b") === 2), Set("flaw")),
+        (df.filter(lit(2) === levenshtein($"a", $"b")), Set("flaw")),
+        (df.filter(levenshtein($"a", $"b") <=> 0), Set("abc")))) {
+      val rewritten = BoundedLevenshteinRule(q.queryExecution.analyzed)
+      assert(thresholds(rewritten) === ((1, 0)), q.queryExecution.analyzed)
+      assert(q.collect().map(_.getString(0)).toSet === expected)
+    }
+    // the banded twin computes the same rows
+    assert(df.filter(levenshtein($"a", $"b", 2) === 2)
+      .collect().map(_.getString(0)).toSet === Set("flaw"))
+  }
+
   test("idempotent: a second application is a no-op") {
     val q = df.filter(levenshtein($"a", $"b") <= 2)
     val once = BoundedLevenshteinRule(q.queryExecution.analyzed)
