@@ -42,7 +42,10 @@ for f in "${FACTORS[@]}"; do
     echo "== reusing $out =="
   fi
   echo "== bench $ONLY at ${f}x (min-of-2 passes inside one invocation) =="
+  # grep the JSON line, not tail: sbt prints its [success] trailer AFTER
+  # the program's stdout, so tail -1 returned the trailer and swallowed
+  # the measurement (caught validating this script end-to-end in r16)
   SPARK_GRAFT_SF_DIR="$out" SPARK_GRAFT_ONLY="$ONLY" \
-    sbt -batch "runMain graft.Bench" 2>&1 | tail -n 1
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '^{'
 done
 echo "ladder done — compare ms/edge against ROUND15.md §3's reference table"
