@@ -49,17 +49,28 @@ object SimilarityOps {
     * the query's wall time). Invalidation rides the same file-metadata
     * fingerprint as the scratch cache (one listStatus, no job): a
     * rewritten table recounts, an unchanged one answers from the map.
+    * Bounded: an access-ordered LRU capped at [[EmbCountCacheMax]] entries
+    * (a long-lived session scanning thousands of distinct dirs would
+    * otherwise grow the map without limit — r15 note); eviction only costs
+    * the evicted dir a recount on revisit.
     */
-  private val embCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private[operators] val EmbCountCacheMax = 64
+  private[operators] val embCountCache =
+    new java.util.LinkedHashMap[String, (String, Long)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Long)]): Boolean =
+        size() > EmbCountCacheMax
+    }
+  private[operators] def embCountCacheSize: Int =
+    embCountCache.synchronized(embCountCache.size())
   private[operators] def embCount(s: SparkSession, dir: String): Long = {
     val df = Tables(s, dir, "embeddings")
     val fp = MinHashDedup.inputFingerprint(df)
-    val hit = embCountCache.get(dir)
+    val hit = embCountCache.synchronized(embCountCache.get(dir))
     if (hit != null && hit._1 == fp) hit._2
     else {
       val n = df.count()
-      embCountCache.put(dir, (fp, n))
+      embCountCache.synchronized(embCountCache.put(dir, (fp, n)))
       n
     }
   }

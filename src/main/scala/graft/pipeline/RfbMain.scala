@@ -64,12 +64,25 @@ object RfbMain {
     *     degrade to the vanished-zip self-heal (full re-download) or
     *     load failures. So the pre-upgrade crash resumes where it
     *     stopped. A dir whose target already exists (a post-upgrade run
-    *     raced it) is left in place and reported — never merged blindly.
+    *     raced it) is left in place and reported — never merged blindly —
+    *     and its entries' paths are NOT rewritten (only dirs actually
+    *     moved are): this run still resumes from the legacy files in
+    *     place, and the report states the consequence honestly — a
+    *     FUTURE run deletes the now-ownerless dir via rule 2 and those
+    *     entries re-download via the vanished-zip self-heal (r16 ADVICE:
+    *     the old blanket rewrite silently degraded resume to re-download
+    *     while the warning implied the dir was still protected).
     *  2. Legacy dirs with NO root manifest at all → orphaned
     *     unresumable state; DELETE (the legacy layout's own
     *     fresh-run wipe would have done the same on the next run).
     *  3. Legacy dirs owned by a DIFFERENT period's root manifest →
     *     untouched; that period's own next run migrates them via rule 1.
+    * Before rules 2/3, root manifests whose period ALREADY has a
+    * namespaced manifest are deleted as migration leftovers: a crash
+    * between `Manifest.save(newManifest)` and the root-manifest delete in
+    * rule 1 would otherwise leave a stale root copy that counts as
+    * "ownership" forever, permanently locking rule 2 out of cleaning
+    * genuinely orphaned dirs (r16 ADVICE).
     * Returns whether anything was moved or deleted.
     */
   def migrateLegacyWorkspace(spark: SparkSession,
@@ -80,20 +93,33 @@ object RfbMain {
     val newManifest = periodWork.resolve(s"manifesto_$refMonth.json")
     if (Files.exists(legacyManifest) && !Files.exists(newManifest)) {
       Files.createDirectories(periodWork)
-      legacyDirs.foreach { d =>
-        val target = periodWork.resolve(d.getFileName.toString)
-        if (Files.exists(target)) System.err.println(
-          s"[rfb] legacy workspace dir $d NOT adopted: $target already " +
-            "exists (a namespaced run already started) — inspect and " +
-            "remove the legacy dir manually")
-        else Files.move(d, target) // same filesystem: an atomic rename
-      }
-      // path rewrite (see rule 1 in the doc): old-root-prefixed absolute
-      // paths move to the namespace; anything else passes through
+      val movedNames = legacyDirs.flatMap { d =>
+        val name = d.getFileName.toString
+        val target = periodWork.resolve(name)
+        if (Files.exists(target)) {
+          System.err.println(
+            s"[rfb] legacy workspace dir $d NOT adopted: $target already " +
+              "exists (a namespaced run already started). Its entries keep " +
+              "their legacy paths and resume in place THIS run, but once " +
+              "this manifest is adopted no root manifest owns the dir — a " +
+              "future run will delete it as orphaned and affected entries " +
+              "will re-download via the vanished-zip self-heal")
+          None
+        } else {
+          Files.move(d, target) // same filesystem: an atomic rename
+          Some(name)
+        }
+      }.toSet
+      // path rewrite (see rule 1 in the doc): only paths inside dirs this
+      // migration ACTUALLY moved follow them to the namespace; entries in
+      // an un-adopted (collided) dir keep their legacy paths, which still
+      // resolve this run — rewriting them would point at files that were
+      // never moved and silently turn resume into re-download (r16 ADVICE)
       val oldRoot = workDir.toAbsolutePath.toString
       val newRoot = periodWork.toAbsolutePath.toString
       def re(p: String): String =
-        if (p.startsWith(oldRoot + "/")) newRoot + p.substring(oldRoot.length)
+        if (movedNames.exists(n => p.startsWith(s"$oldRoot/$n/")))
+          newRoot + p.substring(oldRoot.length)
         else p
       val entries = Manifest.load(spark, legacyManifest.toString).map(e =>
         e.copy(caminhoZip = re(e.caminhoZip),
@@ -102,25 +128,51 @@ object RfbMain {
       Manifest.save(newManifest.toString, entries) // atomic, like save()
       Files.delete(legacyManifest)
       true
-    } else if (legacyDirs.nonEmpty) {
-      val anyRootManifest = {
+    } else {
+      // migration-leftover sweep (doc above): a root manifest whose period
+      // already has a namespaced manifest is a stale copy from a crash
+      // between save and delete — never live ownership. Deleted here so it
+      // can't lock rule 2 out (and can't linger forever when no legacy
+      // dirs remain at all).
+      val staleDeleted = {
         val s = Files.list(workDir)
-        try s.iterator().asScala.exists { p =>
-          val n = p.getFileName.toString
-          n.startsWith("manifesto_") && n.endsWith(".json")
-        } finally s.close()
-      }
-      if (anyRootManifest) false // rule 3: another period still owns them
-      else {
-        legacyDirs.foreach { dir =>
-          val s = Files.walk(dir)
-          try s.sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.delete(p))
-          finally s.close()
+        val stale =
+          try s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("manifesto_") && n.endsWith(".json") && {
+              val period = n.stripPrefix("manifesto_").stripSuffix(".json")
+              Files.exists(workDir.resolve(period).resolve(n))
+            }
+          }.toList finally s.close()
+        stale.foreach { p =>
+          System.err.println(s"[rfb] deleting stale root manifest $p: its " +
+            "period already has a namespaced manifest (crash between " +
+            "migration save and root delete)")
+          Files.delete(p)
         }
-        true
+        stale.nonEmpty
       }
-    } else false
+      if (legacyDirs.isEmpty) staleDeleted
+      else {
+        val anyRootManifest = {
+          val s = Files.list(workDir)
+          try s.iterator().asScala.exists { p =>
+            val n = p.getFileName.toString
+            n.startsWith("manifesto_") && n.endsWith(".json")
+          } finally s.close()
+        }
+        if (anyRootManifest) staleDeleted // rule 3: another period owns them
+        else {
+          legacyDirs.foreach { dir =>
+            val s = Files.walk(dir)
+            try s.sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.delete(p))
+            finally s.close()
+          }
+          true
+        }
+      }
+    }
   }
 
   /** Destination lake root for a period — the reference's

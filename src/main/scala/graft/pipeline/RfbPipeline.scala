@@ -196,16 +196,30 @@ class RfbPipeline(
     * and backoff semantics per file are unchanged).
     */
   def download(entries0: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    // A pending (re-)download always lands in THIS pipeline's own
+    // downloads dir, whatever path the entry recorded: an adopted entry
+    // can carry a path inside an un-adopted legacy dir (the rule-1
+    // collision in RfbMain.migrateLegacyWorkspace), and re-fetching there
+    // would resurrect a dir that rule 2 deletes on every later run — a
+    // permanent delete/re-download cycle (r17, found spec-pinning the
+    // collision leg). Completed entries keep their recorded path: the
+    // file is wherever the manifest says it is.
+    val entries = entries0.map { e =>
+      if (e.statusDownload == Status.Pendente)
+        e.copy(caminhoZip = downloadDir.resolve(e.arquivo).toString)
+      else e
+    }
     // the PHASE owns its directory, like extract() owns extractDir: the
     // Fetcher trait never promised to mkdir the destination's parent, and
     // a fetcher written to the trait doc alone burned every retry on
     // NoSuchFileException (both bundled fetchers happened to mkdirs,
-    // masking the gap — r11 review)
-    entries0.flatMap(e => Option(Paths.get(e.caminhoZip).getParent))
-      .distinct.foreach(Files.createDirectories(_))
-    val pending = entries0.zipWithIndex
+    // masking the gap — r11 review). Pending entries only: re-creating a
+    // COMPLETED entry's parent would resurrect deleted legacy dirs.
+    val pending = entries.zipWithIndex
       .filter(_._1.statusDownload == Status.Pendente).map(_._2)
-    perFileParallel(entries0, pending) { e =>
+    pending.map(entries(_)).flatMap(e => Option(Paths.get(e.caminhoZip).getParent))
+      .distinct.foreach(Files.createDirectories(_))
+    perFileParallel(entries, pending) { e =>
       var ok = false
       var attempt = 0
       while (!ok && attempt < maxRetries) {

@@ -604,13 +604,11 @@ object EventsStream {
        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DOUBLE)
        |    AS session_value
        | FROM sid GROUP BY user_id, session_id),
-       |mx AS (SELECT user_id AS mu, MAX(session_id) AS max_sid
-       | FROM sess GROUP BY user_id),
        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
        | n_events, session_value
-       |FROM sess JOIN mx ON mx.mu = sess.user_id, wm WHERE $closePred
+       |FROM sess, wm WHERE $closePred
        |ORDER BY user_id, session_start""".stripMargin
 
   val oracle: Map[String, String] = ListMap(

@@ -87,4 +87,25 @@ class SimilarityScaleSpec extends AnyFunSuite {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("embCount cache evicts least-recently-used past the cap") {
+    SimilarityOps.embCountCache.synchronized {
+      SimilarityOps.embCountCache.clear()
+      for (i <- 0 until SimilarityOps.EmbCountCacheMax + 10)
+        SimilarityOps.embCountCache.put(s"/dir$i", ("fp", i.toLong))
+      assert(SimilarityOps.embCountCache.size() ===
+        SimilarityOps.EmbCountCacheMax)
+      // oldest inserts evicted, newest retained
+      assert(!SimilarityOps.embCountCache.containsKey("/dir0"))
+      assert(SimilarityOps.embCountCache.containsKey(
+        s"/dir${SimilarityOps.EmbCountCacheMax + 9}"))
+      // access-ordered: touching the eldest survivor protects it from the
+      // next insert; the then-eldest untouched entry goes instead
+      SimilarityOps.embCountCache.get("/dir10")
+      SimilarityOps.embCountCache.put("/newcomer", ("fp", -1L))
+      assert(SimilarityOps.embCountCache.containsKey("/dir10"))
+      assert(!SimilarityOps.embCountCache.containsKey("/dir11"))
+      SimilarityOps.embCountCache.clear()
+    }
+  }
 }

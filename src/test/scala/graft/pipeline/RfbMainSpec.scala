@@ -241,6 +241,90 @@ class RfbMainSpec extends AnyFunSuite {
     assert(Files.exists(work2.resolve("downloads")))
   }
 
+  test("collided legacy dir: kept in place, paths NOT rewritten, then " +
+      "orphan cleanup + re-download recovery") {
+    // the rule-1 race (r16 verdict #3 + ADVICE): a namespaced run already
+    // created periodWork/downloads when the legacy migration arrives. The
+    // collided dir must be left in place (never merged), and the adopted
+    // manifest's entries must KEEP their legacy paths — rewriting them
+    // would point at files that were never moved and silently degrade
+    // resume to re-download while the files still exist.
+    val src = Files.createTempDirectory("rfb-src")
+    val root = Files.createTempDirectory("rfb-root")
+    val work = Files.createTempDirectory("rfb-coll")
+    mkZip(src, "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    writeListing(src, Seq("Paises.zip"))
+    val legacyZip = work.resolve("downloads").resolve("Paises.zip")
+    Files.createDirectories(legacyZip.getParent)
+    mkZip(work.resolve("downloads"), "Paises.zip", Seq(
+      "K1.D509.PAIS" -> "105;Brasil\n".getBytes(StandardCharsets.UTF_8)))
+    Manifest.save(work.resolve("manifesto_202610.json").toString, Seq(
+      ManifestEntry(arquivo = "Paises.zip", url = "http://rfb/Paises.zip",
+        statusDownload = Status.Sucesso, caminhoZip = legacyZip.toString)))
+    val periodWork = work.resolve("202610")
+    Files.createDirectories(periodWork.resolve("downloads")) // the race
+
+    assert(RfbMain.migrateLegacyWorkspace(spark, work, periodWork, "202610"))
+    assert(Files.exists(legacyZip), "collided dir must be left in place")
+    val adopted = Manifest.load(spark,
+      periodWork.resolve("manifesto_202610.json").toString)
+    // NOT rewritten: the file never moved, so the legacy path is the one
+    // that still resolves (in-place resume stays possible this run)
+    assert(adopted.map(_.caminhoZip) === Seq(legacyZip.toString))
+
+    // next run: the legacy dir now has no root manifest (adopted above) →
+    // rule 2 deletes it as orphaned, exactly as the migration warning
+    // states. The entry's zip vanishes and the vanished-zip self-heal
+    // resets it to pendente; the run after that re-downloads and loads.
+    val r1 = RfbMain.run(spark, 2026, 10, "http://rfb/", root, work,
+      new LocalFetcher(src)).get
+    assert(!Files.exists(work.resolve("downloads")),
+      "ownerless legacy dir must be cleaned by rule 2")
+    assert(r1.falhasOuPendentes === 1, "vanished zip degrades, never loads garbage")
+    val r2 = RfbMain.run(spark, 2026, 10, "http://rfb/", root, work,
+      new LocalFetcher(src)).get
+    assert(r2.sucesso === 1, "self-heal re-download must complete the entry")
+    // the re-download RE-HOMES into the period namespace — fetched back to
+    // the recorded legacy path it would resurrect a dir rule 2 deletes on
+    // every later run, a permanent delete/re-download cycle
+    assert(Files.exists(periodWork.resolve("downloads").resolve("Paises.zip")))
+    assert(!Files.exists(work.resolve("downloads")))
+    val dest = RfbMain.destDir(root, 2026, 10)
+    assert(spark.read.parquet(s"$dest/rfb_paises").count() === 1L)
+  }
+
+  test("stale root manifest (crash between save and delete) is swept, not ownership") {
+    // a crash between Manifest.save(newManifest) and the root-manifest
+    // delete leaves a root copy whose period ALREADY has a namespaced
+    // manifest; treated as ownership it locks rule 2 out forever and the
+    // stale file is never cleaned (r16 ADVICE)
+    val work = Files.createTempDirectory("rfb-stale")
+    val periodWork = work.resolve("202611")
+    Files.createDirectories(periodWork)
+    Manifest.save(periodWork.resolve("manifesto_202611.json").toString,
+      Seq.empty)
+    Manifest.save(work.resolve("manifesto_202611.json").toString, Seq.empty)
+    Files.createDirectories(work.resolve("downloads"))
+    Files.write(work.resolve("downloads").resolve("junk.zip"),
+      Array[Byte](1, 2, 3))
+
+    assert(RfbMain.migrateLegacyWorkspace(spark, work, periodWork, "202611"))
+    assert(!Files.exists(work.resolve("manifesto_202611.json")),
+      "stale root copy must be deleted")
+    assert(Files.exists(periodWork.resolve("manifesto_202611.json")),
+      "namespaced manifest untouched")
+    assert(!Files.exists(work.resolve("downloads")),
+      "rule 2 must not be locked out by the stale copy")
+
+    // the sweep also fires when NO legacy dirs remain (the stale file
+    // would otherwise linger forever), and is idempotent after that
+    Manifest.save(work.resolve("manifesto_202611.json").toString, Seq.empty)
+    assert(RfbMain.migrateLegacyWorkspace(spark, work, periodWork, "202611"))
+    assert(!Files.exists(work.resolve("manifesto_202611.json")))
+    assert(!RfbMain.migrateLegacyWorkspace(spark, work, periodWork, "202611"))
+  }
+
   test("resumable period (manifest exists) keeps partial downloads") {
     val work = Files.createTempDirectory("rfb-work")
     val partial = work.resolve("downloads").resolve("partial.zip")

@@ -27,6 +27,10 @@ cd "$(dirname "$0")/.."
 
 if [ $# -gt 0 ]; then FACTORS=("$@"); else FACTORS=(10 30 100); fi
 ONLY="${SPARK_GRAFT_LADDER_ONLY:-dd08_semantic_clusters}"
+# graft.Bench defaults to 4 threads when unset; the ROUND15 §3 reference
+# numbers this script points at were measured at 32 — export the
+# documented default so ladder results are actually comparable (r16 ADVICE)
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 
 sbt -batch compile >/tmp/scale_ladder_compile.log 2>&1 || {
   tail -n 20 /tmp/scale_ladder_compile.log; exit 1; }
