@@ -110,15 +110,22 @@ object RfbMain {
           Some(name)
         }
       }.toSet
-      // path rewrite (see rule 1 in the doc): only paths inside dirs this
-      // migration ACTUALLY moved follow them to the namespace; entries in
-      // an un-adopted (collided) dir keep their legacy paths, which still
-      // resolve this run — rewriting them would point at files that were
-      // never moved and silently turn resume into re-download (r16 ADVICE)
+      // path rewrite (see rule 1 in the doc): entries in an un-adopted
+      // (COLLIDED) dir keep their legacy paths, which still resolve this
+      // run — rewriting them would point at files that were never moved
+      // and silently turn resume into re-download (r16 ADVICE). Every
+      // other workspace-dir path follows the move to the namespace —
+      // including dirs a PREVIOUS migration attempt moved before crashing
+      // ahead of the manifest save (legacy dir gone, target populated):
+      // on the rerun movedNames alone would miss them and strand the
+      // entries on vanished legacy paths.
+      val collided = legacyDirs.map(_.getFileName.toString).toSet -- movedNames
+      val rewriteNames =
+        Set("downloads", "extracted", "fixed") -- collided
       val oldRoot = workDir.toAbsolutePath.toString
       val newRoot = periodWork.toAbsolutePath.toString
       def re(p: String): String =
-        if (movedNames.exists(n => p.startsWith(s"$oldRoot/$n/")))
+        if (rewriteNames.exists(n => p.startsWith(s"$oldRoot/$n/")))
           newRoot + p.substring(oldRoot.length)
         else p
       val entries = Manifest.load(spark, legacyManifest.toString).map(e =>

@@ -294,6 +294,33 @@ class RfbMainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/rfb_paises").count() === 1L)
   }
 
+  test("migration rerun after a crash between dir moves and manifest save " +
+      "still rewrites the moved dirs' paths") {
+    // crash window: a previous rule-1 attempt MOVED the legacy dirs into
+    // the namespace, then died before Manifest.save — the rerun sees a
+    // root manifest, no legacy dirs, and a populated target. Its paths
+    // must still follow the (earlier) move: rewriting only this run's
+    // moves would strand every entry on vanished legacy paths and degrade
+    // the whole month to re-download.
+    val work = Files.createTempDirectory("rfb-crashwin")
+    val periodWork = work.resolve("202612")
+    val movedZip = periodWork.resolve("downloads").resolve("partial.zip")
+    Files.createDirectories(movedZip.getParent)
+    Files.write(movedZip, Array[Byte](1, 2, 3))
+    Manifest.save(work.resolve("manifesto_202612.json").toString, Seq(
+      ManifestEntry(arquivo = "partial.zip", url = "http://x/partial.zip",
+        statusDownload = Status.Sucesso,
+        caminhoZip =
+          work.resolve("downloads").resolve("partial.zip").toString)))
+
+    assert(RfbMain.migrateLegacyWorkspace(spark, work, periodWork, "202612"))
+    val adopted = Manifest.load(spark,
+      periodWork.resolve("manifesto_202612.json").toString)
+    assert(adopted.map(_.caminhoZip) === Seq(movedZip.toString),
+      "rerun must rewrite to where the earlier attempt moved the files")
+    assert(!Files.exists(work.resolve("manifesto_202612.json")))
+  }
+
   test("stale root manifest (crash between save and delete) is swept, not ownership") {
     // a crash between Manifest.save(newManifest) and the root-manifest
     // delete leaves a root copy whose period ALREADY has a namespaced
