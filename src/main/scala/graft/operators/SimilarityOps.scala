@@ -61,8 +61,6 @@ object SimilarityOps {
           e: java.util.Map.Entry[String, (String, Long)]): Boolean =
         size() > EmbCountCacheMax
     }
-  private[operators] def embCountCacheSize: Int =
-    embCountCache.synchronized(embCountCache.size())
   private[operators] def embCount(s: SparkSession, dir: String): Long = {
     val df = Tables(s, dir, "embeddings")
     val fp = MinHashDedup.inputFingerprint(df)

@@ -26,7 +26,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 if [ $# -gt 0 ]; then FACTORS=("$@"); else FACTORS=(10 30 100); fi
-ONLY="${SPARK_GRAFT_LADDER_ONLY:-dd08_semantic_clusters}"
+# dd08 = the CC/near-dup heavy hitter (ms/edge curve); q61 = the
+# single-fact-scan aggregate whose win only shows once the scan
+# dominates (added to the default set by the r16 verdict, measured r17:
+# 2.9/3.1/4.1 s at 10x/30x/100x — wall nearly flat in fact rows)
+ONLY="${SPARK_GRAFT_LADDER_ONLY:-dd08_semantic_clusters,q61_rfm_segments}"
 # graft.Bench defaults to 4 threads when unset; the ROUND15 §3 reference
 # numbers this script points at were measured at 32 — export the
 # documented default so ladder results are actually comparable (r16 ADVICE)
