@@ -107,14 +107,13 @@ object Bench {
   private[graft] val MaxPasses = 3
 
   /** Self-healing decision (r16 verdict #1): retry while the published min
-    * lacks two quiet backing passes, up to [[MaxPasses]] total. No retry
-    * without a full control reading from every pass — an errored control
-    * query must not buy extra passes.
+    * lacks two quiet backing passes, up to [[MaxPasses]] total (one Option
+    * per pass run so far — the length IS the pass count). No retry without
+    * a full control reading from every pass — an errored control query
+    * must not buy extra passes.
     */
-  private[graft] def shouldRetry(
-      controlSums: Seq[Option[Double]], passesRun: Int): Boolean =
-    passesRun < MaxPasses && controlSums.size == passesRun &&
-      controlSums.forall(_.isDefined) &&
+  private[graft] def shouldRetry(controlSums: Seq[Option[Double]]): Boolean =
+    controlSums.size < MaxPasses && controlSums.forall(_.isDefined) &&
       bestTwoSpreadPct(controlSums.flatten) > DriftRetryThresholdPct
 
   /** JSON string escape (backslash, quote, ALL control chars) — the ONE
@@ -195,7 +194,7 @@ object Bench {
     // passes_run and every pass's control level, so a judge can see
     // whether the published numbers are min-of-two-quiet or still
     // contaminated after the cap.
-    if (shouldRetry(passes.map(p => controlSum(p._1)).toSeq, passes.size)) {
+    if (shouldRetry(passes.map(p => controlSum(p._1)).toSeq)) {
       operators.MinHashDedup.clearScratch()
       passes += run(spark, sfDir, selected)
     }
@@ -312,14 +311,20 @@ object Bench {
       s""","pass_totals":{${parts.mkString(",")}}"""
     }
     val driftHint = {
-      val sums = oks.map(controlSum)
-      if (sums.exists(_.isEmpty)) ""
+      // degrade, don't vanish: if a control query errored in some pass,
+      // the spread is published over the subset present in EVERY pass —
+      // the exact rounds with a flaky pass need the drift signal most, and
+      // passes_run is recorded nowhere else (r17 review; the RETRY
+      // decision above stays strict-full-trio so an errored control can
+      // never buy extra passes).
+      val shared = DriftControl.filter(k => oks.forall(_.contains(k)))
+      if (shared.isEmpty) ""
       else {
-        val cs = sums.flatten
+        val cs = oks.map(ok => shared.map(ok).sum)
         val levels = cs.zipWithIndex
           .map { case (c, i) => s""""control_p${i + 1}_s":$c""" }.mkString(",")
         val spread = math.round(bestTwoSpreadPct(cs) * 10) / 10.0
-        s""","host_drift":{"control":${jstr(DriftControl.mkString(","))},$levels,"spread_pct":$spread,"passes_run":${oks.size}}"""
+        s""","host_drift":{"control":${jstr(shared.mkString(","))},$levels,"spread_pct":$spread,"passes_run":${oks.size}}"""
       }
     }
     java.nio.file.Files.write(

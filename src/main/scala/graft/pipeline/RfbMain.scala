@@ -100,10 +100,12 @@ object RfbMain {
           System.err.println(
             s"[rfb] legacy workspace dir $d NOT adopted: $target already " +
               "exists (a namespaced run already started). Its entries keep " +
-              "their legacy paths and resume in place THIS run, but once " +
-              "this manifest is adopted no root manifest owns the dir — a " +
-              "future run will delete it as orphaned and affected entries " +
-              "will re-download via the vanished-zip self-heal")
+              "their legacy paths — COMPLETED stages stay readable in " +
+              "place this run (pending downloads re-home to the namespace " +
+              "regardless) — but once this manifest is adopted no root " +
+              "manifest owns the dir: a future run will delete it as " +
+              "orphaned and entries still depending on it will re-download " +
+              "via the vanished-zip self-heal")
           None
         } else {
           Files.move(d, target) // same filesystem: an atomic rename
@@ -122,62 +124,71 @@ object RfbMain {
       val collided = legacyDirs.map(_.getFileName.toString).toSet -- movedNames
       val rewriteNames =
         Set("downloads", "extracted", "fixed") -- collided
-      val oldRoot = workDir.toAbsolutePath.toString
-      val newRoot = periodWork.toAbsolutePath.toString
-      def re(p: String): String =
-        if (rewriteNames.exists(n => p.startsWith(s"$oldRoot/$n/")))
-          newRoot + p.substring(oldRoot.length)
+      // component-wise Path matching, both sides absolutized+normalized:
+      // the default CLI workDir is RELATIVE ("rfb_work") and the legacy
+      // manifest recorded its paths verbatim — a raw string-prefix test
+      // against workDir.toAbsolutePath matched none of them, so the whole
+      // month silently degraded to re-download (r17 review; both runs
+      // share the process CWD convention, so absolutizing is sound)
+      val oldRootP = workDir.toAbsolutePath.normalize
+      val newRootP = periodWork.toAbsolutePath.normalize
+      def re(p: String): String = {
+        val ap = Paths.get(p).toAbsolutePath.normalize
+        if (rewriteNames.exists(n => ap.startsWith(oldRootP.resolve(n))))
+          newRootP.resolve(oldRootP.relativize(ap)).toString
         else p
+      }
       val entries = Manifest.load(spark, legacyManifest.toString).map(e =>
         e.copy(caminhoZip = re(e.caminhoZip),
           arquivosExtraidos = e.arquivosExtraidos.map(re),
           arquivosCorrigidos = e.arquivosCorrigidos.map(re)))
       Manifest.save(newManifest.toString, entries) // atomic, like save()
-      Files.delete(legacyManifest)
+      // deleteIfExists: a concurrent run's stale-manifest sweep may win the
+      // delete between our save and here — losing that race is fine, dying
+      // on it is not (and this call sits outside RfbMain.run's try, so an
+      // exception here would skip Reporter.failed entirely — r17 review)
+      Files.deleteIfExists(legacyManifest)
       true
     } else {
       // migration-leftover sweep (doc above): a root manifest whose period
       // already has a namespaced manifest is a stale copy from a crash
       // between save and delete — never live ownership. Deleted here so it
       // can't lock rule 2 out (and can't linger forever when no legacy
-      // dirs remain at all).
-      val staleDeleted = {
+      // dirs remain at all). ONE listing serves both the sweep and the
+      // rule-2/3 ownership decision: live owners = all root manifests
+      // minus the stale set (a second listing had both a redundant scan
+      // and a change-in-between window — r17 review).
+      val rootManifests = {
         val s = Files.list(workDir)
-        val stale =
-          try s.iterator().asScala.filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith("manifesto_") && n.endsWith(".json") && {
-              val period = n.stripPrefix("manifesto_").stripSuffix(".json")
-              Files.exists(workDir.resolve(period).resolve(n))
-            }
-          }.toList finally s.close()
-        stale.foreach { p =>
-          System.err.println(s"[rfb] deleting stale root manifest $p: its " +
-            "period already has a namespaced manifest (crash between " +
-            "migration save and root delete)")
-          Files.delete(p)
-        }
-        stale.nonEmpty
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("manifesto_") && n.endsWith(".json")
+        }.toList finally s.close()
       }
+      val stale = rootManifests.filter { p =>
+        val n = p.getFileName.toString
+        val period = n.stripPrefix("manifesto_").stripSuffix(".json")
+        Files.exists(workDir.resolve(period).resolve(n))
+      }
+      stale.foreach { p =>
+        System.err.println(s"[rfb] deleting stale root manifest $p: its " +
+          "period already has a namespaced manifest (crash between " +
+          "migration save and root delete)")
+        // deleteIfExists: two concurrent sweeps may race on the same file
+        Files.deleteIfExists(p)
+      }
+      val staleDeleted = stale.nonEmpty
       if (legacyDirs.isEmpty) staleDeleted
+      else if (rootManifests.sizeIs > stale.size)
+        staleDeleted // rule 3: another period's LIVE manifest owns them
       else {
-        val anyRootManifest = {
-          val s = Files.list(workDir)
-          try s.iterator().asScala.exists { p =>
-            val n = p.getFileName.toString
-            n.startsWith("manifesto_") && n.endsWith(".json")
-          } finally s.close()
+        legacyDirs.foreach { dir =>
+          val s = Files.walk(dir)
+          try s.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.delete(p))
+          finally s.close()
         }
-        if (anyRootManifest) staleDeleted // rule 3: another period owns them
-        else {
-          legacyDirs.foreach { dir =>
-            val s = Files.walk(dir)
-            try s.sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => Files.delete(p))
-            finally s.close()
-          }
-          true
-        }
+        true
       }
     }
   }

@@ -43,19 +43,19 @@ class BenchSpec extends AnyFunSuite {
     // the BENCH_r16 driver run, replayed: trio pass-1 12.2 s (drifted
     // host) vs pass-2 1.4 s → spread ~771% → the published min was backed
     // by ONE quiet pass; the self-healing bench must buy a third
-    assert(Bench.shouldRetry(Seq(Some(12.2), Some(1.4)), 2))
+    assert(Bench.shouldRetry(Seq(Some(12.2), Some(1.4))))
     // after the healing pass lands quiet, the best-two spread is the two
     // quiet passes (1.4 vs 1.5 ≈ 7%) — healed, no further retry wanted
     assert(Bench.bestTwoSpreadPct(Seq(12.2, 1.4, 1.5)) < Bench.DriftRetryThresholdPct)
-    assert(!Bench.shouldRetry(Seq(Some(12.2), Some(1.4), Some(1.5)), 3))
+    assert(!Bench.shouldRetry(Seq(Some(12.2), Some(1.4), Some(1.5))))
     // quiet session: no retry in the first place
-    assert(!Bench.shouldRetry(Seq(Some(1.37), Some(1.34)), 2))
+    assert(!Bench.shouldRetry(Seq(Some(1.37), Some(1.34))))
     // hard cap at MaxPasses even if the retry pass ALSO drifted — one
     // extra pass is the contract, not an unbounded chase
     assert(Bench.bestTwoSpreadPct(Seq(12.0, 1.4, 11.0)) > Bench.DriftRetryThresholdPct)
-    assert(!Bench.shouldRetry(Seq(Some(12.0), Some(1.4), Some(11.0)), 3))
+    assert(!Bench.shouldRetry(Seq(Some(12.0), Some(1.4), Some(11.0))))
     // an errored/absent control query must never buy extra passes
-    assert(!Bench.shouldRetry(Seq(Some(12.2), None), 2))
+    assert(!Bench.shouldRetry(Seq(Some(12.2), None)))
     assert(Bench.controlSum(Map("tx01_token_counts" -> 0.5,
       "tx02_quality" -> 0.25, "tx03_langid" -> 0.25)) === Some(1.0))
     assert(Bench.controlSum(Map("tx01_token_counts" -> 0.5,

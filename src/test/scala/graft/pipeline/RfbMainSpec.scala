@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.io.FileOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -319,6 +319,43 @@ class RfbMainSpec extends AnyFunSuite {
     assert(adopted.map(_.caminhoZip) === Seq(movedZip.toString),
       "rerun must rewrite to where the earlier attempt moved the files")
     assert(!Files.exists(work.resolve("manifesto_202612.json")))
+  }
+
+  test("legacy adoption rewrites RELATIVE recorded paths (the default CLI " +
+      "workDir shape)") {
+    // RfbMain.main defaults workDir to the relative "rfb_work", and the
+    // legacy manifest recorded caminhoZip verbatim — so the pre-upgrade
+    // entries hold RELATIVE strings. A string-prefix test against the
+    // absolutized root matched none of them and silently degraded the
+    // whole month to re-download (r17 review); the rewrite must compare
+    // component-wise with both sides absolutized.
+    val cwd = Paths.get("").toAbsolutePath
+    val relWork = Paths.get("target").resolve(
+      s"rfb-relwork-${System.nanoTime()}")
+    try {
+      val relZip = relWork.resolve("downloads").resolve("partial.zip")
+      Files.createDirectories(cwd.resolve(relZip.getParent.toString))
+      Files.write(cwd.resolve(relZip.toString), Array[Byte](1, 2, 3))
+      Manifest.save(relWork.resolve("manifesto_202701.json").toString, Seq(
+        ManifestEntry(arquivo = "partial.zip", url = "http://x/partial.zip",
+          statusDownload = Status.Sucesso,
+          caminhoZip = relZip.toString))) // RELATIVE, as recorded
+      val periodWork = relWork.resolve("202701")
+      assert(RfbMain.migrateLegacyWorkspace(spark, relWork, periodWork,
+        "202701"))
+      val adopted = Manifest.load(spark,
+        periodWork.resolve("manifesto_202701.json").toString)
+      val expected = periodWork.toAbsolutePath.normalize
+        .resolve("downloads").resolve("partial.zip")
+      assert(adopted.map(_.caminhoZip) === Seq(expected.toString),
+        "relative legacy paths must follow the move into the namespace")
+      assert(Files.exists(expected), "the file itself moved with the dir")
+    } finally {
+      val s = Files.walk(cwd.resolve(relWork.toString))
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 
   test("stale root manifest (crash between save and delete) is swept, not ownership") {
