@@ -138,6 +138,19 @@ object Bench {
     // just those queries (driver runs never set it — full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // unknown names fail LOUDLY, mirroring Verify's guard: a typo'd or
+    // since-renamed query otherwise yields a vacuous zero-query run with
+    // exit 0 — and scale_ladder.sh then burns minutes of fixture builds
+    // over empty measurements (r17 review)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+        sys.exit(2)
+      }
+    }
     val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
@@ -277,23 +290,28 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).trim
         // expected shape {"pipeline":{...}} — splice its body as a sibling
         // key; anything else is ignored rather than corrupting the detail.
-        // PARSE-validated, not shape-sniffed: a truncated-then-rewritten
-        // file can still start with '{' and end with '}' while being
-        // invalid JSON, and splicing it verbatim would make the whole
-        // detail file unparseable (r10 review). The artifact's age rides
-        // along: the file may be a committed artifact from an earlier run,
-        // and unstamped it would read as "measured by this bench run".
+        // The splice is the RE-SERIALIZED parsed tree, never the raw text:
+        // Jackson's readTree stops at the first complete value and ignores
+        // trailing tokens, so a file holding a valid object followed by
+        // junk (interrupted write + append) would pass a parse CHECK while
+        // the verbatim splice still corrupted the detail file — the exact
+        // r10 failure the old check claimed to prevent (r17 review). The
+        // artifact's age rides along: the file may be a committed artifact
+        // from an earlier run, and unstamped it would read as "measured by
+        // this bench run".
         val ageS = (System.currentTimeMillis -
           java.nio.file.Files.getLastModifiedTime(p).toMillis) / 1000
-        val parses =
+        val body =
           try {
-            new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(t).isObject
-          } catch { case _: Exception => false }
-        if (parses && t.startsWith("{") && t.endsWith("}") && t.length > 2)
-          "," + t.substring(1, t.length - 1) +
-            s""","pipeline_bench_age_s":$ageS"""
-        else ""
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            val tree = m.readTree(t)
+            if (tree != null && tree.isObject && tree.size() > 0) {
+              val s = m.writeValueAsString(tree)
+              Some(s.substring(1, s.length - 1))
+            } else None
+          } catch { case _: Exception => None }
+        body.map(b => "," + b + s""","pipeline_bench_age_s":$ageS""")
+          .getOrElse("")
       }
     }
     // Host-drift self-diagnosis (r15 verdict: two rounds burned a judge

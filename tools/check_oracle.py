@@ -43,6 +43,11 @@ for name, sql in sorted(oracle.items()):
                 if math.isnan(a) and math.isnan(b): continue
                 if a == b: continue
                 bad = (c, i, a, b); break
+            # a string on one side only is a TYPE divergence the str()
+            # fallback would mask (int 1 vs "1" printed identically) —
+            # exactly the schema-drift class this mimic exists to pre-catch
+            if isinstance(a, str) != isinstance(b, str):
+                bad = (c, i, f"{a!r}(type)", f"{b!r}(type)"); break
             if str(a) != str(b):
                 bad = (c, i, a, b); break
         if bad: break

@@ -18,7 +18,7 @@
 # r15 reference numbers (dec 10x/30x/100x: 1.11 / 0.38 / 0.27 ms/edge).
 #
 # Usage: tools/scale_ladder.sh [factors...]   (default: 10 30 100)
-#   env: SPARK_GRAFT_LADDER_ONLY  queries to bench (default dd08)
+#   env: SPARK_GRAFT_LADDER_ONLY  queries to bench (default dd08+q61+trio)
 #        SPARK_GRAFT_CPUS         bench threads (default 32)
 # Fixtures land in /tmp/graft_scale<N>d and are LEFT for re-use (delete
 # them to rebuild). Expect ~2 GB and ~10 min at 100x.
@@ -27,10 +27,14 @@ cd "$(dirname "$0")/.."
 
 if [ $# -gt 0 ]; then FACTORS=("$@"); else FACTORS=(10 30 100); fi
 # dd08 = the CC/near-dup heavy hitter (ms/edge curve); q61 = the
-# single-fact-scan aggregate whose win only shows once the scan
-# dominates (added to the default set by the r16 verdict, measured r17:
-# 2.9/3.1/4.1 s at 10x/30x/100x — wall nearly flat in fact rows)
-ONLY="${SPARK_GRAFT_LADDER_ONLY:-dd08_semantic_clusters,q61_rfm_segments}"
+# single-fact-scan aggregate whose win only shows once the scan dominates
+# (added to the default set by the r16 verdict, measured r17: 2.9/3.1/4.1 s
+# at 10x/30x/100x — wall nearly flat in fact rows). The tx trio rides along
+# so Bench's host-drift detector AND its self-healing retry stay armed on
+# the ladder — the one tool whose cross-scale comparisons are most
+# drift-sensitive ran blind without them (r17 review); it costs seconds
+# per pass against dd08's minutes.
+ONLY="${SPARK_GRAFT_LADDER_ONLY:-dd08_semantic_clusters,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid}"
 # graft.Bench defaults to 4 threads when unset; the ROUND15 §3 reference
 # numbers this script points at were measured at 32 — export the
 # documented default so ladder results are actually comparable (r16 ADVICE)
@@ -39,13 +43,35 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 sbt -batch compile >/tmp/scale_ladder_compile.log 2>&1 || {
   tail -n 20 /tmp/scale_ladder_compile.log; exit 1; }
 
+# Bench writes bench_detail.json into the repo root; without a snapshot
+# the ladder's last factor (2-5 queries on a /tmp fixture) would replace
+# the round's full-suite detail artifact in the location the driver and
+# judge read it from (r17 review). Restore on ANY exit.
+DETAIL="bench_detail.json"
+DETAIL_BAK=""
+if [ -f "$DETAIL" ]; then
+  DETAIL_BAK="$(mktemp /tmp/bench_detail_bak.XXXXXX)"
+  cp "$DETAIL" "$DETAIL_BAK"
+fi
+restore_detail() {
+  if [ -n "$DETAIL_BAK" ]; then mv -f "$DETAIL_BAK" "$DETAIL"; fi
+}
+trap restore_detail EXIT
+
 for f in "${FACTORS[@]}"; do
   out="/tmp/graft_scale${f}d"
   if [ ! -d "$out" ]; then
     echo "== building decorrelated ${f}x at $out =="
-    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $out $f decorrelate" \
+    # build into a staging dir and mv into place: a failed/interrupted
+    # ScaleUp otherwise leaves a PARTIAL $out that the existence check
+    # above happily "reuses", and ms/edge 'improves' spuriously against
+    # the reference table (r17 review)
+    rm -rf "${out}.build"
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 ${out}.build $f decorrelate" \
       >"/tmp/scale_ladder_build_${f}.log" 2>&1 || {
-        tail -n 20 "/tmp/scale_ladder_build_${f}.log"; exit 1; }
+        tail -n 20 "/tmp/scale_ladder_build_${f}.log"
+        rm -rf "${out}.build"; exit 1; }
+    mv "${out}.build" "$out"
   else
     echo "== reusing $out =="
   fi
