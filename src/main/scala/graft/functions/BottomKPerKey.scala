@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udaf
 
 /** Bounded bottom-k per key over a STRING sort key — the sampling twin of
@@ -52,11 +52,6 @@ object BottomKPerKey {
       val c = cmpKeys(a._1, b._1)
       c < 0 || (c == 0 && a._2 < b._2)
     }
-
-    override def bufferEncoder: Encoder[List[Entry]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Entry]]()
-    override def outputEncoder: Encoder[Seq[Entry]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
 
   /** Untyped-`agg` form: `bottomK(20)(col("h"), col("doc_id")).as("sample")`

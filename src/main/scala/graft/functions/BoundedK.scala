@@ -1,5 +1,9 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** The bounded-k aggregation core shared by [[TopKPerKey]] and
@@ -17,7 +21,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * partitioning-dependent: the same data returns different survivors on
   * different cluster layouts.
   */
-private[functions] abstract class BoundedK[E](k: Int)
+private[functions] abstract class BoundedK[E: TypeTag](k: Int)
     extends Aggregator[E, List[E], Seq[E]] {
   // fail fast like MinHashArray's require: k <= 0 silently aggregated
   // every group to an empty array, and insert() recurses up to k frames
@@ -56,4 +60,12 @@ private[functions] abstract class BoundedK[E](k: Int)
   }
 
   override def finish(buf: List[E]): Seq[E] = buf
+
+  // the encoders live HERE for the same reason the kernel does: they were
+  // copy-pasted verbatim in both subclasses after the r10 extraction, the
+  // exact one-sided-fix hazard the base class exists to remove (r17
+  // review). The context-bound TypeTag resolves at each concrete
+  // subclass's definition site, where E is known.
+  override def bufferEncoder: Encoder[List[E]] = ExpressionEncoder[List[E]]()
+  override def outputEncoder: Encoder[Seq[E]] = ExpressionEncoder[Seq[E]]()
 }

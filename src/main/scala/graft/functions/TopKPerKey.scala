@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udaf
 
 /** Bounded-heap top-k per key as an AGGREGATION (SURVEY §2.2 UDAF row; the
@@ -33,11 +33,6 @@ object TopKPerKey {
       val c = java.lang.Double.compare(a._1, b._1)
       c > 0 || (c == 0 && a._2 < b._2)
     }
-
-    override def bufferEncoder: Encoder[List[Entry]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Entry]]()
-    override def outputEncoder: Encoder[Seq[Entry]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
 
   /** Untyped-`agg` form: `topK(3)(col("price"), col("id")).as("top")`

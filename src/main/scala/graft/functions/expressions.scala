@@ -162,7 +162,13 @@ object TextNorm {
   * mirrors DuckDB's `nfc_normalize` so the oracle gates it exactly.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = StringType
+  // the CHILD's type, not bare StringType: under a non-default collation
+  // the input is a collated string, and hard-coding UTF8_BINARY output
+  // makes downstream comparisons/grouping against the source column an
+  // implicit-collation mismatch — Spark's own string transforms propagate
+  // the collation the same way (r17 review; SimHashArray's r14
+  // collated-input fix is the sibling of this on the argument side)
+  override def dataType: DataType = child.dataType
   override def checkInputDataTypes(): TypeCheckResult =
     ArgCheck.string("nfc_normalize", child.dataType)
   override def nullSafeEval(v: Any): Any =

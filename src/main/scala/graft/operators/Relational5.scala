@@ -305,6 +305,12 @@ object Relational5 {
     // to all-pairs-per-block on low-entropy prefixes. Exact Levenshtein
     // then decides on the deduplicated candidates.
     "er01_fuzzy_match" -> ((s, dir) => {
+      // the dist <= 1 verification filter below is exactly the pattern
+      // BoundedLevenshteinRule bands (quadratic → O(k·len) kernel); ensure
+      // the rule is installed even on a plain session — only extensions-
+      // configured sessions had it, so Verify/Bench ran the full kernel
+      // (r17 review)
+      graft.plans.BoundedLevenshteinRule.register(s)
       // the exploded variant frame is MATERIALIZED once (the r15 deferred
       // restructure): as lineage, the customer scan + O(len) deletion-
       // neighborhood explode re-ran on BOTH sides of the self-join; from

@@ -214,8 +214,16 @@ object AsOfJoinPlan {
     PlanBridge.ofRows(spark, AsOfJoinNode(lp, rp, lk, rk, lt, rt))
   }
 
+  /** Synchronized on the holder: `extraStrategies` is a plain var, and a
+    * racing check-then-append (two first-use as-of joins planning
+    * concurrently, or any other component appending its own strategy) can
+    * lose one append — the loser then fails planning with Spark's
+    * "No plan for AsOfJoinNode" assertion (r17 review).
+    */
   def register(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
 }

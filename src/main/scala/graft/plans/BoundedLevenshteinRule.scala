@@ -65,4 +65,23 @@ object BoundedLevenshteinRule extends Rule[LogicalPlan] {
           if kv >= 0 =>
         EqualNullSafe(Levenshtein(a, b, Some(k)), k)
     }
+
+  /** Installs the rule into a session's experimental optimizations if
+    * absent — for sessions NOT configured with `GraftExtensions`: the
+    * driver's Verify/Bench mains and any library user building a plain
+    * session. Without this programmatic path the banded rewrite silently
+    * never fired in exactly the production paths it exists to speed up —
+    * only extensions-configured test sessions got it (r17 review). Called
+    * from the query builders that emit bounded-lev comparisons, mirroring
+    * `AsOfJoinPlan.register`. Synchronized on the holder:
+    * `extraOptimizations` is a plain var, and a racing check-then-append
+    * can silently drop a concurrent component's rule.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(BoundedLevenshteinRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ BoundedLevenshteinRule
+    }
 }
