@@ -83,24 +83,43 @@ object MinHashDedup {
     // then comes from those frames' source files.
     val fp = (df +: fingerprintOf).map(inputFingerprint).mkString("+")
     val key = (tag, cacheKey + "#" + fp)
-    val path = scratchCache.computeIfAbsent(key, _ => {
-      val root = new org.apache.hadoop.fs.Path(
-        s.conf.getOption("spark.graft.scratch.dir")
-          .getOrElse(System.getProperty("java.io.tmpdir")))
-      val dir = new org.apache.hadoop.fs.Path(
-        root, s"graft_${tag}_${java.util.UUID.randomUUID}")
-      val p = dir.toString
-      // register BEFORE the write: a failed/interrupted write would
-      // otherwise leave a corpus-sized partial dir no cleanup path knows
-      // about (retries mint a fresh UUID, permanently orphaning it)
-      hadoopConf.compareAndSet(null, s.sparkContext.hadoopConfiguration)
-      scratchDirs.add(p)
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(p)
-      buildSeconds.merge(tag, (System.nanoTime() - t0) / 1e9,
-        (a, b) => a + b)
-      p
-    })
+    // the corpus-sized WRITE must not run inside computeIfAbsent: the
+    // compute holds the map's bin lock for its whole duration, so two
+    // concurrent materializations of UNRELATED tags could serialize for
+    // minutes on a hash-bin collision (r17 review). computeIfAbsent now
+    // only CREATES a FutureTask (cheap, correct same-key dedup); run() is
+    // idempotent — the first caller computes, concurrent same-key callers
+    // block on get() until the one build finishes.
+    val task = scratchCache.computeIfAbsent(key,
+      _ => new java.util.concurrent.FutureTask[String](() => {
+        val root = new org.apache.hadoop.fs.Path(
+          s.conf.getOption("spark.graft.scratch.dir")
+            .getOrElse(System.getProperty("java.io.tmpdir")))
+        val dir = new org.apache.hadoop.fs.Path(
+          root, s"graft_${tag}_${java.util.UUID.randomUUID}")
+        val p = dir.toString
+        // register BEFORE the write: a failed/interrupted write would
+        // otherwise leave a corpus-sized partial dir no cleanup path knows
+        // about (retries mint a fresh UUID, permanently orphaning it)
+        hadoopConf.compareAndSet(null, s.sparkContext.hadoopConfiguration)
+        scratchDirs.add(p)
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").parquet(p)
+        buildSeconds.merge(tag, (System.nanoTime() - t0) / 1e9,
+          (a, b) => a + b)
+        p
+      }))
+    task.run()
+    val path =
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // a failed build must not poison the key forever — the old
+          // computeIfAbsent semantics left no mapping behind on failure,
+          // so a retry rebuilt; remove(key, task) restores exactly that
+          scratchCache.remove(key, task)
+          throw e.getCause
+      }
     s.read.parquet(path)
   }
 
@@ -146,7 +165,14 @@ object MinHashDedup {
     val emptyFp = java.security.MessageDigest.getInstance("MD5")
       .digest().map("%02x".format(_)).mkString
     val fp = (emptyFp +: fingerprintOf.map(inputFingerprint)).mkString("+")
+    // non-blocking peek: only a COMPLETED successful build counts as a hit
+    // (an in-flight or failed task reads as a miss, and the caller's
+    // materialized() then blocks on / replaces it) — matching the old
+    // map-of-paths semantics where nothing was visible until the write
+    // finished
     Option(scratchCache.get((tag, cacheKey + "#" + fp)))
+      .filter(_.isDone)
+      .flatMap(t => try Some(t.get()) catch { case _: Exception => None })
       .map(s.read.parquet(_))
   }
 
@@ -182,8 +208,8 @@ object MinHashDedup {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private val scratchCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val scratchCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.FutureTask[String]]()
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // captured at first materialization: the shutdown-hook path must not
@@ -237,11 +263,15 @@ object MinHashDedup {
     val it = scratchCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (pred(e.getKey._1)) {
-        val p = e.getValue
+      // only COMPLETED builds are deleted here: yanking a dir out from
+      // under an in-flight write corrupts it — the in-flight dir is
+      // already enrolled in scratchDirs, so the end-of-run clearScratch()
+      // (or the shutdown hook) still reclaims it
+      if (pred(e.getKey._1) && e.getValue.isDone) {
+        val p = try e.getValue.get() catch { case _: Exception => null }
         it.remove()
         // tracking is dropped only on a VERIFIED delete — see clearScratch
-        if (deleteQuietly(p)) scratchDirs.remove(p)
+        if (p != null && deleteQuietly(p)) scratchDirs.remove(p)
       }
     }
   }

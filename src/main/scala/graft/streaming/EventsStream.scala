@@ -560,13 +560,32 @@ object EventsStream {
       |   AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin
 
   /** The min-policy final watermark (each side's max event time, least,
-    * minus the 10-min delay) — shared by st11/st12.
+    * minus the 10-min delay) — shared by st11/st12. Guarded to NULL when
+    * EITHER side has never seen data: DuckDB's least() ignores a NULL
+    * argument, but Spark's min multiple-watermark policy pins the global
+    * watermark at epoch until both sides advance — so on a corpus with
+    * zero signups the stream closes nothing while an unguarded least()
+    * emitted every unmatched purchase (r17 review; a NULL w makes every
+    * `< w` predicate NULL → oracle emits nothing, matching the stream).
     */
   private val minWatermarkCteSql: String =
-    """wm AS (SELECT least(
+    """wm AS (SELECT CASE
+      |   WHEN max(ts) FILTER (event_type = 'purchase') IS NOT NULL
+      |    AND max(ts) FILTER (event_type = 'signup') IS NOT NULL
+      |   THEN least(
       |    max(ts) FILTER (event_type = 'purchase'),
       |    max(ts) FILTER (event_type = 'signup'))
-      |   - INTERVAL 10 MINUTE AS w FROM events)""".stripMargin
+      |   - INTERVAL 10 MINUTE END AS w FROM events)""".stripMargin
+
+  /** Single-sided final watermark (max event time − the 10-min delay)
+    * over `table` — shared by st15/st17 and the gap-session oracles
+    * (three verbatim copies had re-accumulated after the r10 twin-drift
+    * extraction of the sibling CTEs; r17 review). The session oracles
+    * derive it from their filtered `e` CTE, the window oracles from the
+    * raw table — the parameter keeps that semantic difference explicit.
+    */
+  private def finalWatermarkCteSql(table: String): String =
+    s"wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM $table)"
 
   /** Unmatched purchases whose null verdict the watermark closed
     * (pts < wm strictly) — st11's tail and st12's purchase-side tail.
@@ -604,7 +623,7 @@ object EventsStream {
        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DOUBLE)
        |    AS session_value
        | FROM sid GROUP BY user_id, session_id),
-       |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
+       |${finalWatermarkCteSql("e")}
        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
        | strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
        | n_events, session_value
@@ -752,15 +771,15 @@ object EventsStream {
     // hours that fed each day (proving the chain really aggregated the
     // hourly layer, not the raw rows).
     "st15_chained_windows" ->
-      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
-        |   COUNT(*) AS n_hour FROM events GROUP BY 1, 2),
-        | d AS (SELECT date_trunc('day', hb) AS day, event_type,
-        |   CAST(SUM(n_hour) AS BIGINT) AS n, COUNT(*) AS n_hours
-        |  FROM h GROUP BY 1, 2),
-        | wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, n_hours
-        |FROM d, wm WHERE day + INTERVAL 1 DAY <= w
-        |ORDER BY day, event_type""".stripMargin,
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
+         |   COUNT(*) AS n_hour FROM events GROUP BY 1, 2),
+         | d AS (SELECT date_trunc('day', hb) AS day, event_type,
+         |   CAST(SUM(n_hour) AS BIGINT) AS n, COUNT(*) AS n_hours
+         |  FROM h GROUP BY 1, 2),
+         | ${finalWatermarkCteSql("events")}
+         |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, n_hours
+         |FROM d, wm WHERE day + INTERVAL 1 DAY <= w
+         |ORDER BY day, event_type""".stripMargin,
 
     // MERGE result = event users' latest rows + the seed rows whose key
     // no batch touched.
@@ -784,15 +803,20 @@ object EventsStream {
 
     // Dedup→agg chain == hourly counts of DISTINCT event_ids over the
     // closed hours (event_id is unique in the batch table, so DISTINCT
-    // is the contract the dedup stage enforces against replays).
+    // is the contract the dedup stage enforces against replays). The
+    // null-id filter matches the STREAM's pre-dedup isNotNull: a bucket
+    // holding only null-id events must be ABSENT, not an n=0 row (DuckDB's
+    // COUNT(DISTINCT) over all-nulls still yields a group — r17 review;
+    // dormant on the current fixture, which has no all-null-id bucket).
     "st17_stream_dedup_agg" ->
-      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
-        |   COUNT(DISTINCT event_id) AS n FROM events GROUP BY 1, 2),
-        | wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
-        |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
-        | event_type, n
-        |FROM h, wm WHERE hb + INTERVAL 1 HOUR <= w
-        |ORDER BY hour_bucket, event_type""".stripMargin,
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
+         |   COUNT(DISTINCT event_id) AS n FROM events
+         |  WHERE event_id IS NOT NULL GROUP BY 1, 2),
+         | ${finalWatermarkCteSql("events")}
+         |SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+         | event_type, n
+         |FROM h, wm WHERE hb + INTERVAL 1 HOUR <= w
+         |ORDER BY hour_bucket, event_type""".stripMargin,
   )
 }
 
