@@ -121,7 +121,7 @@ object LakeOps {
       | MAX(CASE WHEN rl = 1 THEN value END) AS close,
       | COUNT(*) AS n
       |FROM r GROUP BY hb, event_type
-      |ORDER BY hour_bucket, event_type""".stripMargin
+      |ORDER BY hour_bucket, event_type NULLS FIRST""".stripMargin
 
   /** md01's MERGE result without the presentation sort — shared by the
     * merge query itself and the snapshot-diff operator. MATERIALIZED to the
@@ -523,7 +523,7 @@ object LakeOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts DESC, event_id DESC) = 1
-        |ORDER BY user_id, event_type""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "ts03_scd2_intervals" ->
       """SELECT user_id, event_type, event_id,
@@ -534,7 +534,7 @@ object LakeOps {
         |   ORDER BY ts, event_id) IS NULL AS INT) AS is_current,
         | value
         |FROM events WHERE ts IS NOT NULL
-        |ORDER BY user_id, event_type, event_id""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, event_id NULLS FIRST""".stripMargin,
 
     // The diff restated set-wise: survivors that changed, deletions,
     // insertions — the same classification the full-outer join computes.

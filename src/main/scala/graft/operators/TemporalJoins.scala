@@ -550,7 +550,7 @@ object TemporalJoins {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM spine s LEFT JOIN hourly hy
         |  ON hy.user_id = s.user_id AND hy.h = s.h
-        |ORDER BY s.user_id, hour""".stripMargin,
+        |ORDER BY s.user_id NULLS FIRST, hour""".stripMargin,
 
     "rj01_range_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events
@@ -578,7 +578,7 @@ object TemporalJoins {
         |SELECT user_id, len(cs) AS n_events,
         | cs[len(cs)] AS last_cents,
         | list_reduce(cs, (a, b) -> (a + b) // 2) AS ewma_cents
-        |FROM e ORDER BY user_id""".stripMargin,
+        |FROM e ORDER BY user_id NULLS FIRST""".stripMargin,
 
     // DuckDB's windowed median on BIGINT interpolates even counts as the
     // same IEEE midpoint the Spark side computes explicitly.
@@ -592,7 +592,7 @@ object TemporalJoins {
         |FROM events WHERE ts IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin,
 
     // The 24 h interval join stated directly; last-touch restated as a
     // deterministic ROW_NUMBER pick, linear weight as BIGINT floor
@@ -652,7 +652,7 @@ object TemporalJoins {
         |   FROM il GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_islands,
         | CAST(SUM(ien - ist) AS BIGINT) AS covered_seconds
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM m GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     // Same cleared-denominator autocorrelation. Signed division is safe:
     // BOTH engines truncate integer division toward zero (checked:
@@ -675,6 +675,6 @@ object TemporalJoins {
         |SELECT user_id, n_days,
         | CASE WHEN den = 0 THEN NULL ELSE (num * 1000) // den END
         |  AS r1_milli
-        |FROM r ORDER BY user_id""".stripMargin,
+        |FROM r ORDER BY user_id NULLS FIRST""".stripMargin,
   )
 }

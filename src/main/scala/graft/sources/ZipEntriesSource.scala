@@ -166,8 +166,19 @@ object ZipScan {
       case StringContains(a, v) =>
         col(a).map(c => (p, z, e) => c((p, z, e)).contains(v))
       case And(l, r) =>
-        for (cl <- compile(l); cr <- compile(r))
-          yield (p: String, z: String, e: String) => cl(p, z, e) && cr(p, z, e)
+        // a half-compilable And keeps its compilable side: pruning is a
+        // SUPERSET optimization (every filter re-applies as a residual,
+        // and keeping l-matches ⊇ keeping (l ∧ r)-matches, also under any
+        // enclosing Or), so the old both-or-nothing rule forfeited pruning
+        // for e.g. Or(And(startsWith, size > 0), eq) — the size conjunct
+        // sank the whole tree (r17 review). Both sides compiled still
+        // conjoin for the tightest prune. No Not case exists above, so a
+        // widened And can never be re-negated into an UNDER-approximation.
+        (compile(l), compile(r)) match {
+          case (Some(cl), Some(cr)) => Some(
+            (p: String, z: String, e: String) => cl(p, z, e) && cr(p, z, e))
+          case (one, other) => one.orElse(other)
+        }
       case Or(l, r) =>
         for (cl <- compile(l); cr <- compile(r))
           yield (p: String, z: String, e: String) => cl(p, z, e) || cr(p, z, e)
@@ -289,6 +300,15 @@ class ZipScan(path: String, var required: StructType,
           // planning had already failed (r11 review)
           pool.shutdownNow()
           throw e.getCause
+        case e: InterruptedException =>
+          // job CANCELLATION is the same class as the error path above:
+          // without shutdownNow every queued task keeps opening archive
+          // directories after planning was abandoned (the r11 fix covered
+          // failures but not interrupts — r17 review). Re-assert the
+          // interrupt for the caller's own handling.
+          pool.shutdownNow()
+          Thread.currentThread().interrupt()
+          throw e
       }
     } finally pool.shutdown()
   }
@@ -355,18 +375,39 @@ class ZipEntryReader(zp: ZipPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
   private var i = -1
 
+  // per-FIELD extractors resolved ONCE: the old per-row fields.toSeq.map
+  // with string dispatch re-parsed zip_name's filesystem path and
+  // re-allocated a Seq for every member — pure avoidable CPU in the emit
+  // loop of a source whose point is ~free metadata rows at lake scale
+  // (1 M members = 1 M path parses; r17 review)
+  private val extractors: Array[ZipMember => Any] = fields.map {
+    case "zip_path" => (m: ZipMember) => UTF8String.fromString(m.zipPath)
+    case "zip_name" =>
+      // memoized per archive: a group's members arrive consecutively per
+      // zip, so the path parse runs once per archive, not once per member
+      var lastPath: String = null
+      var lastName: UTF8String = null
+      (m: ZipMember) => {
+        if (m.zipPath ne lastPath) {
+          lastPath = m.zipPath
+          lastName =
+            UTF8String.fromString(Paths.get(m.zipPath).getFileName.toString)
+        }
+        lastName
+      }
+    case "entry_name" => (m: ZipMember) => UTF8String.fromString(m.entryName)
+    case "size" => (m: ZipMember) => m.size
+    case "compressed_size" => (m: ZipMember) => m.compressedSize
+  }
+
   override def next(): Boolean = { i += 1; i < zp.members.length }
 
   override def get(): InternalRow = {
     val m = zp.members(i)
-    InternalRow.fromSeq(fields.toSeq.map {
-      case "zip_path" => UTF8String.fromString(m.zipPath)
-      case "zip_name" =>
-        UTF8String.fromString(Paths.get(m.zipPath).getFileName.toString)
-      case "entry_name" => UTF8String.fromString(m.entryName)
-      case "size" => m.size
-      case "compressed_size" => m.compressedSize
-    })
+    val values = new Array[Any](extractors.length)
+    var j = 0
+    while (j < extractors.length) { values(j) = extractors(j)(m); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = ()

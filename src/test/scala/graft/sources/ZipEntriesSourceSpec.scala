@@ -120,6 +120,17 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     assert(dupIn.count() === 1L)
     assert(dupIn.rdd.getNumPartitions === 1,
       "duplicate IN values must not disable partition pruning")
+    // a HALF-compilable And under Or keeps its compilable side — superset
+    // pruning is always safe with all-residual filters, and the size
+    // conjunct used to sink the WHOLE Or into no-pruning (r17 review).
+    // Unlike dupIn above, the branches share no common factor, so
+    // BooleanSimplification can't rescue this shape — it exercises the
+    // one-sided compile directly.
+    val halfAnd = df.filter(($"entry_name".endsWith("EMPRECSV") &&
+      $"size" > 0L) || $"zip_name" === "b.zip")
+    assert(halfAnd.count() === 2L)
+    assert(halfAnd.rdd.getNumPartitions === 2,
+      "one-sided And pruning must survive under Or")
   }
 
   test("duplicate entry names yield distinct rows with their own sizes") {
