@@ -78,25 +78,30 @@ object Bench {
 
   /** Summed control-trio time for one pass; None unless the FULL trio ran
     * clean (a partial trio under SPARK_GRAFT_ONLY is not a calibrated
-    * control level).
+    * control level) AND the sum is positive — a degenerate zero reading is
+    * UNCALIBRATED, not "perfectly quiet" (r17 ADVICE: a zero control level
+    * used to read as spread 0 and silently suppress the drift retry).
     */
   private[graft] def controlSum(ok: Map[String, Double]): Option[Double] = {
     val vs = DriftControl.flatMap(ok.get)
-    if (vs.size == DriftControl.size) Some(vs.sum) else None
+    if (vs.size == DriftControl.size && vs.sum > 0) Some(vs.sum) else None
   }
 
-  private[graft] def spreadPct(a: Double, b: Double): Double =
-    if (math.min(a, b) > 0) math.abs(a - b) / math.min(a, b) * 100 else 0.0
+  /** None = uncalibrated (a non-positive reading), never zero spread. */
+  private[graft] def spreadPct(a: Double, b: Double): Option[Double] =
+    if (math.min(a, b) > 0) Some(math.abs(a - b) / math.min(a, b) * 100)
+    else None
 
   /** Spread of the two LOWEST control sums — the two passes that back the
     * published min. With two passes this is exactly the r16 `spread_pct`;
     * with three it reports whether the published min is backed by two
     * QUIET passes (the whole point of the retry), not whether some pass
-    * drifted (one did — that's why there are three).
+    * drifted (one did — that's why there are three). None = uncalibrated
+    * (fewer than two sums, or a non-positive one).
     */
-  private[graft] def bestTwoSpreadPct(sums: Seq[Double]): Double = {
+  private[graft] def bestTwoSpreadPct(sums: Seq[Double]): Option[Double] = {
     val s = sums.sorted
-    if (s.size < 2) 0.0 else spreadPct(s(0), s(1))
+    if (s.size < 2) None else spreadPct(s(0), s(1))
   }
 
   /** Above this control-trio spread, the slower pass ran on a drifted host
@@ -110,11 +115,56 @@ object Bench {
     * lacks two quiet backing passes, up to [[MaxPasses]] total (one Option
     * per pass run so far — the length IS the pass count). No retry without
     * a full control reading from every pass — an errored control query
-    * must not buy extra passes.
+    * must not buy extra passes; nor does an UNCALIBRATED one (non-positive
+    * sum → controlSum None → bestTwoSpreadPct None → no retry, and the
+    * artifact flags it instead of publishing spread 0).
     */
   private[graft] def shouldRetry(controlSums: Seq[Option[Double]]): Boolean =
     controlSums.size < MaxPasses && controlSums.forall(_.isDefined) &&
-      bestTwoSpreadPct(controlSums.flatten) > DriftRetryThresholdPct
+      bestTwoSpreadPct(controlSums.flatten).exists(_ > DriftRetryThresholdPct)
+
+  /** Pinned QUIET-host reference for the control trio, seconds per warmed
+    * pass — mirrored from QUIET_BASELINE.md (judge-observed quiet readings
+    * r15–r17 cluster at 1.4–1.6 s; drifted sessions read 2–12 s). The
+    * spread retry above heals INTRA-session drift; this absolute level is
+    * the only signal for the remaining failure class, a session where
+    * EVERY pass runs slow (the BENCH_r17 driver artifact: controls
+    * 1.99/3.39/2.11 s, all three passes ~1.4× drifted, published 147.58 s
+    * that a judge quiet re-run read as 118.91 s on identical code).
+    */
+  private[graft] val QuietTrioRefS = 1.4
+
+  /** Probe trio level / quiet reference above which the session counts as
+    * whole-host-slow: the judge's quiet window read ratio 1.12, the r17
+    * contaminated driver passes 1.42/2.42/1.51 — 1.3 splits the observed
+    * populations with margin on both sides.
+    */
+  private[graft] val ProbeLevelThreshold = 1.3
+  private[graft] val MaxProbes = 3
+  private[graft] val DefaultProbeWaitS = 60
+
+  /** Probe-then-fire decision (r17 verdict #1): after each pre-run trio
+    * probe, wait and re-probe while the latest level reads whole-host-slow
+    * — bounded at [[MaxProbes]] probes so a persistently busy host delays
+    * the run by ≤ ~2 min instead of blocking it (the artifact then ships
+    * with `level_ratio` flagging the contamination). A non-positive level
+    * is uncalibrated: stop probing rather than loop on garbage.
+    */
+  private[graft] def shouldProbeAgain(levels: Seq[Double],
+      quietRef: Double = QuietTrioRefS): Boolean =
+    levels.size < MaxProbes && levels.nonEmpty && levels.last > 0 &&
+      quietRef > 0 && levels.last / quietRef > ProbeLevelThreshold
+
+  /** Absolute host level of the published numbers: the MINIMUM control-trio
+    * sum across the timed passes (the level backing the best pass) over the
+    * pinned quiet reference. ≈1.0 = quiet; ≥ ~1.3 = every pass ran slow and
+    * the totals are host-inflated — the class the spread cannot see. None =
+    * uncalibrated.
+    */
+  private[graft] def levelRatio(minControlSum: Double,
+      quietRef: Double = QuietTrioRefS): Option[Double] =
+    if (minControlSum > 0 && quietRef > 0) Some(minControlSum / quietRef)
+    else None
 
   /** JSON string escape (backslash, quote, ALL control chars) — the ONE
     * escaper behind every hand-emitted JSON artifact (bench line, detail
@@ -180,6 +230,46 @@ object Bench {
       // here keeps intra-pass sharing (dd02+dd06 share one signature build
       // within the timed pass) while making each pass compute its own work.
       operators.MinHashDedup.clearScratch()
+    }
+    // Probe-then-fire (r17 verdict #1): the spread retry below heals a
+    // session where ONE pass drifted, but not one where every pass runs on
+    // a slow host — so before timing anything, the control trio runs ALONE
+    // (post-warmup, so the reading is JIT-warm like the pinned reference)
+    // and a whole-host-slow level waits DefaultProbeWaitS and re-probes,
+    // up to MaxProbes. All probe levels ship in host_drift.probe_levels,
+    // and the timed passes' absolute level_ratio is stamped regardless —
+    // a still-contaminated artifact now says so on its own instead of
+    // needing a judge re-run. Skipped when the selection lacks the full
+    // trio (uncalibrated) or under SPARK_GRAFT_PROBE=0 (iteration aid;
+    // driver runs never set it).
+    // The quiet reference is pinned AT sf0.1 (QUIET_BASELINE.md) — the
+    // trio's absolute time scales with the corpus, so on any other input
+    // (sf0.001 iteration, the 10x/100x ladder fixtures) the ratio is
+    // meaningless and the probe would spin its full 3x60s budget on a
+    // perfectly quiet host. Other fixtures stay probe-less (their drift
+    // signal is the scale-free spread_pct) unless a reference for THAT
+    // fixture is supplied via SPARK_GRAFT_QUIET_REF.
+    val quietRef: Option[Double] =
+      sys.env.get("SPARK_GRAFT_QUIET_REF").map(_.toDouble).filter(_ > 0)
+        .orElse(if (new java.io.File(sfDir).getName == "sf0.1")
+          Some(QuietTrioRefS) else None)
+    val trioSelected = selected.filter(q => DriftControl.contains(q._1))
+    val probeLevels = scala.collection.mutable.ArrayBuffer[Double]()
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "1") != "0" &&
+        quietRef.isDefined &&
+        trioSelected.map(_._1).toSet == DriftControl.toSet) {
+      val waitMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_WAIT_S",
+        DefaultProbeWaitS.toString).toLong * 1000L
+      var more = true
+      while (more) {
+        val level = controlSum(run(spark, sfDir, trioSelected)._1)
+        level.foreach(probeLevels += _)
+        // an errored/uncalibrated probe stops the loop: the timed passes
+        // will surface the error, and looping on garbage buys nothing
+        more = level.isDefined &&
+          shouldProbeAgain(probeLevels.toSeq, quietRef.get)
+        if (more) Thread.sleep(waitMs)
+      }
     }
     // noop sink: materializes every row of the final plan (unlike count(),
     // under which Catalyst elides top-level ORDER BY + output projection).
@@ -341,8 +431,25 @@ object Bench {
         val cs = oks.map(ok => shared.map(ok).sum)
         val levels = cs.zipWithIndex
           .map { case (c, i) => s""""control_p${i + 1}_s":$c""" }.mkString(",")
-        val spread = math.round(bestTwoSpreadPct(cs) * 10) / 10.0
-        s""","host_drift":{"control":${jstr(shared.mkString(","))},$levels,"spread_pct":$spread,"passes_run":${oks.size}}"""
+        // null + uncalibrated flag, never a fake 0 spread (r17 ADVICE)
+        val spread = bestTwoSpreadPct(cs)
+          .map(s => (math.round(s * 10) / 10.0).toString).getOrElse("null")
+        val uncal = if (bestTwoSpreadPct(cs).isEmpty)
+          ""","uncalibrated":true""" else ""
+        // the absolute level stamp (r17 verdict #1) — only calibrated when
+        // the FULL trio ran in every pass (a partial-trio sum is not
+        // comparable to the full-trio quiet reference) AND a reference
+        // exists for this fixture (sf0.1 or SPARK_GRAFT_QUIET_REF)
+        val ratio = (for {
+          ref <- quietRef if shared == DriftControl
+          r <- levelRatio(cs.min, ref)
+        } yield (math.round(r * 100) / 100.0).toString).getOrElse("null")
+        val refJson = quietRef.map(_.toString).getOrElse("null")
+        val probes =
+          if (probeLevels.isEmpty) ""
+          else s""","probe_levels":[${
+            probeLevels.map(v => math.round(v * 100) / 100.0).mkString(",")}]"""
+        s""","host_drift":{"control":${jstr(shared.mkString(","))},$levels,"spread_pct":$spread$uncal,"level_ratio":$ratio,"quiet_ref_s":$refJson,"passes_run":${oks.size}$probes}"""
       }
     }
     java.nio.file.Files.write(

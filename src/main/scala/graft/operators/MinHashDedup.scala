@@ -169,10 +169,15 @@ object MinHashDedup {
     // (an in-flight or failed task reads as a miss, and the caller's
     // materialized() then blocks on / replaces it) — matching the old
     // map-of-paths semantics where nothing was visible until the write
-    // finished
-    Option(scratchCache.get((tag, cacheKey + "#" + fp)))
+    // finished. A completed-but-FAILED task is evicted right here (r17
+    // ADVICE): peek-only callers otherwise kept hitting the poisoned
+    // entry until some materialized() call happened to remove it.
+    val key = (tag, cacheKey + "#" + fp)
+    Option(scratchCache.get(key))
       .filter(_.isDone)
-      .flatMap(t => try Some(t.get()) catch { case _: Exception => None })
+      .flatMap(t => try Some(t.get()) catch {
+        case _: Exception => scratchCache.remove(key, t); None
+      })
       .map(s.read.parquet(_))
   }
 

@@ -216,9 +216,13 @@ object AsOfJoinPlan {
 
   /** Synchronized on the holder: `extraStrategies` is a plain var, and a
     * racing check-then-append (two first-use as-of joins planning
-    * concurrently, or any other component appending its own strategy) can
-    * lose one append — the loser then fails planning with Spark's
-    * "No plan for AsOfJoinNode" assertion (r17 review).
+    * concurrently) can lose one append — the loser then fails planning
+    * with Spark's "No plan for AsOfJoinNode" assertion (r17 review).
+    * Scope (r17 ADVICE): the lock serializes graft's OWN registrars only
+    * (this and [[BoundedLevenshteinRule.register]], which takes the same
+    * monitor); Spark internals or third-party code appending to
+    * `extraStrategies` without it can still race — nothing stronger is
+    * possible against a public plain var.
     */
   def register(spark: SparkSession): Unit =
     spark.experimental.synchronized {

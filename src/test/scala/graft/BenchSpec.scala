@@ -46,13 +46,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.shouldRetry(Seq(Some(12.2), Some(1.4))))
     // after the healing pass lands quiet, the best-two spread is the two
     // quiet passes (1.4 vs 1.5 ≈ 7%) — healed, no further retry wanted
-    assert(Bench.bestTwoSpreadPct(Seq(12.2, 1.4, 1.5)) < Bench.DriftRetryThresholdPct)
+    assert(Bench.bestTwoSpreadPct(Seq(12.2, 1.4, 1.5)).get < Bench.DriftRetryThresholdPct)
     assert(!Bench.shouldRetry(Seq(Some(12.2), Some(1.4), Some(1.5))))
     // quiet session: no retry in the first place
     assert(!Bench.shouldRetry(Seq(Some(1.37), Some(1.34))))
     // hard cap at MaxPasses even if the retry pass ALSO drifted — one
     // extra pass is the contract, not an unbounded chase
-    assert(Bench.bestTwoSpreadPct(Seq(12.0, 1.4, 11.0)) > Bench.DriftRetryThresholdPct)
+    assert(Bench.bestTwoSpreadPct(Seq(12.0, 1.4, 11.0)).get > Bench.DriftRetryThresholdPct)
     assert(!Bench.shouldRetry(Seq(Some(12.0), Some(1.4), Some(11.0))))
     // an errored/absent control query must never buy extra passes
     assert(!Bench.shouldRetry(Seq(Some(12.2), None)))
@@ -60,5 +60,38 @@ class BenchSpec extends AnyFunSuite {
       "tx02_quality" -> 0.25, "tx03_langid" -> 0.25)) === Some(1.0))
     assert(Bench.controlSum(Map("tx01_token_counts" -> 0.5,
       "tx02_quality" -> 0.25)) === None)
+    // a degenerate non-positive control reading is UNCALIBRATED, never
+    // "perfectly quiet" (r17 ADVICE): it must not read as spread 0 and
+    // suppress the retry, and must not buy a retry either
+    assert(Bench.controlSum(Map("tx01_token_counts" -> 0.0,
+      "tx02_quality" -> 0.0, "tx03_langid" -> 0.0)) === None)
+    assert(Bench.spreadPct(0.0, 1.4) === None)
+    assert(Bench.bestTwoSpreadPct(Seq(0.0, 1.4)) === None)
+    assert(Bench.bestTwoSpreadPct(Seq(1.4)) === None)
+  }
+
+  test("probe-then-fire decision and absolute level stamp (r17 verdict #1)") {
+    // the BENCH_r17 driver artifact, replayed: first probe reads 1.99 s
+    // against the 1.4 s quiet reference (ratio 1.42, whole-host-slow) —
+    // wait and re-probe
+    assert(Bench.shouldProbeAgain(Seq(1.99)))
+    // a quiet first probe fires immediately: the builder's quiet readings
+    // (~1.4) and the judge's quiet window (1.57, ratio 1.12) both pass
+    assert(!Bench.shouldProbeAgain(Seq(1.45)))
+    assert(!Bench.shouldProbeAgain(Seq(1.57)))
+    // drifted → quiet across probes: the LATEST level decides
+    assert(!Bench.shouldProbeAgain(Seq(1.99, 1.42)))
+    assert(Bench.shouldProbeAgain(Seq(1.99, 2.05)))
+    // bounded: after MaxProbes the run fires anyway (level_ratio then
+    // flags the artifact) — never an unbounded wait
+    assert(!Bench.shouldProbeAgain(Seq(1.99, 3.39, 2.11)))
+    // degenerate zero reading is uncalibrated: stop probing, don't loop
+    assert(!Bench.shouldProbeAgain(Seq(0.0)))
+    // absolute level stamp: min-of-passes control sum vs quiet reference.
+    // r17 contaminated artifact (best pass 1.99) self-reports 1.42; the
+    // judge's quiet re-run self-reports 1.12; non-positive = uncalibrated
+    assert(Bench.levelRatio(1.99).exists(r => math.abs(r - 1.421) < 0.01))
+    assert(Bench.levelRatio(1.57).exists(_ < Bench.ProbeLevelThreshold))
+    assert(Bench.levelRatio(0.0) === None)
   }
 }

@@ -54,7 +54,11 @@ if [ -f "$DETAIL" ]; then
   cp "$DETAIL" "$DETAIL_BAK"
 fi
 restore_detail() {
-  if [ -n "$DETAIL_BAK" ]; then mv -f "$DETAIL_BAK" "$DETAIL"; fi
+  if [ -n "$DETAIL_BAK" ]; then mv -f "$DETAIL_BAK" "$DETAIL"
+  # fresh checkout: nothing to restore, but the ladder's last factor must
+  # not LEAVE a 2-5-query /tmp-fixture detail file where the driver/judge
+  # read the full-suite artifact (r17 ADVICE)
+  else rm -f "$DETAIL"; fi
 }
 trap restore_detail EXIT
 
