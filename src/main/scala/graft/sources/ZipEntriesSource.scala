@@ -131,14 +131,23 @@ object ZipScan {
 
   import org.apache.spark.sql.sources._
 
+  /** A compiled name predicate plus whether it is EXACT — keeps precisely
+    * the filter's matches — or a superset WIDENING (a half-compilable And
+    * keeps only its compilable conjunct). Exactness gates negation: Not of
+    * an exact predicate is exact (and safely prunable), while Not of a
+    * widening would keep a SUBSET — an under-approximation that silently
+    * drops matching members (r17 verdict #4).
+    */
+  private[sources] final case class Compiled(
+      keep: (String, String, String) => Boolean, exact: Boolean)
+
   /** A name filter compiled to a (zipPath, zipName, entryName) => keep
     * predicate; None = not prunable (left to Spark's residual evaluation).
     * zip_path predicates prune too — a `month=…` path-prefix filter is the
     * at-scale partition-pruning shape. Static so the distributed planning
     * closure captures filters (serializable), never the scan.
     */
-  private[sources] def compile(f: Filter)
-      : Option[(String, String, String) => Boolean] = {
+  private[sources] def compile(f: Filter): Option[Compiled] = {
     type Row3 = (String, String, String)
     def col(attr: String): Option[Row3 => String] = attr match {
       case "zip_path" => Some(_._1)
@@ -146,9 +155,11 @@ object ZipScan {
       case "entry_name" => Some(_._3)
       case _ => None
     }
+    def exact(fn: (String, String, String) => Boolean): Compiled =
+      Compiled(fn, exact = true)
     f match {
       case EqualTo(a, v: String) =>
-        col(a).map(c => (p, z, e) => c((p, z, e)) == v)
+        col(a).map(c => exact((p, z, e) => c((p, z, e)) == v))
       case In(a, vs) =>
         // the all-strings probe counts the COLLECTED values, not the
         // deduped set: an IN list carrying a duplicate (survives when
@@ -158,13 +169,13 @@ object ZipScan {
         val strs = vs.collect { case s: String => s }
         val set = strs.toSet
         col(a).filter(_ => strs.length == vs.length)
-          .map(c => (p, z, e) => set.contains(c((p, z, e))))
+          .map(c => exact((p, z, e) => set.contains(c((p, z, e)))))
       case StringStartsWith(a, v) =>
-        col(a).map(c => (p, z, e) => c((p, z, e)).startsWith(v))
+        col(a).map(c => exact((p, z, e) => c((p, z, e)).startsWith(v)))
       case StringEndsWith(a, v) =>
-        col(a).map(c => (p, z, e) => c((p, z, e)).endsWith(v))
+        col(a).map(c => exact((p, z, e) => c((p, z, e)).endsWith(v)))
       case StringContains(a, v) =>
-        col(a).map(c => (p, z, e) => c((p, z, e)).contains(v))
+        col(a).map(c => exact((p, z, e) => c((p, z, e)).contains(v)))
       case And(l, r) =>
         // a half-compilable And keeps its compilable side: pruning is a
         // SUPERSET optimization (every filter re-applies as a residual,
@@ -172,16 +183,32 @@ object ZipScan {
         // enclosing Or), so the old both-or-nothing rule forfeited pruning
         // for e.g. Or(And(startsWith, size > 0), eq) — the size conjunct
         // sank the whole tree (r17 review). Both sides compiled still
-        // conjoin for the tightest prune. No Not case exists above, so a
-        // widened And can never be re-negated into an UNDER-approximation.
+        // conjoin for the tightest prune; a one-sided result is marked
+        // non-exact so the Not case below can never re-negate it into an
+        // under-approximation.
         (compile(l), compile(r)) match {
-          case (Some(cl), Some(cr)) => Some(
-            (p: String, z: String, e: String) => cl(p, z, e) && cr(p, z, e))
+          case (Some(cl), Some(cr)) => Some(Compiled(
+            (p, z, e) => cl.keep(p, z, e) && cr.keep(p, z, e),
+            cl.exact && cr.exact))
           case (one, other) => one.orElse(other)
+            .map(c => c.copy(exact = false))
         }
       case Or(l, r) =>
+        // both disjuncts must compile (dropping one would UNDER-keep);
+        // the union of a widened side is still a superset — prunable but
+        // not negatable
         for (cl <- compile(l); cr <- compile(r))
-          yield (p: String, z: String, e: String) => cl(p, z, e) || cr(p, z, e)
+          yield Compiled((p, z, e) => cl.keep(p, z, e) || cr.keep(p, z, e),
+            cl.exact && cr.exact)
+      case Not(child) =>
+        // exact-only: EqualTo/In/StartsWith/EndsWith/Contains (and any
+        // And/Or/Not tree of them) evaluate PRECISELY on the three name
+        // columns, so their complement prunes safely — `zip_name != 'x'`
+        // now skips that archive instead of planning a full scan (r17
+        // verdict #4). A widened child stays un-negatable: its complement
+        // would drop members the original filter keeps.
+        compile(child).withFilter(_.exact)
+          .map(c => exact((p, z, e) => !c.keep(p, z, e)))
       case _ => None
     }
   }
@@ -236,7 +263,7 @@ class ZipScan(path: String, var required: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compilable = filters.flatMap(f => ZipScan.compile(f).map(f -> _))
     pushed = compilable.map(_._1)
-    compiled = compilable.map(_._2)
+    compiled = compilable.map(_._2.keep)
     filters // all residual: Spark re-evaluates post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -332,7 +359,7 @@ class ZipScan(path: String, var required: StructType,
     spark.sparkContext
       .parallelize(zips.toSeq, math.max(1, math.min(zips.length, 256)))
       .mapPartitions { zs =>
-        val keep = filters.flatMap(ZipScan.compile)
+        val keep = filters.flatMap(f => ZipScan.compile(f).map(_.keep))
         zs.flatMap(z => ZipScan.membersOf(z, keep))
       }
       .collect()

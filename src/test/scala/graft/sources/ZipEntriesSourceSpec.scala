@@ -131,6 +131,56 @@ class ZipEntriesSourceSpec extends AnyFunSuite {
     assert(halfAnd.count() === 2L)
     assert(halfAnd.rdd.getNumPartitions === 2,
       "one-sided And pruning must survive under Or")
+    // NEGATION prunes when the child is exact (r17 verdict #4):
+    // `zip_name != 'a.zip'` skips a.zip's 3 members at planning instead
+    // of planning a full-archive scan
+    val notEq = df.filter($"zip_name" =!= "a.zip")
+    assert(notEq.count() === 1L)
+    assert(notEq.rdd.getNumPartitions === 1,
+      "Not over an exact name predicate must prune")
+    val notPrefix = df.filter(!$"entry_name".startsWith("K4"))
+    assert(notPrefix.count() === 3L)
+    assert(notPrefix.rdd.getNumPartitions === 3,
+      "NOT startswith must prune the complement")
+    // Not over a HALF-compilable And must NOT prune: the widened And keeps
+    // a superset, so its complement would keep a SUBSET and silently drop
+    // matching members — correctness first, rows must all come back
+    val notHalfAnd = df.filter(!($"entry_name".endsWith("EMPRECSV") &&
+      $"size" > 0L))
+    assert(notHalfAnd.count() === 2L,
+      "negated half-compilable And must not drop rows")
+  }
+
+  test("compile(): Not gates on exactness, widened And is non-negatable") {
+    import org.apache.spark.sql.sources._
+    def c(f: Filter) = ZipScan.compile(f)
+    // exact leaves negate exactly
+    val notEq = c(Not(EqualTo("zip_name", "a.zip")))
+    assert(notEq.exists(_.exact))
+    assert(notEq.get.keep("p", "b.zip", "e"))
+    assert(!notEq.get.keep("p", "a.zip", "e"))
+    // double negation stays exact
+    assert(c(Not(Not(StringStartsWith("entry_name", "K")))).exists(_.exact))
+    // a half-compilable And compiles WIDENED (superset, non-exact)...
+    val half = And(StringEndsWith("entry_name", "EMPRECSV"),
+      GreaterThan("size", 0L))
+    assert(c(half).exists(!_.exact))
+    assert(c(half).get.keep("p", "z", "K1.EMPRECSV"),
+      "widened And keeps its compilable conjunct's matches")
+    // ...so its negation must NOT compile (complement of a superset
+    // under-keeps), while a FULLY-compilable And negates fine
+    assert(c(Not(half)).isEmpty)
+    val full = And(StringEndsWith("entry_name", "EMPRECSV"),
+      EqualTo("zip_name", "a.zip"))
+    assert(c(full).exists(_.exact))
+    assert(c(Not(full)).exists(_.exact))
+    // an Or carrying a widened branch is prunable but non-exact → its
+    // negation must not compile either
+    val orWide = Or(half, EqualTo("zip_name", "b.zip"))
+    assert(c(orWide).exists(!_.exact))
+    assert(c(Not(orWide)).isEmpty)
+    // Not over an uncompilable child stays uncompilable
+    assert(c(Not(GreaterThan("size", 0L))).isEmpty)
   }
 
   test("duplicate entry names yield distinct rows with their own sizes") {
