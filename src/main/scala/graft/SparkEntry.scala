@@ -30,4 +30,21 @@ object SparkEntry {
       TemporalJoins.oracle ++ DedupClusters.oracle ++ EventsStream.oracle ++
       CorpusFilters.oracle ++ CorpusStream.oracle ++ GraphOps.oracle ++
       LakeOps.oracle ++ EventAnalytics.oracle ++ Relational6.oracle
+
+  /** [[oracleSql]] with the LSH-geometry-dependent entries (dd07, dd08,
+    * ss05, gr01–gr03, rec01 — everything spliced over the embedding pairs
+    * CTE) regenerated for `dir`'s ACTUAL corpus size. The Spark side grows
+    * its plane and table counts with the corpus
+    * ([[operators.SimilarityOps.planesFor]]), so a pinned-scale oracle
+    * replicates the engine's candidate generation only up to 2 048
+    * vectors; past that (the 10×+ ladder fixtures, where the r17 verdict
+    * ordered the oracle to also run) the pinned SQL would diverge on LSH
+    * recall. At every driver testdata scale the regenerated SQL IS the
+    * pinned SQL, so the driver gate is unchanged.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
+    val n = SimilarityOps.embCount(spark, dir)
+    oracleSql ++ SimilarityOps.oracleAt(n) ++
+      DedupClusters.oracleAt(n) ++ GraphOps.oracleAt(n)
+  }
 }

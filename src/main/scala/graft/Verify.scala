@@ -58,8 +58,11 @@ object Verify {
     }
     // JSON string escaping shared with the bench emitters ([[Bench.jstr]]
     // — this file used to carry its own copy of the escape table, the
-    // drift hazard the r15 review flagged)
-    val json = selected(SparkEntry.oracleSql)
+    // drift hazard the r15 review flagged).
+    // oracleSqlFor, not oracleSql: the LSH-geometry entries are dumped for
+    // THIS dir's corpus size (identical SQL at every driver scale; see the
+    // SparkEntry doc) so the oracle gate also holds on ladder fixtures.
+    val json = selected(SparkEntry.oracleSqlFor(spark, sfDir))
       .map { case (k, v) => s"${Bench.jstr(k)}: ${Bench.jstr(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -487,6 +487,30 @@ object DedupClusters {
     * equivalent) + recursive-CTE reachability, MIN(reachable) per node.
     * The Spark path propagates labels instead.
     */
+  /** dd08's reachability oracle over a spliced pairs CTE — a function of
+    * the CTE because the pair geometry is corpus-size-dependent on the
+    * Spark side (see [[SimilarityOps.nearDupPairsCteSqlFor]]); Verify
+    * regenerates via [[oracleAt]] for the actual input dir.
+    */
+  private def dd08Sql(pairsCte: String): String =
+    s"""WITH RECURSIVE
+       | $pairsCte,
+       | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |           UNION ALL SELECT id2, id1 FROM pairs),
+       | walk(id, r) AS (
+       |   SELECT vec_id, vec_id FROM embeddings
+       |   UNION
+       |   SELECT e.a, walk.r FROM edges e JOIN walk ON walk.id = e.b)
+       |SELECT id AS vec_id, MIN(r) AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size,
+       |  CAST(id = MIN(r) AS INT) AS keep
+       |FROM walk GROUP BY id
+       |ORDER BY vec_id""".stripMargin
+
+  private[graft] def oracleAt(n: Long): Map[String, String] = Map(
+    "dd08_semantic_clusters" ->
+      dd08Sql(SimilarityOps.nearDupPairsCteSqlFor(n)))
+
   val oracle: Map[String, String] = ListMap(
     "dd06_dedup_clusters" ->
       s"""WITH RECURSIVE
@@ -505,20 +529,7 @@ object DedupClusters {
 
     // Same reachability oracle over dd07's exact pair computation (the
     // plane-literal CTE chain spliced under WITH RECURSIVE).
-    "dd08_semantic_clusters" ->
-      s"""WITH RECURSIVE
-         | ${SimilarityOps.nearDupPairsCteSql},
-         | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |           UNION ALL SELECT id2, id1 FROM pairs),
-         | walk(id, r) AS (
-         |   SELECT vec_id, vec_id FROM embeddings
-         |   UNION
-         |   SELECT e.a, walk.r FROM edges e JOIN walk ON walk.id = e.b)
-         |SELECT id AS vec_id, MIN(r) AS cluster_id,
-         |  COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size,
-         |  CAST(id = MIN(r) AS INT) AS keep
-         |FROM walk GROUP BY id
-         |ORDER BY vec_id""".stripMargin,
+    "dd08_semantic_clusters" -> dd08Sql(SimilarityOps.nearDupPairsCteSql),
 
     // dd06's reachability CTE, then the same md5-of-cluster split rule.
     "tx16_leakage_split" ->

@@ -322,57 +322,58 @@ object GraphOps {
        |  GROUP BY e.dst)""".stripMargin
   }.mkString(",\n")
 
-  val oracle: Map[String, String] = ListMap(
-    "gr01_pagerank" ->
-      s"""WITH ${SimilarityOps.nearDupPairsCteSql},
-         | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
-         |        UNION ALL SELECT id2, id1 FROM pairs),
-         | dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
-         | r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS r FROM dg),
-         |$iterSql
-         |SELECT node, r AS rank_scaled FROM i$Iters ORDER BY node""".stripMargin,
+  private def gr01Sql(pairsCte: String): String =
+    s"""WITH $pairsCte,
+       | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       | dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+       | r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS r FROM dg),
+       |$iterSql
+       |SELECT node, r AS rank_scaled FROM i$Iters ORDER BY node""".stripMargin
 
-    // Hop-bounded reachability as a recursive CTE: UNION dedups (node, h)
-    // states and h < MaxHops bounds the recursion, so min-per-node equals
-    // the iterative relaxation exactly.
-    "gr03_bfs_hops" ->
-      s"""WITH RECURSIVE ${SimilarityOps.nearDupPairsCteSql},
-         | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
-         |        UNION ALL SELECT id2, id1 FROM pairs),
-         | walk(node, h) AS (
-         |   SELECT (SELECT MIN(id1) FROM pairs), 0
-         |   UNION
-         |   SELECT e.dst, walk.h + 1 FROM ed e
-         |   JOIN walk ON walk.node = e.src WHERE walk.h < $MaxHops)
-         |SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
-         |WHERE node IS NOT NULL
-         |GROUP BY node ORDER BY node""".stripMargin,
+  // Hop-bounded reachability as a recursive CTE: UNION dedups (node, h)
+  // states and h < MaxHops bounds the recursion, so min-per-node equals
+  // the iterative relaxation exactly. (rec01 restates the same walk; in
+  // DuckDB the UNION-dedup keeps its state small, and min-per-node is
+  // identical to the UNION ALL enumeration's.)
+  private def bfsSql(pairsCte: String): String =
+    s"""WITH RECURSIVE $pairsCte,
+       | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       | walk(node, h) AS (
+       |   SELECT (SELECT MIN(id1) FROM pairs), 0
+       |   UNION
+       |   SELECT e.dst, walk.h + 1 FROM ed e
+       |   JOIN walk ON walk.node = e.src WHERE walk.h < $MaxHops)
+       |SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
+       |WHERE node IS NOT NULL
+       |GROUP BY node ORDER BY node""".stripMargin
 
-    // Same recursive walk (UNION-dedup in DuckDB keeps its state small;
-    // min-per-node is identical to the UNION ALL enumeration's).
-    "rec01_recursive_cte" ->
-      s"""WITH RECURSIVE ${SimilarityOps.nearDupPairsCteSql},
-         | ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
-         |        UNION ALL SELECT id2, id1 FROM pairs),
-         | walk(node, h) AS (
-         |   SELECT (SELECT MIN(id1) FROM pairs), 0
-         |   UNION
-         |   SELECT e.dst, walk.h + 1 FROM ed e
-         |   JOIN walk ON walk.node = e.src WHERE walk.h < $MaxHops)
-         |SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk
-         |WHERE node IS NOT NULL
-         |GROUP BY node ORDER BY node""".stripMargin,
+  private def gr02Sql(pairsCte: String): String =
+    s"""WITH $pairsCte,
+       | tri AS (
+       |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.id1 = e1.id2
+       |  JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+       | m AS (SELECT a AS node FROM tri UNION ALL
+       |       SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT node, COUNT(*) AS n_triangles FROM m
+       |GROUP BY node ORDER BY node""".stripMargin
 
-    "gr02_triangles" ->
-      s"""WITH ${SimilarityOps.nearDupPairsCteSql},
-         | tri AS (
-         |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
-         |  FROM pairs e1
-         |  JOIN pairs e2 ON e2.id1 = e1.id2
-         |  JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
-         | m AS (SELECT a AS node FROM tri UNION ALL
-         |       SELECT b FROM tri UNION ALL SELECT c FROM tri)
-         |SELECT node, COUNT(*) AS n_triangles FROM m
-         |GROUP BY node ORDER BY node""".stripMargin,
-  )
+  private def oracleOver(pairsCte: String): Map[String, String] = ListMap(
+    "gr01_pagerank" -> gr01Sql(pairsCte),
+    "gr03_bfs_hops" -> bfsSql(pairsCte),
+    "rec01_recursive_cte" -> bfsSql(pairsCte),
+    "gr02_triangles" -> gr02Sql(pairsCte))
+
+  /** The graph oracles' edge set is dd07's pair computation, whose LSH
+    * geometry is corpus-size-dependent on the Spark side — regenerated per
+    * input dir via [[SparkEntry.oracleSqlFor]] like dd07/dd08/ss05.
+    */
+  private[graft] def oracleAt(n: Long): Map[String, String] =
+    oracleOver(SimilarityOps.nearDupPairsCteSqlFor(n))
+
+  val oracle: Map[String, String] =
+    oracleOver(SimilarityOps.nearDupPairsCteSql)
 }

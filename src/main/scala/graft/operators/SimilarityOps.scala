@@ -61,7 +61,7 @@ object SimilarityOps {
           e: java.util.Map.Entry[String, (String, Long)]): Boolean =
         size() > EmbCountCacheMax
     }
-  private[operators] def embCount(s: SparkSession, dir: String): Long = {
+  private[graft] def embCount(s: SparkSession, dir: String): Long = {
     val df = Tables(s, dir, "embeddings")
     val fp = MinHashDedup.inputFingerprint(df)
     val hit = embCountCache.synchronized(embCountCache.get(dir))
@@ -117,6 +117,16 @@ object SimilarityOps {
     * planner's shuffle strategy takes over.
     */
   private[operators] val BroadcastMaxVectors = 1000000L
+  /** Recall defense at scale: each extra plane multiplies per-table
+    * near-dup recall by the per-bit agreement probability, so the table
+    * count grows with the plane count (3 at every oracle/bench scale, up
+    * to 8 at corpus scales). Tables are cheap: one signature column each,
+    * one shared scratch pass. ONE definition, shared by [[multiTableSigs]]
+    * and the oracle generators — the geometry is a cross-engine contract.
+    */
+  private[operators] def bandTablesFor(nPlanes: Int): Int =
+    math.min(8, 3 + (nPlanes - MinPlanes) / 3)
+
   private[operators] def planesFor(n: Long): Int = {
     val p = math.max(MinPlanes, math.ceil(
       math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt)
@@ -160,13 +170,7 @@ object SimilarityOps {
   private[operators] def multiTableSigs(
       s: SparkSession, dir: String, n: Long): DataFrame = {
     val nPlanes = planesFor(n)
-    // recall defense at scale: each extra plane multiplies per-table
-    // near-dup recall by the per-bit agreement probability, so the table
-    // count grows with the plane count (3 at every oracle/bench scale —
-    // the inlined 3-signature oracle SQL stays exact — up to 8 at corpus
-    // scales). Tables are cheap: one signature column each, one shared
-    // scratch pass.
-    val nTables = math.min(8, 3 + (nPlanes - MinPlanes) / 3)
+    val nTables = bandTablesFor(nPlanes)
     val e = emb(s, dir)
     MinHashDedup.materialized(
       e.select(col("vec_id"), explode(array(
@@ -690,25 +694,97 @@ object SimilarityOps {
   /** dd07's pair computation as a CTE chain ending in `pairs(id1, id2,
     * cosine)` — shared by the dd07 oracle and dd08's recursive-CTE oracle
     * (which must splice it under `WITH RECURSIVE`).
+    *
+    * The candidate CTE is a UNION of one EQUIJOIN per band, not a single
+    * join on `s0=s0 OR s1=s1 OR s2=s2`: the OR form denies DuckDB a hash
+    * join and nested-loops all ~n²/2 ordered pairs — minutes-to-hours at
+    * the 10× ladder fixture's 20 K vectors, where the oracle now also has
+    * to run (r17 verdict #2). UNION dedups, so the set is identical to
+    * the DISTINCT-over-OR original (any-band-matches, id1 < id2).
+    *
+    * Parameterized by the corpus size because the SPARK side is:
+    * [[multiTableSigs]] grows the plane count (`planesFor`) and the table
+    * count with n, so a pinned 4-plane/3-table oracle replicates the
+    * engine's candidate generation only up to TargetBucket·2^MinPlanes =
+    * 2 048 vectors. Past that (the 10×+ ladder fixtures) the two would
+    * disagree on LSH RECALL — pairs the oracle's coarser buckets catch
+    * but the engine's finer ones miss — which the exact-cosine filter
+    * cannot repair. Verify regenerates these entries per input dir
+    * ([[SparkEntry.oracleSqlFor]]); at every driver scale the generated
+    * SQL is the pinned one.
     */
-  private[operators] def nearDupPairsCteSql: String =
+  private[operators] def nearDupPairsCteSqlFor(n: Long): String = {
+    val nPlanes = planesFor(math.max(n, 1L))
+    val nTables = bandTablesFor(nPlanes)
+    val sigCols = (0 until nTables)
+      .map(t => s"${sigSqlFor(42 + t, nPlanes)} AS s$t")
+      .mkString(",\n   ")
+    val unionBranches = (0 until nTables).map { t =>
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2
+         |   FROM sg a JOIN sg b ON a.s$t = b.s$t AND b.vec_id > a.vec_id"""
+        .stripMargin
+    }.mkString("\n  UNION\n  ")
     s"""d AS (SELECT vec_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        | n AS (SELECT vec_id, v,
        |   sqrt(list_inner_product(v, v)) AS nrm FROM d),
        | sg AS (SELECT vec_id, v, nrm,
-       |   ${sigSqlFor(42, 4)} AS s0,
-       |   ${sigSqlFor(43, 4)} AS s1,
-       |   ${sigSqlFor(44, 4)} AS s2 FROM n),
-       | c AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-       |  FROM sg a JOIN sg b ON b.vec_id > a.vec_id
-       |   AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2)),
-       | pairs AS (SELECT c.id1, c.id2,
-       |   ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
-       |  FROM c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2
-       |  WHERE ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6)
-       |    >= 0.4)""".stripMargin
+       |   $sigCols FROM n),
+       | c AS ($unionBranches),
+       | pairs AS (SELECT id1, id2, cosine FROM (
+       |   SELECT c.id1, c.id2,
+       |    ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+       |   FROM c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2)
+       |  WHERE cosine >= 0.4)""".stripMargin
+  }
+
+  /** The pinned-scale form (4 planes / 3 tables — exact for every corpus
+    * up to 2 048 vectors, i.e. all driver testdata scale factors).
+    */
+  private[graft] def nearDupPairsCteSql: String =
+    nearDupPairsCteSqlFor(PinnedOracleVectors)
+
+  /** Any n that [[planesFor]] pins to MinPlanes; sf0.1 ships 2 000. */
+  private[operators] val PinnedOracleVectors = 2000L
+
+  /** Scale-dependent oracle entries regenerated for a corpus of `n`
+    * vectors — SimilarityOps' own; DedupClusters and GraphOps expose their
+    * spliced-CTE twins the same way, merged in [[SparkEntry.oracleSqlFor]].
+    */
+  private[graft] def oracleAt(n: Long): Map[String, String] = Map(
+    "ss05_ann_rerank" -> ss05Sql(n),
+    "dd07_embedding_lsh_neardup" ->
+      s"""WITH ${nearDupPairsCteSqlFor(n)}
+         |SELECT id1, id2, cosine FROM pairs ORDER BY id1, id2""".stripMargin)
+
+  /** ss05's oracle for a corpus of `n` vectors: same sig columns as the
+    * pairs CTE (one per table, planesFor(n) planes), UNION-per-table
+    * candidates (hash-joinable — see the nearDupPairsCteSqlFor note).
+    */
+  private def ss05Sql(n: Long): String = {
+    val nPlanes = planesFor(math.max(n, 1L))
+    val nTables = bandTablesFor(nPlanes)
+    val sigCols = (0 until nTables)
+      .map(t => s"${sigSqlFor(42 + t, nPlanes)} AS s$t")
+      .mkString(",\n   ")
+    val unionBranches = (0 until nTables).map { t =>
+      s"""SELECT q.vec_id AS qid, b.vec_id
+         |  FROM sg q JOIN sg b ON q.s$t = b.s$t AND b.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""$oWith,
+       | sg AS (SELECT vec_id,
+       |   $sigCols FROM n),
+       | c AS ($unionBranches),
+       | j AS (SELECT c.qid, c.vec_id,
+       |   list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+       |  FROM c JOIN n x ON x.vec_id = c.qid JOIN n y ON y.vec_id = c.vec_id),
+       | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+       |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
+       |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
 
   val oracle: Map[String, String] = ListMap(
     "ss01_cosine_pairs" ->
@@ -781,23 +857,7 @@ object SimilarityOps {
     // Candidate buckets replicated exactly (3 tables' planes as double
     // literals), then the same exact-cosine re-rank — the two-stage
     // pipeline is gated end to end, not just its final ordering.
-    "ss05_ann_rerank" ->
-      s"""$oWith,
-         | sg AS (SELECT vec_id,
-         |   ${sigSqlFor(42, 4)} AS s0,
-         |   ${sigSqlFor(43, 4)} AS s1,
-         |   ${sigSqlFor(44, 4)} AS s2 FROM n),
-         | c AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id
-         |  FROM sg q JOIN sg b ON b.vec_id <> q.vec_id
-         |   AND (q.s0 = b.s0 OR q.s1 = b.s1 OR q.s2 = b.s2)
-         |  WHERE q.vec_id < 10),
-         | j AS (SELECT c.qid, c.vec_id,
-         |   list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
-         |  FROM c JOIN n x ON x.vec_id = c.qid JOIN n y ON y.vec_id = c.vec_id),
-         | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
-         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
-         |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
-         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "ss05_ann_rerank" -> ss05Sql(PinnedOracleVectors),
 
     // The 3 hash tables' planes inlined as exact double literals — DuckDB
     // reproduces every bucket, so candidate generation is replicated

@@ -22,6 +22,35 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(SimilarityOps.planesFor(1L << 30) === 23)
   }
 
+  test("scale-aware oracle: pinned at driver scales, regenerated beyond") {
+    // the cross-engine contract behind SparkEntry.oracleSqlFor: at every
+    // driver testdata corpus (≤ 2 048 vectors) the regenerated SQL IS the
+    // static oracle map's SQL, so the driver hash gate sees no change...
+    for (n <- Seq(200L, 2000L, 2048L)) {
+      assert(SimilarityOps.nearDupPairsCteSqlFor(n)
+        === SimilarityOps.nearDupPairsCteSql, s"n=$n")
+      assert(SimilarityOps.oracleAt(n)("ss05_ann_rerank")
+        === SimilarityOps.oracle("ss05_ann_rerank"), s"n=$n")
+      assert(GraphOps.oracleAt(n) === GraphOps.oracle, s"n=$n")
+      assert(DedupClusters.oracleAt(n)("dd08_semantic_clusters")
+        === DedupClusters.oracle("dd08_semantic_clusters"), s"n=$n")
+    }
+    // ...while the 10× ladder fixture's 20 k vectors regenerate with the
+    // ENGINE's geometry (planesFor(20000)=8 → 4 tables): a 4th signature
+    // column and 4 candidate branches — the pinned SQL would disagree on
+    // LSH recall there, which the exact-cosine filter cannot repair
+    val at10x = SimilarityOps.nearDupPairsCteSqlFor(20000)
+    assert(at10x.contains("AS s3") && !at10x.contains("AS s4"))
+    assert(SimilarityOps.bandTablesFor(SimilarityOps.planesFor(20000)) === 4)
+    // every spliced consumer regenerates from the same CTE
+    for ((k, sql) <- SimilarityOps.oracleAt(20000) ++
+        DedupClusters.oracleAt(20000) ++ GraphOps.oracleAt(20000))
+      assert(sql.contains("AS s3"), k)
+    // table growth caps at 8 (s0..s7) no matter the corpus
+    val huge = SimilarityOps.nearDupPairsCteSqlFor(1L << 30)
+    assert(huge.contains("AS s7") && !huge.contains("AS s8"))
+  }
+
   test("expected bucket occupancy stays bounded once the rule engages") {
     for (n <- Seq(1L << 17, 1L << 20, 1L << 26, 1L << 30, 1L << 36)) {
       val p = SimilarityOps.planesFor(n)

@@ -5,7 +5,7 @@ Usage: python tools/check_oracle.py <sfDir> <verifyOutDir>
 Compares, per query: row count, column names, and cell values (exact, after
 sorting columns by name and rows by all columns).
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -14,7 +14,12 @@ sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # driver testdata ships single-file tables; ScaleUp ladder fixtures are
+    # Spark-written DIRECTORIES named t.parquet — glob their part files so
+    # the oracle can gate the 10x fixture too (r17 verdict #2)
+    path = f"{sf}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
