@@ -677,8 +677,6 @@ object SimilarityOps {
       s"(CASE WHEN list_inner_product(v, ${planeSql(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def ss03SigSql: String = sigSqlFor(42, 4)
-
   /** ss10's augmented-plane signature: the first 64 plane components dot
     * the raw vector (same sequential accumulation as
     * [[graft.functions.DotProduct]]), the 65th multiplies the augmented
@@ -753,10 +751,48 @@ object SimilarityOps {
     * spliced-CTE twins the same way, merged in [[SparkEntry.oracleSqlFor]].
     */
   private[graft] def oracleAt(n: Long): Map[String, String] = Map(
+    "ss03_ann_lsh" -> ss03Sql(n),
+    "ss08_filtered_ann" -> ss08Sql(n),
     "ss05_ann_rerank" -> ss05Sql(n),
     "dd07_embedding_lsh_neardup" ->
       s"""WITH ${nearDupPairsCteSqlFor(n)}
          |SELECT id1, id2, cosine FROM pairs ORDER BY id1, id2""".stripMargin)
+
+  /** ss03's single-table bucket join, its signature at planesFor(n) —
+    * the Spark side computes `planesFor(embCount)` planes, so this oracle
+    * is in the same corpus-size-dependent class as the pairs CTE.
+    */
+  private def ss03Sql(n: Long): String =
+    s"""$oWith,
+       | s AS (SELECT vec_id, v, nrm,
+       |   ${sigSqlFor(42, planesFor(math.max(n, 1L)))} AS sig FROM n),
+       | j AS (SELECT q.vec_id AS qid, c.vec_id,
+       |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM s q JOIN s c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+       |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
+       |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  private def ss08Sql(n: Long): String =
+    s"""WITH d AS (SELECT vec_id, label,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       | n AS (SELECT vec_id, label, v,
+       |   sqrt(list_inner_product(v, v)) AS nrm FROM d),
+       | s AS (SELECT vec_id, label, v, nrm,
+       |   ${sigSqlFor(42, planesFor(math.max(n, 1L)))} AS sig FROM n),
+       | j AS (SELECT q.vec_id AS qid, q.label, c.vec_id,
+       |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM s q JOIN s c ON c.sig = q.sig AND c.label = q.label
+       |   AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       | r AS (SELECT qid, label, vec_id, cos, ROW_NUMBER() OVER (
+       |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
+       |SELECT qid, label, vec_id, ROUND(cos, 6) AS cosine,
+       | CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   /** ss05's oracle for a corpus of `n` vectors: same sig columns as the
     * pairs CTE (one per table, planesFor(n) planes), UNION-per-table
@@ -803,36 +839,10 @@ object SimilarityOps {
          |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
-    "ss03_ann_lsh" ->
-      s"""$oWith,
-         | s AS (SELECT vec_id, v, nrm, $ss03SigSql AS sig FROM n),
-         | j AS (SELECT q.vec_id AS qid, c.vec_id,
-         |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-         |  FROM s q JOIN s c ON c.sig = q.sig AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         | r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
-         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
-         |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
-         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "ss03_ann_lsh" -> ss03Sql(PinnedOracleVectors),
 
     // ss03's oracle with the label folded into the bucket join.
-    "ss08_filtered_ann" ->
-      s"""WITH d AS (SELECT vec_id, label,
-         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         | n AS (SELECT vec_id, label, v,
-         |   sqrt(list_inner_product(v, v)) AS nrm FROM d),
-         | s AS (SELECT vec_id, label, v, nrm, $ss03SigSql AS sig FROM n),
-         | j AS (SELECT q.vec_id AS qid, q.label, c.vec_id,
-         |   list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-         |  FROM s q JOIN s c ON c.sig = q.sig AND c.label = q.label
-         |   AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         | r AS (SELECT qid, label, vec_id, cos, ROW_NUMBER() OVER (
-         |   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM j)
-         |SELECT qid, label, vec_id, ROUND(cos, 6) AS cosine,
-         | CAST(rn AS INT) AS rn
-         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "ss08_filtered_ann" -> ss08Sql(PinnedOracleVectors),
 
     "ss04_ann_ivf" ->
       s"""$oWith,

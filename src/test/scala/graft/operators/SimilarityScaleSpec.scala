@@ -29,8 +29,8 @@ class SimilarityScaleSpec extends AnyFunSuite {
     for (n <- Seq(200L, 2000L, 2048L)) {
       assert(SimilarityOps.nearDupPairsCteSqlFor(n)
         === SimilarityOps.nearDupPairsCteSql, s"n=$n")
-      assert(SimilarityOps.oracleAt(n)("ss05_ann_rerank")
-        === SimilarityOps.oracle("ss05_ann_rerank"), s"n=$n")
+      for ((k, sql) <- SimilarityOps.oracleAt(n))
+        assert(sql === SimilarityOps.oracle(k), s"$k n=$n")
       assert(GraphOps.oracleAt(n) === GraphOps.oracle, s"n=$n")
       assert(DedupClusters.oracleAt(n)("dd08_semantic_clusters")
         === DedupClusters.oracle("dd08_semantic_clusters"), s"n=$n")
@@ -42,10 +42,14 @@ class SimilarityScaleSpec extends AnyFunSuite {
     val at10x = SimilarityOps.nearDupPairsCteSqlFor(20000)
     assert(at10x.contains("AS s3") && !at10x.contains("AS s4"))
     assert(SimilarityOps.bandTablesFor(SimilarityOps.planesFor(20000)) === 4)
-    // every spliced consumer regenerates from the same CTE
+    // every spliced consumer regenerates from the same CTE; ss03/ss08's
+    // single-table signature regenerates its plane count the same way
+    // (8 planes → a 128-weight CASE term only an 8th plane produces)
+    val single = Set("ss03_ann_lsh", "ss08_filtered_ann")
     for ((k, sql) <- SimilarityOps.oracleAt(20000) ++
         DedupClusters.oracleAt(20000) ++ GraphOps.oracleAt(20000))
-      assert(sql.contains("AS s3"), k)
+      assert(if (single(k)) sql.contains("THEN 128 ELSE")
+             else sql.contains("AS s3"), k)
     // table growth caps at 8 (s0..s7) no matter the corpus
     val huge = SimilarityOps.nearDupPairsCteSqlFor(1L << 30)
     assert(huge.contains("AS s7") && !huge.contains("AS s8"))
