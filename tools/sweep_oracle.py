@@ -4,7 +4,7 @@ CORRECTNESS_rN artifact: per-query rows/schema/hash match).
 
 Usage: python tools/sweep_oracle.py <sfDir> <verifyOutDir> <outJson>
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pyarrow.parquet as pq
 
@@ -12,7 +12,11 @@ sf, out, dest = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # same dir-glob fallback as check_oracle.py: ladder fixtures are
+    # Spark-written DIRECTORIES named t.parquet
+    path = f"{sf}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 report = {}
