@@ -47,4 +47,14 @@ object SparkEntry {
     oracleSql ++ SimilarityOps.oracleAt(n) ++
       DedupClusters.oracleAt(n) ++ GraphOps.oracleAt(n)
   }
+
+  /** The keys [[oracleSqlFor]] regenerates — resolved WITHOUT touching
+    * data (the generators are pure given n), so Verify can skip the
+    * embeddings count when a subset run selects none of them (a dir
+    * carrying only the tables a subset needs must not crash on a table
+    * that subset never reads).
+    */
+  def scaleDependentOracleKeys: Set[String] =
+    (SimilarityOps.oracleAt(1) ++ DedupClusters.oracleAt(1) ++
+      GraphOps.oracleAt(1)).keySet
 }

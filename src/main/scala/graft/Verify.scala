@@ -62,7 +62,14 @@ object Verify {
     // oracleSqlFor, not oracleSql: the LSH-geometry entries are dumped for
     // THIS dir's corpus size (identical SQL at every driver scale; see the
     // SparkEntry doc) so the oracle gate also holds on ladder fixtures.
-    val json = selected(SparkEntry.oracleSqlFor(spark, sfDir))
+    // Skipped when the selection has no scale-dependent query — the
+    // regeneration counts the embeddings table, which a subset run on a
+    // partial-table dir may not even carry.
+    val needsScale = selected(SparkEntry.oracleSql).keySet
+      .intersect(SparkEntry.scaleDependentOracleKeys).nonEmpty
+    val json = selected(
+      if (needsScale) SparkEntry.oracleSqlFor(spark, sfDir)
+      else SparkEntry.oracleSql)
       .map { case (k, v) => s"${Bench.jstr(k)}: ${Bench.jstr(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

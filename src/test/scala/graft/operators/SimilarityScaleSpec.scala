@@ -53,6 +53,14 @@ class SimilarityScaleSpec extends AnyFunSuite {
     // table growth caps at 8 (s0..s7) no matter the corpus
     val huge = SimilarityOps.nearDupPairsCteSqlFor(1L << 30)
     assert(huge.contains("AS s7") && !huge.contains("AS s8"))
+    // the full membership of the class — Verify's skip-the-count guard
+    // keys off this set, so a new scale-dependent oracle must be added
+    // HERE (and to an oracleAt) or subset ladder runs dump stale SQL
+    assert(graft.SparkEntry.scaleDependentOracleKeys === Set(
+      "ss03_ann_lsh", "ss08_filtered_ann", "ss05_ann_rerank",
+      "dd07_embedding_lsh_neardup", "dd08_semantic_clusters",
+      "gr01_pagerank", "gr02_triangles", "gr03_bfs_hops",
+      "rec01_recursive_cte"))
   }
 
   test("expected bucket occupancy stays bounded once the rule engages") {
