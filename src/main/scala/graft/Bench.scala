@@ -124,15 +124,21 @@ object Bench {
       bestTwoSpreadPct(controlSums.flatten).exists(_ > DriftRetryThresholdPct)
 
   /** Pinned QUIET-host reference for the control trio, seconds per warmed
-    * pass — mirrored from QUIET_BASELINE.md (judge-observed quiet readings
-    * r15–r17 cluster at 1.4–1.6 s; drifted sessions read 2–12 s). The
-    * spread retry above heals INTRA-session drift; this absolute level is
-    * the only signal for the remaining failure class, a session where
-    * EVERY pass runs slow (the BENCH_r17 driver artifact: controls
+    * pass — mirrored from QUIET_BASELINE.md, which a spec pins to agree
+    * with this constant (QuietBaselineSpec). Re-pinned r19 from the
+    * committed quiet readings: every quiet window r17–r19 reads its
+    * min control sum at 1.44–1.49 s (r18 quiet window 1.44/1.49, r19
+    * isolated 1.46) against the original 1.4, so `level_ratio` carried a
+    * standing ~5–10% bias and genuinely quiet suite runs grazed past the
+    * published band top (the r18 verdict's "drifting stale" note).
+    * Drifted sessions read 2–12 s — the populations stay well separated.
+    * The spread retry above heals INTRA-session drift; this absolute
+    * level is the only signal for the remaining failure class, a session
+    * where EVERY pass runs slow (the BENCH_r17 driver artifact: controls
     * 1.99/3.39/2.11 s, all three passes ~1.4× drifted, published 147.58 s
     * that a judge quiet re-run read as 118.91 s on identical code).
     */
-  private[graft] val QuietTrioRefS = 1.4
+  private[graft] val QuietTrioRefS = 1.45
 
   /** Probe trio level / quiet reference above which the session counts as
     * whole-host-slow: the judge's quiet window read ratio 1.12, the r17

@@ -52,9 +52,12 @@ object SparkEntry {
     * data (the generators are pure given n), so Verify can skip the
     * embeddings count when a subset run selects none of them (a dir
     * carrying only the tables a subset needs must not crash on a table
-    * that subset never reads).
+    * that subset never reads). A lazy val: each generator materializes
+    * full oracle SQL (hundreds of inlined plane literals) just to read
+    * its keySet, so the construction should happen once, not per call
+    * (r18 ADVICE).
     */
-  def scaleDependentOracleKeys: Set[String] =
+  lazy val scaleDependentOracleKeys: Set[String] =
     (SimilarityOps.oracleAt(1) ++ DedupClusters.oracleAt(1) ++
       GraphOps.oracleAt(1)).keySet
 }

