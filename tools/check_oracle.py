@@ -8,11 +8,12 @@ machine-readable per-query result map (the SCALE_r*.json building block —
 r18 verdict #3: ladder-gate evidence must be a committed artifact, not
 round-log prose).
 
-Connected-components queries get a second, always-feasible oracle: dd08's
+Connected-components queries (CC_DERIVED below: dd08's semantic clusters,
+dd06's text clusters) get a second, always-feasible oracle: their
 recursive reachability CTE enumerates (node, reachable-root) pairs —
 quadratic in component size — and OOMs DuckDB at the 30x ladder fixture's
 giant component (r18 verdict #1). Union-find over the SAME pair set is
-linear and exact, so dd08 is always gated against it; the SQL oracle runs
+linear and exact, so each is always gated against it; the SQL oracle runs
 IN ADDITION whenever its walk-state estimate fits the budget (all driver
 scales), keeping this tool a faithful pre-check of the driver's own
 DuckDB gate there.
@@ -74,21 +75,37 @@ def compare(name, odf, sdf, label="oracle"):
     return None
 
 
-def pairs_sql_for_dd08(oracle):
-    """The pair-set SQL behind dd08's clustering, at the dump's geometry.
+# Connected-components queries whose recursive SQL oracle is quadratic in
+# component size: each gets the linear union-find gate. `pairs_from` names
+# the dumped oracle whose RESULT is the pair set (dd07 is dd08's regenerated
+# pairs CTE; dd02 is dd06's shingle-candidate Jaccard pairs — both by
+# construction, the engine splices one generator into both sides).
+CC_DERIVED = {
+    "dd08_semantic_clusters": {
+        "pairs_from": "dd07_embedding_lsh_neardup",
+        "universe": "SELECT vec_id FROM embeddings",
+        "id_col": "vec_id", "keep": True},
+    "dd06_dedup_clusters": {
+        "pairs_from": "dd02_minhash_lsh",
+        "universe": "SELECT doc_id FROM documents",
+        "id_col": "doc_id", "keep": False},
+}
 
-    Preferred source: the dumped dd07 oracle — by construction the same
-    regenerated pairs CTE (SparkEntry.oracleSqlFor splices one generator
-    into both). Fallback for a dd08-only subset dump: extract the CTE
-    chain between WITH RECURSIVE and the edges CTE from dd08's own SQL.
+
+def pairs_sql_for(name, oracle):
+    """The pair-set SQL behind a CC query's clustering, at the dump's
+    geometry. Preferred source: the dumped pair-query oracle (see
+    CC_DERIVED). Fallback for a subset dump without it: extract the CTE
+    chain between WITH RECURSIVE and the edges CTE from the CC query's
+    own SQL — `pairs` is always the chain's final CTE.
     """
-    dd07 = oracle.get("dd07_embedding_lsh_neardup")
-    if dd07 is not None:
-        return dd07
+    psql = oracle.get(CC_DERIVED[name]["pairs_from"])
+    if psql is not None:
+        return psql
     m = re.search(r"WITH\s+RECURSIVE\s+(.*?),\s*edges\s+AS",
-                  oracle["dd08_semantic_clusters"], re.S)
+                  oracle[name], re.S)
     if not m:
-        raise ValueError("cannot extract pairs CTE from dd08 oracle SQL")
+        raise ValueError(f"cannot extract pairs CTE from {name} oracle SQL")
     return f"WITH {m.group(1)}\nSELECT id1, id2 FROM pairs"
 
 
@@ -113,17 +130,18 @@ def union_find_clusters(pairs, ids):
     return {i: find(i) for i in parent}
 
 
-def dd08_expected():
-    """dd08's expected output via union-find over the gated pair set."""
-    psql = pairs_sql_for_dd08(oracle)
-    pdf = con.sql(psql).df()
-    ids = con.sql("SELECT vec_id FROM embeddings").df()["vec_id"].tolist()
+def cc_expected(name):
+    """A CC query's expected output via union-find over its pair set."""
+    spec = CC_DERIVED[name]
+    pdf = con.sql(pairs_sql_for(name, oracle)).df()
+    ids = con.sql(spec["universe"]).df().iloc[:, 0].tolist()
     roots = union_find_clusters(zip(pdf["id1"], pdf["id2"]), ids)
     sizes = Counter(roots.values())
-    df = pd.DataFrame({"vec_id": [int(i) for i in ids]})
-    df["cluster_id"] = df["vec_id"].map(roots)
+    df = pd.DataFrame({spec["id_col"]: [int(i) for i in ids]})
+    df["cluster_id"] = df[spec["id_col"]].map(roots)
     df["cluster_size"] = df["cluster_id"].map(sizes)
-    df["keep"] = (df["vec_id"] == df["cluster_id"]).astype("int64")
+    if spec["keep"]:
+        df["keep"] = (df[spec["id_col"]] == df["cluster_id"]).astype("int64")
     # walk-state estimate for the SQL oracle: the recursive CTE's UNION
     # set is one (node, root) row per reachable pair — sum of size^2
     walk_state = sum(s * s for s in sizes.values())
@@ -142,9 +160,9 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
 
     checks = []  # (label, error-or-None)
-    if name == "dd08_semantic_clusters":
+    if name in CC_DERIVED:
         try:
-            udf, walk_state = dd08_expected()
+            udf, walk_state = cc_expected(name)
             checks.append(("union-find", compare(name, udf, sdf, "uf")))
         except Exception as e:
             checks.append(("union-find", f"uf oracle error: {e}"))

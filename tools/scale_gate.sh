@@ -18,19 +18,22 @@ shift || true
 if [ $# -gt 0 ]; then FACTORS=("$@"); else FACTORS=(10 30 100); fi
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 
-# Per-factor gate sets — the r18 ladder sets plus, new in r19, the first
+# Per-factor gate sets — the r18 ladder sets plus, new in r19: the first
 # streaming rows (st01 tumbling / st03 dedup state / st04 stream-stream
-# join at 10x: watermark eviction and state growth are the semantics that
-# break first at scale, and nothing under st* had ever been gated past
-# sf0.1 — r18 verdict #4). 30x/100x stay the heavy-hitter subsets whose
-# oracles are feasible there (dd08's clustering is union-find-gated at
-# every scale; its recursive SQL twin runs only under the walk budget —
-# see check_oracle.py).
+# join, st07/st13 session windows, st17 dedup+agg at 10x: watermark
+# eviction and state growth are the semantics that break first at scale,
+# and nothing under st* had ever been gated past sf0.1 — r18 verdict #4);
+# the text-side pair+CC queries at 30x (dd02's shingle-candidate pairs,
+# dd06's clustering over them — union-find makes the CC side feasible);
+# and the embedding LSH family at 100x (dd07/dd08/ss03 at 200k vectors —
+# 11 planes x 5 tables, the geometry's first gate past the 8-plane tier).
+# CC clustering is union-find-gated at every scale; its recursive SQL
+# twin runs only under the walk budget — see check_oracle.py.
 queries_for() {
   case "$1" in
-    10) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd01_dedup_exact,dd04_word_jaccard,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,dc01_decontaminate,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte,ss03_ann_lsh,ss05_ann_rerank,ss08_filtered_ann,tx01_token_counts,tx02_quality,tx03_langid,tx15_tfidf,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join" ;;
-    30) echo "dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid" ;;
-    100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid" ;;
+    10) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd01_dedup_exact,dd04_word_jaccard,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,dc01_decontaminate,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte,ss03_ann_lsh,ss05_ann_rerank,ss08_filtered_ann,tx01_token_counts,tx02_quality,tx03_langid,tx15_tfidf,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,st07_stream_sessionize,st13_session_window,st17_stream_dedup_agg" ;;
+    30) echo "dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid" ;;
+    100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,tx01_token_counts,tx02_quality,tx03_langid" ;;
     *) echo "q01_pricing_summary,tx01_token_counts,tx02_quality,tx03_langid" ;;
   esac
 }

@@ -13,9 +13,10 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     # same dir-glob fallback as check_oracle.py: ladder fixtures are
-    # Spark-written DIRECTORIES named t.parquet
+    # Spark-written DIRECTORIES named t.parquet (recursive, so a
+    # partitioned layout is found too — r18 ADVICE)
     path = f"{sf}/{t}.parquet"
-    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    src = f"{path}/**/*.parquet" if os.path.isdir(path) else path
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
