@@ -31,7 +31,7 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 # twin runs only under the walk budget — see check_oracle.py.
 queries_for() {
   case "$1" in
-    10) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd01_dedup_exact,dd04_word_jaccard,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,dc01_decontaminate,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte,ss03_ann_lsh,ss05_ann_rerank,ss08_filtered_ann,tx01_token_counts,tx02_quality,tx03_langid,tx15_tfidf,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,st07_stream_sessionize,st13_session_window,st17_stream_dedup_agg" ;;
+    10) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd01_dedup_exact,dd04_word_jaccard,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,dc01_decontaminate,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte,ss03_ann_lsh,ss05_ann_rerank,ss08_filtered_ann,tx01_token_counts,tx02_quality,tx03_langid,tx15_tfidf,st01_stream_hourly,st02_stream_sliding,st03_stream_dedup,st04_stream_stream_join,st05_stream_clean_corpus,st06_stream_enrich,st07_stream_sessionize,st08_stream_ohlc,st09_stream_topk,st10_stream_transform_state,st11_stream_outer_join,st12_stream_full_outer_join,st13_session_window,st14_stream_semi_join,st15_chained_windows,st16_stream_merge_sink,st17_stream_dedup_agg" ;;
     30) echo "dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid" ;;
     100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,tx01_token_counts,tx02_quality,tx03_langid" ;;
     *) echo "q01_pricing_summary,tx01_token_counts,tx02_quality,tx03_langid" ;;
@@ -69,8 +69,12 @@ for f in "${FACTORS[@]}"; do
 done
 
 python3 - "$OUT" "${FACTORS[@]}" <<'EOF'
-import json, sys
+import json, os, sys
 out, factors = sys.argv[1], [int(f) for f in sys.argv[2:]]
+# incremental: a subset-factor run refreshes ONLY its scales, preserving
+# the artifact's other scale blocks (a "10"-only re-run must not silently
+# drop the committed 30x/100x evidence)
+prior = json.load(open(out))["scales"] if os.path.exists(out) else {}
 # Documented fixture invariants (ROUND15 §3 / ROUND18 §2): the decorrelated
 # family's true near-dup edge counts and fact-row counts — a gate run whose
 # dd07/q61 rows differ was run on a DIFFERENT (e.g. partially built)
@@ -87,7 +91,7 @@ doc = {
     "gate": "graft.Verify dump + tools/check_oracle.py (rows, columns, "
             "every cell, after sorting; dd08 additionally union-find-gated "
             "— see check_oracle.py)",
-    "scales": {},
+    "scales": dict(prior),
 }
 bad = 0
 for f in factors:
@@ -100,8 +104,11 @@ for f in factors:
                                 f"got {res[q].get('rows')}")
     doc["scales"][str(f)] = {"fixture": f"/tmp/graft_scale{f}d",
                              "invariants_checked": inv, "queries": res}
-    bad += sum(1 for r in res.values() if r.get("status") != "exact")
 json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
+# tally over the WHOLE artifact (preserved scales included), so a stale
+# non-exact row from a prior run also fails the gate
+bad = sum(1 for s in doc["scales"].values()
+          for r in s["queries"].values() if r.get("status") != "exact")
 total = sum(len(s["queries"]) for s in doc["scales"].values())
 print(f"scale gate: {total - bad}/{total} exact -> {out}")
 sys.exit(1 if bad else 0)
