@@ -35,6 +35,14 @@ if "--json" in sys.argv:
 WALK_BUDGET = float(os.environ.get("ORACLE_WALK_BUDGET", 2e8))
 
 con = duckdb.connect()
+# bounded SPILL: an infeasible oracle (e.g. a recursive CTE quadratic in
+# component size) must fail LOUDLY, not fill the disk — gr01's 30x
+# PageRank oracle spilled >77 GB of temp before dying (r19). Memory stays
+# generous (the 30x CC oracles legitimately hold tens of GB; a 48 GB cap
+# sent dd06@30x into spill-thrash, 3x slower) — the DISK is what the
+# guard protects.
+con.sql("SET memory_limit='80GB'")
+con.sql("SET max_temp_directory_size='20GB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     # driver testdata ships single-file tables; ScaleUp ladder fixtures are
