@@ -475,7 +475,10 @@ object DedupClusters {
     * join, ~18x cheaper for the oracle engine at sf0.1).
     */
   private def jaccardPairsCteSql: String =
-    """pairs AS (
+    // MATERIALIZED: every consumer's edges CTE reads pairs twice (both
+    // directions), and DuckDB re-inlines per reference by default — see
+    // the MinHashDedup.shingleCandidatesCteSql note. Hint only.
+    """pairs AS MATERIALIZED (
       |   SELECT c.id1, c.id2
       |   FROM cand c JOIN sh a ON a.doc_id = c.id1
       |    JOIN sh b ON b.doc_id = c.id2

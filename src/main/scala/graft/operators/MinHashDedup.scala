@@ -427,15 +427,21 @@ object MinHashDedup {
     * measured 660 s -> 37 s for dd02. The same candidates-not-cross-join
     * discipline the Spark side has always used, applied to the oracle.
     */
+  // sh/cand are MATERIALIZED: every consumer references sh three times
+  // (ex + both sides of the Jaccard join) and DuckDB's default re-INLINES
+  // a CTE per reference, re-running the full shingle construction each
+  // time — the same blowup class the embedding pairs CTE hit at ladder
+  // scale (SimilarityOps.nearDupPairsCteSqlFor). A hint only: identical
+  // result set.
   private[operators] val shingleCandidatesCteSql: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words
       |    FROM documents),
-      | sh AS (SELECT doc_id, list_distinct(list_transform(
+      | sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
       |     range(1, greatest(len(words) - 2, 1) + 1),
       |     i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
       |   FROM w),
       | ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
-      | cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      | cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |   FROM ex a JOIN ex b ON b.g = a.g AND b.doc_id > a.doc_id
       |   WHERE b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4)""".stripMargin
 

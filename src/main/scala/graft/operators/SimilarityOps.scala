@@ -742,15 +742,22 @@ object SimilarityOps {
          |   FROM sg a JOIN sg b ON a.s$t = b.s$t AND b.vec_id > a.vec_id"""
         .stripMargin
     }
+    // n/sg/pairs are MATERIALIZED: splice sites reference them repeatedly
+    // (sg once per union branch; pairs twice in every edges CTE, and
+    // gr01's iteration chain walks `ed` six times), and DuckDB's default
+    // is to re-INLINE a CTE per reference — at the 30x fixture that
+    // re-ran the whole LSH candidate join per iteration and spilled
+    // >77 GB of temp before dying, where the materialized form answers
+    // in seconds (measured r19). A hint only: result set is identical.
     s"""d AS (SELECT vec_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       | n AS (SELECT vec_id, v,
+       | n AS MATERIALIZED (SELECT vec_id, v,
        |   sqrt(list_inner_product(v, v)) AS nrm FROM d),
-       | sg AS (SELECT vec_id, v, nrm,
+       | sg AS MATERIALIZED (SELECT vec_id, v, nrm,
        |   $sigCols FROM n),
        | c AS ($unionBranches),
-       | pairs AS (SELECT id1, id2, cosine FROM (
+       | pairs AS MATERIALIZED (SELECT id1, id2, cosine FROM (
        |   SELECT c.id1, c.id2,
        |    ROUND(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
        |   FROM c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2)

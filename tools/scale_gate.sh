@@ -32,12 +32,12 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 queries_for() {
   case "$1" in
     10) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd01_dedup_exact,dd04_word_jaccard,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,dc01_decontaminate,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte,ss03_ann_lsh,ss05_ann_rerank,ss08_filtered_ann,tx01_token_counts,tx02_quality,tx03_langid,tx15_tfidf,st01_stream_hourly,st02_stream_sliding,st03_stream_dedup,st04_stream_stream_join,st05_stream_clean_corpus,st06_stream_enrich,st07_stream_sessionize,st08_stream_ohlc,st09_stream_topk,st10_stream_transform_state,st11_stream_outer_join,st12_stream_full_outer_join,st13_session_window,st14_stream_semi_join,st15_chained_windows,st16_stream_merge_sink,st17_stream_dedup_agg" ;;
-    # NOT in the 30x set: the graph family (gr01-03, rec01). Their
-    # recursive DuckDB oracles are 30x-infeasible — gr01's PageRank
-    # iteration spilled >77 GB of temp before dying (measured r19); their
-    # pair INPUT is dd07, hash-exact at 30x, and the operators themselves
-    # are gated at 10x, so the chain is the same shape dd08 had pre-r19.
-    30) echo "dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,dc01_decontaminate,dd01_dedup_exact,dd04_word_jaccard,tx15_tfidf" ;;
+    # The graph family (gr01-03, rec01) is 30x-feasible only since the
+    # oracle generators mark the spliced pairs CTE MATERIALIZED: DuckDB's
+    # default re-inlined the LSH candidate join into every reference and
+    # gr01's iteration chain spilled >77 GB of temp before dying, where
+    # the materialized form answers in seconds (measured r19).
+    30) echo "dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,dc01_decontaminate,dd01_dedup_exact,dd04_word_jaccard,tx15_tfidf,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte" ;;
     100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join" ;;
     *) echo "q01_pricing_summary,tx01_token_counts,tx02_quality,tx03_langid" ;;
   esac
