@@ -141,8 +141,10 @@ object Bench {
   private[graft] val QuietTrioRefS = 1.45
 
   /** Probe trio level / quiet reference above which the session counts as
-    * whole-host-slow: the judge's quiet window read ratio 1.12, the r17
-    * contaminated driver passes 1.42/2.42/1.51 — 1.3 splits the observed
+    * whole-host-slow. Against the re-pinned 1.45 reference: the quiet
+    * population reads 0.99–1.08 (readings 1.44–1.57 s) and the
+    * contaminated population 1.37–8.4 (the r17 driver passes
+    * 1.99/3.39/2.11 s → 1.37/2.34/1.46) — 1.3 splits the observed
     * populations with margin on both sides.
     */
   private[graft] val ProbeLevelThreshold = 1.3

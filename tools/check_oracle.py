@@ -8,31 +8,55 @@ machine-readable per-query result map (the SCALE_r*.json building block —
 r18 verdict #3: ladder-gate evidence must be a committed artifact, not
 round-log prose).
 
-Connected-components queries (CC_DERIVED below: dd08's semantic clusters,
-dd06's text clusters) get a second, always-feasible oracle: their
-recursive reachability CTE enumerates (node, reachable-root) pairs —
-quadratic in component size — and OOMs DuckDB at the 30x ladder fixture's
-giant component (r18 verdict #1). Union-find over the SAME pair set is
-linear and exact, so each is always gated against it; the SQL oracle runs
-IN ADDITION whenever its walk-state estimate fits the budget (all driver
-scales), keeping this tool a faithful pre-check of the driver's own
-DuckDB gate there.
+Two query families get a second, always-feasible pure-Python oracle over
+the SAME pair set their SQL twin builds on:
+
+* Connected components (CC_DERIVED: dd08's semantic clusters, dd06's text
+  clusters): the recursive reachability CTE enumerates (node, root) pairs —
+  quadratic in component size — and OOMs DuckDB at the 30x ladder fixture's
+  giant component (r18 verdict #1). Union-find over the same pairs is
+  linear and exact, so each is always gated against it; the SQL oracle runs
+  IN ADDITION whenever its walk-state estimate fits the budget (all driver
+  scales), keeping this tool a faithful pre-check of the driver's own
+  DuckDB gate there.
+* Graph analytics (GRAPH_DERIVED: gr01 fixed-point PageRank, gr02
+  triangles, gr03/rec01 bounded BFS): the SQL twins re-run the spliced
+  LSH pairs CTE per query and walk it repeatedly (gr01's five chained
+  iteration CTEs, the recursive BFS walk) — the same feasibility class
+  as CC, so each gets a pure-Python twin implementing the documented
+  semantics exactly (r19 verdict #1): integer fixed-point PageRank
+  (every op exact integer math, so Python == DuckDB `//` == Spark `div`
+  on the all-positive domain), canonical a<b<c triangle enumeration, and
+  min-hop BFS with the 8-hop horizon. The SQL twin co-runs whenever the
+  pair count fits ORACLE_GRAPH_SQL_EDGES (measured feasible through the
+  100x fixture's 354k pairs; see the budget note below).
 """
-import json, os, re, sys, math
-from collections import Counter
+import argparse, json, os, re, sys, math
+from collections import Counter, defaultdict, deque
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-sf, out = args[0], args[1]
-json_out = None
-if "--json" in sys.argv:
-    json_out = sys.argv[sys.argv.index("--json") + 1]
+ap = argparse.ArgumentParser()
+ap.add_argument("sf", help="testdata scale dir (tables as <t>.parquet)")
+ap.add_argument("out", help="graft.Verify output dir")
+ap.add_argument("--json", dest="json_out", default=None,
+                help="also write machine-readable per-query results here")
+ns = ap.parse_args()
+sf, out, json_out = ns.sf, ns.out, ns.json_out
+
 # above this sum-of-squared-component-sizes the recursive reachability
 # oracle's walk state is DuckDB-infeasible (the 30x fixture OOMed a 32 GiB
 # allocation at ~1e9); under it the SQL oracle runs alongside union-find
 WALK_BUDGET = float(os.environ.get("ORACLE_WALK_BUDGET", 2e8))
+# above this many near-dup pairs the graph-family SQL oracles are skipped
+# (python twin still gates). Measured r20: the MATERIALIZED twins are
+# feasible through the 100x fixture (354,558 pairs — each twin re-runs the
+# ~3-min LSH pairs CTE, ~20 min for the family, tens of GB peak), so the
+# default covers that geometry; past it the dominant cost curve (the sg
+# band self-join) is unmeasured and the python twin carries the gate alone
+GRAPH_SQL_EDGE_BUDGET = int(float(os.environ.get("ORACLE_GRAPH_SQL_EDGES",
+                                                 4e5)))
 
 con = duckdb.connect()
 # bounded SPILL: an infeasible oracle (e.g. a recursive CTE quadratic in
@@ -40,8 +64,17 @@ con = duckdb.connect()
 # PageRank oracle spilled >77 GB of temp before dying (r19). Memory stays
 # generous (the 30x CC oracles legitimately hold tens of GB; a 48 GB cap
 # sent dd06@30x into spill-thrash, 3x slower) — the DISK is what the
-# guard protects.
-con.sql("SET memory_limit='80GB'")
+# guard protects. The cap follows detected RAM (r19 ADVICE: a hardcoded
+# 80GB invites a kernel OOM-kill on a smaller host, which dies silently
+# instead of DuckDB's own loud spill/abort) with an env override.
+mem_gb = os.environ.get("ORACLE_MEM_LIMIT_GB")
+if mem_gb is None:
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        mem_gb = str(max(4, int(phys / 2**30 * 0.65)))
+    except (ValueError, OSError):
+        mem_gb = "16"
+con.sql(f"SET memory_limit='{mem_gb}GB'")
 con.sql("SET max_temp_directory_size='20GB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -99,18 +132,28 @@ CC_DERIVED = {
         "id_col": "doc_id", "keep": False},
 }
 
+# Graph-analytics queries over the embedding near-dup graph (dd07's pairs,
+# spliced into their SQL by the same generator — GraphOps.oracleAt). Each
+# maps to its pure-Python twin; all four share one pair set, fetched once.
+GRAPH_DERIVED = {
+    "gr01_pagerank": "pagerank",
+    "gr02_triangles": "triangles",
+    "gr03_bfs_hops": "bfs",
+    "rec01_recursive_cte": "bfs",
+}
 
-def pairs_sql_for(name, oracle):
-    """The pair-set SQL behind a CC query's clustering, at the dump's
-    geometry. Preferred source: the dumped pair-query oracle (see
-    CC_DERIVED). Fallback for a subset dump without it: extract the CTE
-    chain between WITH RECURSIVE and the edges CTE from the CC query's
-    own SQL — `pairs` is always the chain's final CTE.
+
+def pairs_sql_for(name, oracle, pairs_from, boundary=r"edges"):
+    """The pair-set SQL behind a derived query, at the dump's geometry.
+    Preferred source: the dumped pair-query oracle (`pairs_from`). Fallback
+    for a subset dump without it: extract the CTE chain between WITH
+    [RECURSIVE] and the first downstream CTE (`boundary`) from the derived
+    query's own SQL — `pairs` is always the chain's final CTE.
     """
-    psql = oracle.get(CC_DERIVED[name]["pairs_from"])
+    psql = oracle.get(pairs_from)
     if psql is not None:
         return psql
-    m = re.search(r"WITH\s+RECURSIVE\s+(.*?),\s*edges\s+AS",
+    m = re.search(r"WITH\s+(?:RECURSIVE\s+)?(.*?),\s*" + boundary + r"\s+AS",
                   oracle[name], re.S)
     if not m:
         raise ValueError(f"cannot extract pairs CTE from {name} oracle SQL")
@@ -141,7 +184,8 @@ def union_find_clusters(pairs, ids):
 def cc_expected(name):
     """A CC query's expected output via union-find over its pair set."""
     spec = CC_DERIVED[name]
-    pdf = con.sql(pairs_sql_for(name, oracle)).df()
+    psql = pairs_sql_for(name, oracle, spec["pairs_from"])
+    pdf = con.sql(psql).df()
     ids = con.sql(spec["universe"]).df().iloc[:, 0].tolist()
     roots = union_find_clusters(zip(pdf["id1"], pdf["id2"]), ids)
     sizes = Counter(roots.values())
@@ -154,6 +198,90 @@ def cc_expected(name):
     # set is one (node, root) row per reachable pair — sum of size^2
     walk_state = sum(s * s for s in sizes.values())
     return df, walk_state
+
+
+# ---- graph-family pure-Python twins (r19 verdict #1) -----------------------
+# All three implement EXACTLY the semantics the Spark engine and the SQL
+# oracles share (GraphOps.scala doc): canonical distinct (id1 < id2) pairs,
+# symmetrized edges, all arithmetic exact over integers.
+
+PR_SCALE, PR_BASE, PR_ITERS, BFS_HOPS = 10**9, 150_000_000, 5, 8
+
+
+def pagerank_py(pairs):
+    """Fixed-point integer PageRank, 5 iterations, damping 17//20.
+
+    rank × 10^9 as int; every op is integer (floor) division and addition
+    over positives, where Python `//` == DuckDB `//` == Spark `div` — the
+    exactness argument that lets this twin be a hash gate.
+    """
+    deg, edges = Counter(), []
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        edges.append((a, b)); edges.append((b, a))
+        deg[a] += 1; deg[b] += 1
+    r = {n: PR_SCALE for n in deg}
+    for _ in range(PR_ITERS):
+        csum = defaultdict(int)
+        for s_, d_ in edges:
+            csum[d_] += r[s_] // deg[s_]
+        r = {n: PR_BASE + (c * 17) // 20 for n, c in csum.items()}
+    return pd.DataFrame(sorted(r.items()), columns=["node", "rank_scaled"])
+
+
+def triangles_py(pairs):
+    """Per-node triangle count: canonical pairs enumerate each a<b<c once
+    via higher-neighbor set intersection (c in adj>(a) ∩ adj>(b) iff edges
+    (a,c) and (b,c) both exist with a<c, b<c) — the same a<b<c closure the
+    SQL's three-way self-join checks."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[int(a)].add(int(b))
+    tri = Counter()
+    for a, bs in adj.items():
+        for b in bs:
+            for c in bs & adj.get(b, frozenset()):
+                tri[a] += 1; tri[b] += 1; tri[c] += 1
+    return pd.DataFrame(sorted(tri.items()), columns=["node", "n_triangles"])
+
+
+def bfs_py(pairs):
+    """Min-hop BFS from the graph's minimum node, 8-hop horizon, unreached
+    excluded. min(id1) IS the global minimum endpoint: canonical ordering
+    puts the smallest member of any pair in id1."""
+    adj = defaultdict(list)
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        adj[a].append(b); adj[b].append(a)
+    src = min(int(a) for a, _ in pairs)
+    hops = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        if hops[n] >= BFS_HOPS:
+            continue
+        for m in adj[n]:
+            if m not in hops:
+                hops[m] = hops[n] + 1
+                q.append(m)
+    return pd.DataFrame(sorted(hops.items()), columns=["node", "hops"])
+
+
+GRAPH_FN = {"pagerank": pagerank_py, "triangles": triangles_py,
+            "bfs": bfs_py}
+_graph_pairs_cache = None
+
+
+def graph_pairs(name):
+    """The (cached) near-dup pair list all four graph queries share."""
+    global _graph_pairs_cache
+    if _graph_pairs_cache is None:
+        psql = pairs_sql_for(name, oracle, "dd07_embedding_lsh_neardup",
+                             boundary=r"(?:ed|tri)")
+        pdf = con.sql(psql).df()
+        _graph_pairs_cache = list(zip(pdf["id1"].tolist(),
+                                      pdf["id2"].tolist()))
+    return _graph_pairs_cache
 
 
 fails = 0
@@ -184,6 +312,24 @@ for name, sql in sorted(oracle.items()):
             print(f"note {name}: sql oracle skipped — recursive walk state "
                   f"~{walk_state:.2e} exceeds budget {WALK_BUDGET:.0e} "
                   f"(union-find gate is exact)")
+    elif name in GRAPH_DERIVED:
+        try:
+            pairs = graph_pairs(name)
+            pdf_exp = GRAPH_FN[GRAPH_DERIVED[name]](pairs)
+            checks.append(("python", compare(name, pdf_exp, sdf, "py")))
+            n_edges = len(pairs)
+        except Exception as e:
+            checks.append(("python", f"py oracle error: {e}"))
+            n_edges = 0
+        if n_edges <= GRAPH_SQL_EDGE_BUDGET:
+            try:
+                checks.append(("sql", compare(name, con.sql(sql).df(), sdf)))
+            except Exception as e:
+                checks.append(("sql", f"oracle error: {e}"))
+        else:
+            print(f"note {name}: sql oracle skipped — {n_edges} near-dup "
+                  f"pairs exceed budget {GRAPH_SQL_EDGE_BUDGET} "
+                  f"(python twin gate is exact)")
     else:
         try:
             checks.append(("sql", compare(name, con.sql(sql).df(), sdf)))

@@ -36,9 +36,18 @@ queries_for() {
     # oracle generators mark the spliced pairs CTE MATERIALIZED: DuckDB's
     # default re-inlined the LSH candidate join into every reference and
     # gr01's iteration chain spilled >77 GB of temp before dying, where
-    # the materialized form answers in seconds (measured r19).
-    30) echo "dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,dc01_decontaminate,dd01_dedup_exact,dd04_word_jaccard,tx15_tfidf,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte" ;;
-    100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join" ;;
+    # the materialized form answers in seconds (measured r19). New in r20
+    # (r19 verdict #3): the 30x streaming set grows past the trio to the
+    # stateful classes that break first at scale — session windows
+    # (st07/st13), outer-join watermark closure (st11/st12), chained
+    # stateful aggs (st15/st17).
+    30) echo "dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,q61_rfm_segments,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,st07_stream_sessionize,st11_stream_outer_join,st12_stream_full_outer_join,st13_session_window,st15_chained_windows,st17_stream_dedup_agg,dc01_decontaminate,dd01_dedup_exact,dd04_word_jaccard,tx15_tfidf,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte" ;;
+    # New in r20 (r19 verdict #1/#4): the graph family and the text-side
+    # pair+CC queries (dd02/dd06, 500k docs) join the 100x set. Graph
+    # queries are gated by the pure-Python twins in check_oracle.py at any
+    # scale; their SQL twins co-run while the pair count fits
+    # ORACLE_GRAPH_SQL_EDGES, CC by union-find under the same discipline.
+    100) echo "q01_pricing_summary,q59_equidepth_hist,q61_rfm_segments,dd02_minhash_lsh,dd06_dedup_clusters,dd07_embedding_lsh_neardup,dd08_semantic_clusters,ss03_ann_lsh,tx01_token_counts,tx02_quality,tx03_langid,st01_stream_hourly,st03_stream_dedup,st04_stream_stream_join,gr01_pagerank,gr02_triangles,gr03_bfs_hops,rec01_recursive_cte" ;;
     *) echo "q01_pricing_summary,tx01_token_counts,tx02_quality,tx03_langid" ;;
   esac
 }
@@ -67,10 +76,17 @@ for f in "${FACTORS[@]}"; do
     >"/tmp/scale_gate_verify_${f}.log" 2>&1 || {
       tail -n 20 "/tmp/scale_gate_verify_${f}.log"; exit 1; }
   echo "== oracle gate ${f}x =="
-  # no set -e bail: a FAIL row must land in the artifact, not kill the run
+  # stale-evidence guard (r19 ADVICE): remove any prior run's result file
+  # first, and fail LOUDLY if the gate died before writing a fresh one —
+  # otherwise a leftover JSON would be merged into the committed artifact
+  # as fresh per-query verdicts. The `|| true` only spares rows that DID
+  # land (a FAIL row must reach the artifact, not kill the run).
+  rm -f "/tmp/scale_gate_result_${f}.json"
   python3 tools/check_oracle.py "$fix" "$vout" \
     --json "/tmp/scale_gate_result_${f}.json" \
     | tee "/tmp/scale_gate_oracle_${f}.log" || true
+  [ -s "/tmp/scale_gate_result_${f}.json" ] || {
+    echo "oracle gate ${f}x crashed before writing results" >&2; exit 1; }
 done
 
 python3 - "$OUT" "${FACTORS[@]}" <<'EOF'
@@ -109,12 +125,21 @@ for f in factors:
                                 f"got {res[q].get('rows')}")
     doc["scales"][str(f)] = {"fixture": f"/tmp/graft_scale{f}d",
                              "invariants_checked": inv, "queries": res}
-json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
 # tally over the WHOLE artifact (preserved scales included), so a stale
-# non-exact row from a prior run also fails the gate
+# non-exact row from a prior run also fails the gate. Stamped INTO the
+# artifact (r19 verdict #2: the round log's prose tally drifted from the
+# committed evidence — the artifact must self-tally so no prose number
+# can disagree with it).
 bad = sum(1 for s in doc["scales"].values()
           for r in s["queries"].values() if r.get("status") != "exact")
 total = sum(len(s["queries"]) for s in doc["scales"].values())
+doc["tally"] = {
+    "total": total, "exact": total - bad,
+    "by_scale": {f: {"total": len(s["queries"]),
+                     "exact": sum(1 for r in s["queries"].values()
+                                  if r.get("status") == "exact")}
+                 for f, s in doc["scales"].items()}}
+json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
 print(f"scale gate: {total - bad}/{total} exact -> {out}")
 sys.exit(1 if bad else 0)
 EOF
