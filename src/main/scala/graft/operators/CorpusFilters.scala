@@ -109,13 +109,24 @@ object CorpusFilters {
            | acc -> acc.best)""".stripMargin)
       docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        // topRun is projected ONCE and every consumer reads the column:
+        // spelling it twice in one select (top_n + the fraction) ran the
+        // whole sort+fold twice per row — lambda-bearing higher-order
+        // expressions are excluded from codegen subexpression elimination,
+        // so the plan really did carry two aggregate(array_sort(...)) calls
+        // (r20 plan audit; guide §1.2 "per-task work"). CollapseProject
+        // keeps the split projections apart because the fold is non-cheap
+        // and referenced more than once (SPARK-36718).
         .select(col("doc_id"), size(col("w")).as("n_words"),
           round(lit(1.0) -
             size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
             .as("dup_word_frac"),
           topRun.as("top_n"),
-          round(topRun.cast("double") /
-            greatest(size(col("w")) - 1, lit(1)), 6).as("top_bigram_frac"))
+          greatest(size(col("w")) - 1, lit(1)).as("denom"))
+        .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("top_n"),
+          round(col("top_n").cast("double") / col("denom"), 6)
+            .as("top_bigram_frac"))
         .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
           col("top_bigram_frac"),
           // the bigram signal needs an ACTUALLY repeated bigram (top_n >=

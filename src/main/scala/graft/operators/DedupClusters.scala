@@ -94,6 +94,45 @@ object DedupClusters {
     * trusted, regardless of which kernel produced them.
     */
   private[operators] val PropagationEdgeCap = 10000000L
+
+  /** Scoped execution confs for an ITERATIVE loop over frames KNOWN to be
+    * small (≤ [[PropagationEdgeCap]] rows): shuffle partitioning derived
+    * from the row count (~250k rows/partition, never above the session's
+    * configured parallelism) and AQE off for the loop's duration. AQE's
+    * per-stage re-planning turns every round's join+agg into 4-6 separate
+    * stage jobs; on the bounded frames these loops iterate over, the
+    * measured cost is driver job-submission gaps, not data (r20 probe:
+    * dd08 = 76 jobs of 8-40 ms, wall 2-3x the summed job time). Deriving
+    * the partition count from |rows| is the guide §2's scale-adaptive
+    * partitioning; above the cap the body runs UNCHANGED (AQE on, session
+    * partitioning) — big graphs keep runtime adaptivity. Conf mutation is
+    * session-scoped and restored in a finally (the Tables.rawEvents
+    * precedent); the engine's drivers run queries sequentially per
+    * session, and a concurrent planner on the SAME session would see the
+    * loop's values for its duration — documented trade, same class as the
+    * scoped legacy-parquet conf.
+    */
+  private[operators] def withSmallLoopConfs[T](
+      s: org.apache.spark.sql.SparkSession, rows: Long)(body: => T): T = {
+    val conf = s.conf
+    val prevParts =
+      try conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Exception => -1 }
+    if (rows > PropagationEdgeCap || prevParts <= 0) body
+    else {
+      val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+      val parts =
+        math.max(1L, math.min(prevParts.toLong, rows / 250000L + 1L))
+      try {
+        conf.set("spark.sql.shuffle.partitions", parts.toString)
+        conf.set("spark.sql.adaptive.enabled", "false")
+        body
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", prevParts.toString)
+        conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
   // 8, not the 3-4 a pure near-clique needs: real near-dup graphs carry a
   // tail of short chains (rotated embedding copies link transitively —
   // dd08's sf0.1 graph needs 6 rounds), and a miss is no longer a restart
@@ -245,7 +284,18 @@ object DedupClusters {
     // released here (only the returned frame survives, and the caller owns
     // its release).
     def propagationPrefix(): Either[DataFrame, DataFrame] = {
+      // symmetrized edges PLUS one self-loop per node: a round is then ONE
+      // edge⋈labels join + ONE min-aggregate — the self-loop carries each
+      // node's own label into the min (new = least(old, min over nbrs)) and
+      // guarantees every node a group, so the old third shuffle (the
+      // labels-side left join that re-attached nodes with no neighbor and
+      // the old label) is gone. The previous label still rides through the
+      // SAME aggregate, tagged by b = a, so the changed-count reads the
+      // round's own output — exactly the two-shuffle round the object
+      // scaladoc documents (the implementation had drifted to three; r20
+      // plan audit, guide §2.4).
       val sym = star.union(star.select(col("b").as("a"), col("a").as("b")))
+        .union(ids.select(col("id").as("a"), col("id").as("b")))
         .transform(Checkpoints.truncate)
       var labels = ids.select(col("id"), col("id").as("lab"))
         .transform(Checkpoints.truncate)
@@ -255,15 +305,11 @@ object DedupClusters {
       var prevChanged = Long.MaxValue
       var round = 0
       while (!converged && !bail && round < PropagationRounds) {
-        val nbr = sym.join(labels.withColumnRenamed("id", "b"), "b")
-          .groupBy("a").agg(min(col("lab")).as("nm"))
-          .withColumnRenamed("a", "id")
-        val next = labels.withColumnRenamed("lab", "oldlab")
-          .join(nbr, Seq("id"), "left")
-          .select(col("id"),
-            least(col("oldlab"), coalesce(col("nm"), col("oldlab")))
-              .as("lab"),
-            col("oldlab"))
+        val next = sym.join(labels.withColumnRenamed("id", "b"), "b")
+          .groupBy("a")
+          .agg(min(col("lab")).as("newlab"),
+            max(when(col("b") === col("a"), col("lab"))).as("oldlab"))
+          .select(col("a").as("id"), col("newlab").as("lab"), col("oldlab"))
           .transform(Checkpoints.truncate)
         rounds += next
         // one action per round: the frame is already materialized by the
@@ -300,8 +346,13 @@ object DedupClusters {
     // result; kept OUT of `cps` (freeSuperseded would evict them mid-loop)
     // and released in the finally
     var preLabels: Option[DataFrame] = None
-    try {
-      var sig = signature(star)
+    val sig0 = signature(star)
+    // the loop frames are O(|V| + |E|) (labels are node-sized, sym carries
+    // one self-loop per node), so the small-loop gate must see BOTH — an
+    // edge-sparse corpus with billions of nodes must keep AQE
+    val loopRows = sig0._1 + ids.count()
+    try withSmallLoopConfs(nodes.sparkSession, loopRows) {
+      var sig = sig0
       lastPropagationRounds = -1 // stays -1 when the cap skips the prefix
       if (sig._1 <= PropagationEdgeCap) {
         propagationPrefix() match {

@@ -32,6 +32,24 @@ private[graft] object DistributedCumsum {
     */
   def cumulative(counts: DataFrame, valueCol: String, freqCol: String,
       buckets: Int = 32): DataFrame = {
+    val keyed = cumulativeKeyed(
+      counts.withColumn("_k", lit(1)), "_k", valueCol, freqCol, buckets)
+    keyed.drop("_k")
+  }
+
+  /** Per-key [[cumulative]]: one pipeline computes an independent prefix
+    * sum for EVERY distinct value of `keyCol` (per-key lo/hi/n, per
+    * (key, pid) bucket cumsum and offsets) — the fused form behind q61's
+    * three tertile axes, which used to run three full cumsum pipelines
+    * over the same scratch table (3× the exchanges and a ~100-exchange
+    * plan; r20 plan audit — guide §2.4 "share one exchange"). `keyCol`'s
+    * cardinality must be constant-bounded (q61: 3 metrics): the per-key
+    * min/max/total frame and the (key × P) offsets frame are broadcast.
+    * [[cumulative]] is this with a constant key, so the two spellings
+    * cannot drift.
+    */
+  def cumulativeKeyed(counts: DataFrame, keyCol: String, valueCol: String,
+      freqCol: String, buckets: Int = 32): DataFrame = {
     // buckets = 0 would silently collapse the whole axis into one pid —
     // the single-sorted-task shape this object exists to prevent — and
     // the P×P offsets join bounds the broadcast only while P is small
@@ -39,11 +57,12 @@ private[graft] object DistributedCumsum {
     require(buckets > 0 && buckets <= 256,
       s"cumulative needs 0 < buckets <= 256, got $buckets")
     val v = col(valueCol)
+    val k = col(keyCol)
     // hi = max+1 keeps (hi - lo) >= 1 even on a single-value axis; the
     // *buckets product stays in BIGINT for any axis narrower than
     // Long.Max/buckets (~2.9e17 at P=32) — true for every cents/days/count
     // axis in the suite.
-    val mm = counts.agg(min(v).as("lo"), (max(v) + 1).as("hi"),
+    val mm = counts.groupBy(k).agg(min(v).as("lo"), (max(v) + 1).as("hi"),
       sum(col(freqCol)).as("n"))
     // a NULL value takes pid -1: it sorts BEFORE every bucket, exactly
     // where the partition-less `Window.orderBy(value)` this helper
@@ -57,19 +76,22 @@ private[graft] object DistributedCumsum {
     // double quotient can round UP to exactly `buckets`, minting a
     // phantom P+1th bucket and breaking the documented P×P bound; DIV is
     // exact in BIGINT and v <= hi-1 keeps pid <= buckets-1 (r14 review).
-    val bucketed = counts.crossJoin(broadcast(mm))
+    val bucketed = counts.join(broadcast(mm), keyCol)
       .withColumn("pid",
         when(v.isNull, lit(-1)).otherwise(
           expr(s"CAST(((`$valueCol` - lo) * $buckets) DIV (hi - lo) AS INT)")))
-    val psums = bucketed.groupBy("pid").agg(sum(col(freqCol)).as("psum"))
+    val psums = bucketed.groupBy(k, col("pid"))
+      .agg(sum(col(freqCol)).as("psum"))
     val offsets = psums.as("a")
-      .join(broadcast(psums.as("b")), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid"))
+      .join(broadcast(psums.as("b")),
+        col(s"b.$keyCol") === col(s"a.$keyCol") &&
+          col("b.pid") < col("a.pid"), "left")
+      .groupBy(col(s"a.$keyCol"), col("a.pid"))
       .agg(coalesce(sum(col("b.psum")), lit(0L)).as("off"))
-    val wLocal = Window.partitionBy("pid").orderBy(valueCol)
+    val wLocal = Window.partitionBy(keyCol, "pid").orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offsets), "pid")
-      .select(v, (sum(col(freqCol)).over(wLocal) + col("off")).as("cum"),
+    bucketed.join(broadcast(offsets), Seq(keyCol, "pid"))
+      .select(k, v, (sum(col(freqCol)).over(wLocal) + col("off")).as("cum"),
         col("n"))
   }
 
@@ -82,14 +104,26 @@ private[graft] object DistributedCumsum {
     * the cumsum extraction exists to stop (r14 review).
     */
   def rankBoundaries(counts: DataFrame, valueCol: String, freqCol: String,
+      cuts: Seq[(String, Int, Int)]): DataFrame =
+    rankBoundariesKeyed(counts.withColumn("_k", lit(1)), "_k",
+      valueCol, freqCol, cuts).drop("_k")
+
+  /** Per-key [[rankBoundaries]] over [[cumulativeKeyed]] — one row per
+    * key value, each carrying every cut's boundary for THAT key's axis.
+    * The unkeyed form is this with a constant key (one spelling — the
+    * r14 twin-drift discipline).
+    */
+  def rankBoundariesKeyed(counts: DataFrame, keyCol: String,
+      valueCol: String, freqCol: String,
       cuts: Seq[(String, Int, Int)]): DataFrame = {
     require(cuts.nonEmpty, "rankBoundaries needs at least one cut")
-    val cum = cumulative(counts, valueCol, freqCol)
+    val cum = cumulativeKeyed(counts, keyCol, valueCol, freqCol)
     def boundary(c: (String, Int, Int)) = {
       val (alias, num, den) = c
       min(when(col("cum") > expr(s"((n - 1) * $num) div $den"),
         col(valueCol))).as(alias)
     }
-    cum.agg(boundary(cuts.head), cuts.tail.map(boundary): _*)
+    cum.groupBy(col(keyCol)).agg(boundary(cuts.head),
+      cuts.tail.map(boundary): _*)
   }
 }

@@ -160,6 +160,12 @@ object GraphOps {
       edges: DataFrame): DataFrame = {
     val hit = MinHashDedup.cachedScratch(s, "gr01_ranks", dir, Seq(edges))
     if (hit.isDefined) return hit.get
+    // edges is a materialized parquet scratch table, so the count is a
+    // footer-metadata job — it sizes the small-loop mode (see
+    // DedupClusters.withSmallLoopConfs: partitioning derived from |edges|,
+    // AQE's per-stage job fan-out off for the 5 bounded rounds; a graph
+    // past the cap runs unchanged)
+    DedupClusters.withSmallLoopConfs(s, edges.count()) {
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("r", lit(Scale))
     var lastCp: Option[DataFrame] = None
@@ -185,13 +191,25 @@ object GraphOps {
         ranks.select(col("node"), col("r").as("rank_scaled")),
         "gr01_ranks", dir, fingerprintOf = Seq(edges))
     } finally lastCp.foreach(DedupClusters.unpersistCheckpoint)
+    }
   }
 
-  /** gr03's relaxation loop — same peek + finally discipline as gr01. */
+  /** gr03's relaxation loop — same peek + finally discipline as gr01.
+    * Early exit (r20): synchronous unit-weight relaxation from a single
+    * source assigns every node its TRUE distance the first time it is
+    * reached (a neighbor of a distance-d node can only propose ≥ d), so
+    * once a round reaches no NEW node the frontier is empty and every
+    * later round is the identity — the reached-count convergence check is
+    * one footer-cheap count on the round's own checkpoint, and the
+    * 8-round horizon stays the upper bound, so results are unchanged on
+    * any graph while a diameter-3 near-dup component stops paying 5
+    * idempotent rounds of join+agg+checkpoint jobs.
+    */
   private def bfsHops(s: SparkSession, dir: String,
       edges: DataFrame, pairs: DataFrame): DataFrame = {
     val hit = MinHashDedup.cachedScratch(s, "gr03_hops", dir, Seq(edges))
     if (hit.isDefined) return hit.get
+    DedupClusters.withSmallLoopConfs(s, edges.count()) {
     val srcDf = pairs.agg(min(col("id1")).as("s"))
     var dist = edges.select(col("src").as("node")).distinct()
       .crossJoin(broadcast(srcDf))
@@ -199,7 +217,10 @@ object GraphOps {
         when(col("node") === col("s"), 0L).as("h"))
     var lastCp: Option[DataFrame] = None
     try {
-      for (_ <- 1 to MaxHops) {
+      var reached = -1L
+      var hops = 0
+      var frontierOpen = true
+      while (frontierOpen && hops < MaxHops) {
         val prop = edges.join(dist, edges("src") === dist("node"))
           .filter(col("h").isNotNull)
           .select(col("dst").as("node"), (col("h") + 1).as("h"))
@@ -207,12 +228,17 @@ object GraphOps {
           .transform(Checkpoints.truncate)
         lastCp.foreach(DedupClusters.unpersistCheckpoint)
         lastCp = Some(dist)
+        val nowReached = dist.filter(col("h").isNotNull).count()
+        frontierOpen = nowReached != reached
+        reached = nowReached
+        hops += 1
       }
       MinHashDedup.materialized(
         dist.filter(col("h").isNotNull)
           .select(col("node"), col("h").cast("int").as("hops")),
         "gr03_hops", dir, fingerprintOf = Seq(edges))
     } finally lastCp.foreach(DedupClusters.unpersistCheckpoint)
+    }
   }
 
   /** Estimated enumerated-path budget for [[recursiveWalk]]: the walk's

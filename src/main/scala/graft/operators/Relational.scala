@@ -201,10 +201,21 @@ object Relational {
     }),
 
     // --- grouping sets ------------------------------------------------------
+    // Pre-aggregate to the finest grouping FIRST, then rollup the tiny
+    // per-group frame (r20; guide §2.3 "aggregate before you shuffle"):
+    // rollup/cube plan as an Expand that replicates its INPUT once per
+    // grouping set, so rolling up the raw fact table pushed levels × |fact|
+    // rows through Expand + aggregate, where the two-level form pays one
+    // plain partial-agg scan and expands only the |distinct keys| frame.
+    // Exactness is unchanged: counts re-aggregate as SUM(n) and the money
+    // sums are DECIMAL — associative, so sum-of-sums is bit-identical.
     "q12_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
+      val pre = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"), sum(money(col("l_quantity"))).as("pq"))
+      pre.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("sum_qty"),
           grouping(col("l_returnflag")).cast("int").as("g_flag"),
           grouping(col("l_linestatus")).cast("int").as("g_status"))
         // flags break the margin-vs-real-NULL-group tie (q43's pattern):
@@ -214,10 +225,15 @@ object Relational {
           asc_nulls_first("l_linestatus"), asc("g_flag"), asc("g_status"))
     }),
 
+    // two-level like q12 (cube = 4 grouping sets, so the raw-fact Expand
+    // was 4 × |orders|; now 4 × |status × priority| = tens of rows)
     "q13_cube" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"),
+      val pre = t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("pn"), sum(money(col("o_totalprice"))).as("pt"))
+      pre.cube("o_orderstatus", "o_orderpriority")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pt")).cast("double").as("total"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_priority"))
         .orderBy(asc_nulls_first("o_orderstatus"),

@@ -222,13 +222,21 @@ object Relational4 {
     // plus the full cross — the Dataset.groupingSets API, grouping()
     // indicators disambiguating margin rows from real NULL keys.
     "q43_grouping_sets" -> ((s, dir) => {
-      Tables(s, dir, "orders")
+      // pre-aggregate to the finest key pair, then expand only the tiny
+      // per-group frame (q12's r20 two-level shape — Expand replicated the
+      // raw orders scan once per grouping set; SUM(n)/SUM(decimal) are
+      // associative, results bit-identical)
+      val pre = Tables(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("pn"),
+          sum(Relational.money(col("o_totalprice"))).as("pt"))
+      pre
         .groupingSets(
           Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
             Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
           col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          Relational.msum(col("o_totalprice")).as("total"),
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pt")).cast("double").as("total"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_priority"))
         .orderBy(asc("g_status"), asc("g_priority"),

@@ -47,7 +47,7 @@ object Relational6 {
     "q61_rfm_segments" -> ((s, dir) => {
       // materialized once (q59's stats-build shape): left as lineage, the
       // customer-NDV aggregate subtree — orders scan + groupBy — is
-      // re-evaluated by each of the three tertiles lookups AND the final
+      // re-evaluated by the boundary pipeline AND the final
       // select, with only exchange reuse between them (r10 review); after
       // this, every pass reads one tiny per-customer table. The fact
       // table is scanned exactly ONCE: the global recency anchor
@@ -63,7 +63,7 @@ object Relational6 {
         "q61_rfm", dir)
       // ONE-ROW driver lookup (the recursiveWalk guard pattern), folded in
       // as a literal: rfm stays a pure projection over the scratch
-      // parquet, so the three tertiles passes + final select never re-run
+      // parquet, so the boundary pass + final select never re-run
       // an anchor aggregate or carry a per-pass broadcast join. An empty
       // orders table gives a null anchor — rfm is empty anyway, the typed
       // null just keeps datediff analyzable.
@@ -78,10 +78,31 @@ object Relational6 {
         .select(col("o_custkey"),
           datediff(maxd, col("lastd")).cast("long").as("rec_days"),
           col("freq"), col("mon_cents"))
+      // ONE fused boundary pipeline for all three metric axes (r20): the
+      // three per-metric tertiles() calls each ran a full groupBy +
+      // DistributedCumsum pass over the same scratch table — 3× the
+      // exchanges and a ~100-exchange plan whose per-stage planning cost
+      // rivaled its execution (r20 plan audit; guide §2.4). The metrics
+      // unpivot into (axis, value) rows — 3× the per-customer table, still
+      // NDV-tiny — so ONE keyed cumsum computes all six boundaries, folded
+      // into the same single broadcast row as before. Boundary math is
+      // bit-identical: cumulativeKeyed is the same arithmetic per key.
+      val axes = rfm.select(explode(array(
+        struct(lit("r").as("k"), col("rec_days").as("v")),
+        struct(lit("f").as("k"), col("freq").as("v")),
+        struct(lit("m").as("k"), col("mon_cents").as("v")))).as("kv"))
+        .select(col("kv.k").as("k"), col("kv.v").as("v"))
+      val counts = axes.groupBy("k", "v").agg(count(lit(1)).as("f"))
+      val perAxis = DistributedCumsum.rankBoundariesKeyed(
+        counts, "k", "v", "f", Seq(("b1", 1, 3), ("b2", 2, 3)))
+      def pick(axis: String, b: String, alias: String) =
+        min(when(col("k") === axis, col(b))).as(alias)
+      val bounds = perAxis.agg(
+        pick("r", "b1", "r_b1"), pick("r", "b2", "r_b2"),
+        pick("f", "b1", "f_b1"), pick("f", "b2", "f_b2"),
+        pick("m", "b1", "m_b1"), pick("m", "b2", "m_b2"))
       rfm
-        .crossJoin(broadcast(tertiles(rfm, "rec_days", "r")))
-        .crossJoin(broadcast(tertiles(rfm, "freq", "f")))
-        .crossJoin(broadcast(tertiles(rfm, "mon_cents", "m")))
+        .crossJoin(broadcast(bounds))
         .select(col("o_custkey"), col("rec_days"), col("freq"),
           col("mon_cents"),
           (lit(1) + (col("rec_days") > col("r_b1")).cast("int")

@@ -34,7 +34,10 @@ object CorpusStream {
     // files; the old glob recipe silently streamed zero rows from a
     // directory table — r11 10× rehearsal).
     "st05_stream_clean_corpus" -> ((s, dir) => {
-      EventsStream.runStreamFrom(s, "st05_mem", "append") { ss =>
+      // emit-on-arrival dedup: the trailing no-data batch is pure
+      // machinery cost here (see EventsStream.SkipNoDataBatch)
+      EventsStream.runStreamFrom(s, "st05_mem", "append",
+        EventsStream.SkipNoDataBatch) { ss =>
         Tables.streamRaw(ss, dir, "documents", Tables(ss, dir, "documents").schema)
       } { stream =>
         TextOps.scoredEnglish(stream).dropDuplicates("fp").select(col("fp"))
