@@ -29,6 +29,11 @@ private[functions] object ArgCheck {
       s"$name requires ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
         s"got ${other.sql}")
   }
+  def longArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires ARRAY<BIGINT> arguments, got ${other.sql}")
+  }
 }
 
 /** Native Catalyst expressions (SURVEY §7.2: promote codegen-hot scalars to
@@ -142,6 +147,96 @@ case class DotProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
 }
 
+/** `long_vec_fold(array<bigint>, array<bigint>) → bigint`: exact BIGINT
+  * element-fold over two fixed-point vectors — `squared = false` is the
+  * integer dot product (Σ aᵢ·bᵢ), `squared = true` the squared L2 distance
+  * (Σ (aᵢ−bᵢ)²). One tight primitive codegen loop replacing the
+  * interpreted `aggregate(zip_with(...), 0L, ...)` lambda chain in ss07's
+  * k-means assignment and ss09's PQ encode/ADC — lambda-bearing
+  * higher-order expressions run on the interpreted path per element (r20;
+  * the round guide's "eliminate non-codegen expressions in the hot
+  * path"). [[DotProduct]]'s exactness story does NOT carry over to
+  * doubles here: these kernels require bit-exact BIGINT arithmetic (the
+  * oracle gate), so the fold stays in long math with Java's wrap
+  * semantics — identical to the lambda formulation's, and in-range for
+  * every ×10⁴ fixed-point vector in the suite (|a·b| ≤ 4e8 × 64 dims).
+  *
+  * Null semantics mirror the zip_with chain it replaces (and
+  * [[DotProduct]]): MISMATCHED lengths → NULL (zip_with's pad-null
+  * poisons the sum); a NULL element → NULL. The isNullAt probes are
+  * emitted only when a side's schema admits null elements.
+  */
+case class LongVecFold(left: Expression, right: Expression, squared: Boolean)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val name = if (squared) "sqdist_long" else "dot_product_long"
+    val l = ArgCheck.longArray(name, left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ArgCheck.longArray(name, right.dataType)
+  }
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+  @transient private lazy val ln = elemNullable(left)
+  @transient private lazy val rn = elemNullable(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
+      val xv = x.getLong(i)
+      val yv = y.getLong(i)
+      acc += (if (squared) (xv - yv) * (xv - yv) else xv * yv)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val nullProbe = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None)
+        .flatten.mkString(" || ")
+      val nullBreak =
+        if (nullProbe.isEmpty) ""
+        else s"if ($nullProbe) { ${ev.isNull} = true; break; }"
+      val term =
+        if (squared) s"($xv - $yv) * ($xv - $yv)" else s"$xv * $yv"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullBreak
+         |    long $xv = $a.getLong($i);
+         |    long $yv = $b.getLong($i);
+         |    $acc += $term;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LongVecFold = copy(left = l, right = r)
+}
+
 /** Runtime kernel for [[NfcNormalize]] — kept as a static helper so the
   * generated code is a single call. The `isNormalized` fast path matters at
   * scale: ASCII (the overwhelming majority of corpus bytes) short-circuits
@@ -187,6 +282,10 @@ object GraftFunctions {
   def cnpj_valid(c: Column): Column = toCol(CnpjValid(toExpr(c)))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+  def dot_product_long(a: Column, b: Column): Column =
+    toCol(LongVecFold(toExpr(a), toExpr(b), squared = false))
+  def sqdist_long(a: Column, b: Column): Column =
+    toCol(LongVecFold(toExpr(a), toExpr(b), squared = true))
   def nfc_normalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
 
   /** Arity gate for the SQL builders: a wrong-arity call must be an

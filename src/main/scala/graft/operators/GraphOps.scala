@@ -48,11 +48,12 @@ object GraphOps {
 
     // Bounded-hop BFS: hop distance (≤ 8) from the graph's canonical
     // (minimum-id) node — "how far is each doc from the cluster anchor",
-    // the k-hop-neighborhood primitive. Iterative min-relaxation, k fixed:
+    // the k-hop-neighborhood primitive. Iterative min-relaxation, k-capped:
     // each round is one edge⋈frontier join + a min-aggregate (2 shuffles,
-    // frames ≤ |edges|), lineage truncated per round like gr01/dd06; extra
-    // rounds past convergence are idempotent, so fixed-k needs no
-    // convergence count. Unreached nodes are excluded (null distance).
+    // frames ≤ |edges|), lineage truncated per round like gr01/dd06, with
+    // an early exit once a round reaches no new node (see bfsHops — first
+    // reach IS the true distance, so later rounds are the identity).
+    // Unreached nodes are excluded (null distance).
     "gr03_bfs_hops" -> ((s, dir) => {
       // a strict projection of gr01's edge table — sharing the scratch
       // halves the session's corpus-scale edge materializations (r14

@@ -240,10 +240,14 @@ object SimilarityOps {
           "d -> cast((((m*31 + c*13 + d*11) % 8) - 4) * 500 as bigint))")
         .as("cq"))
 
-  /** Squared L2 between sub-vector m of `vq` and the codeword `cq`. */
+  /** Squared L2 between sub-vector m of `vq` and the codeword `cq` —
+    * the codegen LongVecFold kernel (squared mode) over the sliced
+    * sub-vector; replaces the interpreted aggregate(zip_with(...)) chain
+    * (r20), exact BIGINT math and null semantics unchanged.
+    */
   private[operators] val pqSqDist: Column =
-    expr("aggregate(zip_with(slice(vq, m * 16 + 1, 16), " +
-      "cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    GraftFunctions.sqdist_long(
+      expr("slice(vq, m * 16 + 1, 16)"), col("cq"))
 
   /** Argmin-L2 PQ encode of a (vec_id, vq) frame: (vec_id, m, code). */
   private[operators] def pqCodes(e: DataFrame, cb: DataFrame): DataFrame =
@@ -529,8 +533,11 @@ object SimilarityOps {
         fxQuant.as("vq"))
       val init = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(k).select(col("vec_id").as("cid"), col("vq").as("cq"))
-      val idot =
-        expr("aggregate(zip_with(vq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      // codegen BIGINT dot (LongVecFold): the aggregate(zip_with(...))
+      // lambda chain ran interpreted per element over the n·k crossJoin —
+      // the assignment pass's whole cost (r20; same null/mismatch/wrap
+      // semantics, exact integer math preserved)
+      val idot = GraftFunctions.dot_product_long(col("vq"), col("cq"))
       def assign(cents: DataFrame): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cid"))
         e.crossJoin(broadcast(cents))

@@ -184,4 +184,46 @@ class FunctionsSpec extends AnyFunSuite {
     // and the expression actually evaluates under codegen
     assert(e.collect().forall(_.getDouble(0) >= 0.0))
   }
+
+  test("long_vec_fold (dot + sqdist) matches the zip_with lambda chain") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, -2L, 30000L), Seq(4L, 5L, 20000L)),
+      (Seq(0L, 0L, 0L), Seq(0L, 0L, 0L)),
+      (Seq(-7L, 8L, -9L), Seq(7L, -8L, 9L))
+    ).toDF("a", "b")
+    val both = df.select(
+      GraftFunctions.dot_product_long(col("a"), col("b")).as("nd"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x)")
+        .as("hd"),
+      GraftFunctions.sqdist_long(col("a"), col("b")).as("ns"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, " +
+        "(s, x) -> s + x)").as("hs"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("long_vec_fold NULL semantics: mismatched lengths and null elements") {
+    import spark.implicits._
+    // mismatched lengths -> NULL (zip_with pad-null poisons the sum)
+    val mism = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(GraftFunctions.dot_product_long(col("a"), col("b")).as("d"),
+        GraftFunctions.sqdist_long(col("a"), col("b")).as("s"))
+      .collect()(0)
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+    // a null ELEMENT -> NULL, like the lambda chain (null poisons the sum)
+    val withNull = Seq((Seq[java.lang.Long](1L, null, 3L),
+      Seq[java.lang.Long](4L, 5L, 6L))).toDF("a", "b")
+    val viaKernel = withNull
+      .select(GraftFunctions.dot_product_long(col("a"), col("b")).as("d"))
+      .collect()(0)
+    val viaLambda = withNull
+      .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, " +
+        "(s, x) -> s + x)").as("d"))
+      .collect()(0)
+    assert(viaKernel.isNullAt(0) && viaLambda.isNullAt(0))
+  }
 }
