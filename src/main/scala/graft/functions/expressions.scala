@@ -237,6 +237,95 @@ case class LongVecFold(left: Expression, right: Expression, squared: Boolean)
       l: Expression, r: Expression): LongVecFold = copy(left = l, right = r)
 }
 
+/** Runtime kernel for [[WordNgrams]] — one tight loop building every
+  * n-gram of a tokenized doc, kept static so codegen emits a single call.
+  * Bit-for-bit the semantics of the SQL formulation it replaces
+  * (`transform(sequence(1, greatest(size(w) - n + 1, 1)),
+  * i -> concat_ws(' ', slice(w, i, n)))` — the suite's ONE n-gram
+  * spelling since r10): the greatest floor keeps short docs at one
+  * (possibly partial) gram, an empty array yields the single empty-string
+  * gram, slice clamps at the array end, and `UTF8String.concatWs` skips
+  * null elements exactly like concat_ws. NgramKernelSpec pins kernel ==
+  * SQL formulation over the real corpus plus the edge cases.
+  */
+object NgramKernel {
+  private val Sep = UTF8String.fromString(" ")
+  /** The SQL form's answer for a NULL words array: greatest() ignores the
+    * null size, slice(null) is null and concat_ws over a null array is ''
+    * — so the transform yields the single empty-string gram, NOT null.
+    * The fixtures carry null-text docs (the r10 shingle review), so this
+    * leg is live; NgramKernelSpec pins it.
+    */
+  def nullGrams(): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[AnyRef](UTF8String.EMPTY_UTF8))
+  def grams(words: ArrayData, n: Int): ArrayData = {
+    if (words == null) return nullGrams()
+    val m = words.numElements()
+    val cnt = math.max(m - n + 1, 1)
+    val out = new Array[AnyRef](cnt)
+    var i = 0
+    while (i < cnt) {
+      val hi = math.min(i + n, m)
+      val parts = new Array[UTF8String](math.max(hi - i, 0))
+      var j = i
+      while (j < hi) {
+        parts(j - i) =
+          if (words.isNullAt(j)) null else words.getUTF8String(j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `word_ngrams(array<string>, n) → array<string>`: every word n-gram of
+  * a tokenized document (space-joined), via [[NgramKernel]]'s compiled
+  * loop. Replaces the interpreted per-gram lambda dispatch of the
+  * `transform(sequence(...), i -> concat_ws(' ', slice(w, i, n)))`
+  * spelling on the corpus-scan hot paths (dc01 decontamination 5-grams,
+  * tx10 repetition bigrams, the dd02/dd04/dd06/dd11/dd12 3-shingles) —
+  * the r20 probe put dc01's single-task gram stage at ~2 s of exactly
+  * this dispatch. Output never contains null elements (concat_ws never
+  * returns null), mirroring the transform/concat_ws type.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams needs n >= 1, got $n")
+  // propagate the element's collation like NfcNormalize does for strings
+  override def dataType: DataType = ArrayType(
+    child.dataType.asInstanceOf[ArrayType].elementType, containsNull = false)
+  // NEVER null — a null words array yields the single-empty-gram array,
+  // exactly like the SQL form (see NgramKernel.nullGrams); the kernel
+  // itself handles the null input, so eval/codegen bypass the default
+  // null-intolerant wrappers.
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams requires an ARRAY<STRING> argument, got ${other.sql}")
+    }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    NgramKernel.grams(child.eval(input).asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code = c.code.toString +
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.NgramKernel.grams(
+         |    ${c.isNull} ? null : ${c.value}, $n);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
 /** Runtime kernel for [[NfcNormalize]] — kept as a static helper so the
   * generated code is a single call. The `isNormalized` fast path matters at
   * scale: ASCII (the overwhelming majority of corpus bytes) short-circuits
@@ -284,6 +373,8 @@ object GraftFunctions {
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def dot_product_long(a: Column, b: Column): Column =
     toCol(LongVecFold(toExpr(a), toExpr(b), squared = false))
+  def word_ngrams(words: Column, n: Int): Column =
+    toCol(WordNgrams(toExpr(words), n))
   def sqdist_long(a: Column, b: Column): Column =
     toCol(LongVecFold(toExpr(a), toExpr(b), squared = true))
   def nfc_normalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))

@@ -52,17 +52,13 @@ object CorpusFilters {
   private val bigramPairsSql =
     "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"
 
-  /** The ONE n-gram construction over a pre-split words column —
-    * 5-grams (dc01), bigrams (tx10) and 3-shingles
-    * ([[MinHashDedup.shingled]]) were three verbatim copies of this
-    * expression differing only in n; a semantics fix to one silently
-    * missed the twins (r10 review; the BoundedK lesson). The
-    * greatest(…, 1) floor keeps short docs at one (possibly partial)
-    * gram.
-    */
-  private[operators] def ngramSql(wordsCol: String, n: Int): String =
-    s"""transform(sequence(1, greatest(size($wordsCol) - ${n - 1}, 1)),
-       | i -> concat_ws(' ', slice($wordsCol, i, $n)))""".stripMargin
+  // The ONE n-gram construction over a pre-split words column — 5-grams
+  // (dc01), bigrams (tx10) and 3-shingles ([[MinHashDedup.shingled]]) all
+  // go through [[graft.functions.WordNgrams]] (r10's one-spelling
+  // discipline; r20 promoted the shared SQL string to a codegen kernel —
+  // the interpreted per-gram lambda dispatch was the corpus scans'
+  // dominant CPU, and NgramKernelSpec pins kernel == the old SQL
+  // formulation including the short-doc/empty/null edges).
 
   val queries: Map[String, Q] = ListMap(
     // Benchmark decontamination: docs sharing 5-grams with the "eval set"
@@ -70,7 +66,8 @@ object CorpusFilters {
     // n-gram set is distinct'd and BROADCAST; corpus docs count how many of
     // their distinct 5-grams hit it. Eval docs themselves are excluded.
     "dc01_decontaminate" -> ((s, dir) => {
-      val grams5 = array_distinct(expr(ngramSql("words", 5)))
+      val grams5 = array_distinct(
+        graft.functions.GraftFunctions.word_ngrams(col("words"), 5))
       val withGrams = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(col("doc_id"), grams5.as("grams"))
@@ -98,17 +95,25 @@ object CorpusFilters {
     // the corpus through two exchanges for a per-row statistic); the oracle
     // runs the unnest + GROUP BY spelling of the same definition.
     "tx10_repetition" -> ((s, dir) => {
-      val bigrams = ngramSql("w", 2)
+      // the longest-run fold reads an already-sorted COLUMN: bigrams come
+      // from the word_ngrams codegen kernel and are sorted by sort_array
+      // (codegen; array_sort's default comparator is a LAMBDA evaluated
+      // interpreted per comparison — bigrams are never null, the one case
+      // where the two differ in element order, so the arrays are
+      // identical). The fold itself stays a higher-order aggregate — the
+      // custom accumulator is what the API is for.
       val topRun = expr(
-        s"""aggregate(array_sort($bigrams),
-           | named_struct('prev', '', 'run', 0L, 'best', 0L),
-           | (acc, x) -> named_struct(
-           |   'prev', x,
-           |   'run', IF(x = acc.prev, acc.run + 1L, 1L),
-           |   'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-           | acc -> acc.best)""".stripMargin)
+        """aggregate(bg,
+          | named_struct('prev', '', 'run', 0L, 'best', 0L),
+          | (acc, x) -> named_struct(
+          |   'prev', x,
+          |   'run', IF(x = acc.prev, acc.run + 1L, 1L),
+          |   'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+          | acc -> acc.best)""".stripMargin)
       docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("w"), sort_array(
+          graft.functions.GraftFunctions.word_ngrams(col("w"), 2)).as("bg"))
         // topRun is projected ONCE and every consumer reads the column:
         // spelling it twice in one select (top_n + the fraction) ran the
         // whole sort+fold twice per row — lambda-bearing higher-order
@@ -166,13 +171,20 @@ object CorpusFilters {
     // three scales).
     "dd09_substring_spans" -> ((s, dir) => {
       val k = 8
+      // gram strings come from the word_ngrams codegen kernel and the md5
+      // key is a PLAIN projected expression over the exploded rows — fully
+      // codegen, where the old per-gram transform lambda ran interpreted
+      // (r20; for size >= k docs the kernel's greatest-floor never fires,
+      // so the gram count and strings are identical — NgramKernelSpec).
+      // The md5 projection sits BEFORE the explicit gram-key repartition,
+      // so the shuffle still carries 16-byte keys, never the text.
       val grams = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= k)
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, size(w) - ${k - 1}),
-             | i -> unhex(md5(concat_ws(' ', slice(w, i, $k)))))""".stripMargin))
-          .as(Seq("pos", "g")))
+        .select(col("doc_id"), posexplode(
+          graft.functions.GraftFunctions.word_ngrams(col("w"), k))
+          .as(Seq("pos", "gs")))
+        .select(col("doc_id"), col("pos"), expr("unhex(md5(gs))").as("g"))
         .repartition(col("g"))
       // min(pos) >= 0 is a tautology (posexplode is 0-based) Catalyst
       // cannot prove, kept ONLY so `pos` survives column pruning on this

@@ -300,7 +300,8 @@ object MinHashDedup {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), array_distinct(
-        expr(CorpusFilters.ngramSql("words", 3))).as("shingles"))
+        graft.functions.GraftFunctions.word_ngrams(col("words"), 3))
+        .as("shingles"))
 
   /** Near-dup pairs (id1 < id2, exact shingle-Jaccard ≥ `threshold`) with
     * LSH-banded candidate generation — the shared kernel behind dd02
