@@ -17,7 +17,8 @@ import graft.Tables
   * in O(component diameter) rounds. Near-dup components are band-connected
   * near-cliques (diameter rarely above 2-3), so a handful of rounds closes
   * them. Each round is exactly two shuffles (edge join + min-agg) over
-  * frames whose size never exceeds |nodes| + |edges|; the convergence
+  * frames whose size never exceeds |touched nodes| + |edges| — nodes in no
+  * pair stay out of the loop and re-attach once at the end; the convergence
   * check reads the round's own aggregate (the previous label rides through
   * the min-agg tagged), so it adds no extra join — and there is no
   * transitive-closure pair blowup
@@ -251,6 +252,17 @@ object DedupClusters {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
+    // labels over the TOUCHED universe (nodes incident to ≥1 edge) →
+    // labels for EVERY node: isolated nodes keep their own id, attached by
+    // ONE |V|-sized left join paid once at the end — instead of |V|
+    // self-loop rows flowing through every propagation round's join+agg
+    // (the r20 fusion's one touched-code regression: dd06's |V| = corpus
+    // docs vs a few hundred pair endpoints; at lake scale most of the
+    // corpus is in no near-dup pair at all, so per-round frames now track
+    // the PAIR graph, not the corpus).
+    def extendToAll(partial: DataFrame): DataFrame =
+      ids.join(partial, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lab"), col("id")).as("lab"))
     // the certificate: every ORIGINAL edge connects equal labels. This
     // implies component-constant labels; with label values always drawn
     // from member ids and label(u) <= u by construction (both kernels only
@@ -284,20 +296,29 @@ object DedupClusters {
     // released here (only the returned frame survives, and the caller owns
     // its release).
     def propagationPrefix(): Either[DataFrame, DataFrame] = {
-      // symmetrized edges PLUS one self-loop per node: a round is then ONE
-      // edge⋈labels join + ONE min-aggregate — the self-loop carries each
-      // node's own label into the min (new = least(old, min over nbrs)) and
-      // guarantees every node a group, so the old third shuffle (the
-      // labels-side left join that re-attached nodes with no neighbor and
-      // the old label) is gone. The previous label still rides through the
-      // SAME aggregate, tagged by b = a, so the changed-count reads the
-      // round's own output — exactly the two-shuffle round the object
-      // scaladoc documents (the implementation had drifted to three; r20
-      // plan audit, guide §2.4).
-      val sym = star.union(star.select(col("b").as("a"), col("a").as("b")))
-        .union(ids.select(col("id").as("a"), col("id").as("b")))
+      // TOUCHED nodes only: an isolated node's label is provably its own
+      // id in every round (its self-loop min is itself), so the loop
+      // iterates over edge endpoints alone and [[extendToAll]] re-attaches
+      // the isolated majority once at the end (r21; the r20 driver run
+      // read the all-nodes self-loop union as dd06's one regression).
+      val touched = star.select(col("a").as("id"))
+        .union(star.select(col("b").as("id")))
+        .distinct()
         .transform(Checkpoints.truncate)
-      var labels = ids.select(col("id"), col("id").as("lab"))
+      // symmetrized edges PLUS one self-loop per TOUCHED node: a round is
+      // then ONE edge⋈labels join + ONE min-aggregate — the self-loop
+      // carries each node's own label into the min (new = least(old, min
+      // over nbrs)) and guarantees every touched node a group, so the old
+      // third shuffle (the labels-side left join that re-attached nodes
+      // with no neighbor and the old label) is gone. The previous label
+      // still rides through the SAME aggregate, tagged by b = a, so the
+      // changed-count reads the round's own output — exactly the
+      // two-shuffle round the object scaladoc documents (r20 plan audit,
+      // guide §2.4).
+      val sym = star.union(star.select(col("b").as("a"), col("a").as("b")))
+        .union(touched.select(col("id").as("a"), col("id").as("b")))
+        .transform(Checkpoints.truncate)
+      var labels = touched.select(col("id"), col("id").as("lab"))
         .transform(Checkpoints.truncate)
       val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
       var converged = false
@@ -336,6 +357,7 @@ object DedupClusters {
         while (rounds.length > 2) { unpersistCheckpoint(rounds.remove(0)) }
       }
       unpersistCheckpoint(sym)
+      unpersistCheckpoint(touched)
       // the final round's frame is the live result either way; release the
       // one superseded frame still in the buffer
       rounds.dropRight(1).foreach(unpersistCheckpoint)
@@ -347,8 +369,9 @@ object DedupClusters {
     // and released in the finally
     var preLabels: Option[DataFrame] = None
     val sig0 = signature(star)
-    // the loop frames are O(|V| + |E|) (labels are node-sized, sym carries
-    // one self-loop per node), so the small-loop gate must see BOTH — an
+    // the loop frames are O(|touched| + |E|), but the FINAL extendToAll
+    // join and the certificate are |V|-sized and run under the same confs,
+    // so the small-loop gate stays conservative on |V| + |E| — an
     // edge-sparse corpus with billions of nodes must keep AQE
     val loopRows = sig0._1 + ids.count()
     try withSmallLoopConfs(nodes.sparkSession, loopRows) {
@@ -359,7 +382,11 @@ object DedupClusters {
           case Right(labels) =>
             cps += labels
             lastKernel = "propagation"
-            return certifyAndMaterialize(labels)
+            // truncate so the |V|-sized extension computes once (the
+            // certificate count AND the materialize both read it)
+            val full = extendToAll(labels).transform(Checkpoints.truncate)
+            cps += full
+            return certifyAndMaterialize(full)
           case Left(partial) =>
             // compress: collapse every edge to its endpoints' partial
             // labels. Near-clique components (the common dedup shape)
@@ -415,8 +442,13 @@ object DedupClusters {
           ids.join(centers, ids("id") === centers("a"), "left")
             .select(col("id"), coalesce(col("lab0"), col("id")).as("lab"))
         case Some(pl) =>
-          pl.join(centers, pl("lab") === centers("a"), "left")
-            .select(pl("id"), coalesce(col("lab0"), pl("lab")).as("lab"))
+          // pull back through the touched-only partial labels, then attach
+          // the isolated nodes (sound: the component minimum m survives
+          // compression as itself — lab(m) = m — and an isolated node IS
+          // its own minimum)
+          extendToAll(
+            pl.join(centers, pl("lab") === centers("a"), "left")
+              .select(pl("id"), coalesce(col("lab0"), pl("lab")).as("lab")))
       }).transform(Checkpoints.truncate)
       cps += labels
       certifyAndMaterialize(labels)
