@@ -293,9 +293,16 @@ object NgramKernel {
   */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"word_ngrams needs n >= 1, got $n")
-  // propagate the element's collation like NfcNormalize does for strings
-  override def dataType: DataType = ArrayType(
-    child.dataType.asInstanceOf[ArrayType].elementType, containsNull = false)
+  // propagate the element's collation like NfcNormalize does for strings.
+  // Pattern-match with a fallback instead of an unconditional cast: if
+  // dataType is consulted during analysis/error formatting BEFORE
+  // checkInputDataTypes rejects a non-array child, the clean
+  // TypeCheckFailure — not a ClassCastException — must be what surfaces
+  // (r20 ADVICE).
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(e, _) => ArrayType(e, containsNull = false)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
   // NEVER null — a null words array yields the single-empty-gram array,
   // exactly like the SQL form (see NgramKernel.nullGrams); the kernel
   // itself handles the null input, so eval/codegen bypass the default
@@ -323,6 +330,193 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
+/** Runtime kernel for [[WordBigrams]] — one tight loop building every
+  * adjacent token pair of a tokenized doc. Bit-for-bit the semantics of
+  * the SQL formulation it replaces (`transform(sequence(1, size(w) - 1),
+  * i -> struct(w[i-1] AS a, w[i] AS b))` — CorpusFilters' ONE bigram-pair
+  * spelling) on the callers' domain: BOTH call sites (tx20, tx22) filter
+  * `size(w) >= 2` before building pairs, and on those inputs the kernel
+  * and the SQL form agree exactly (null elements pass through as null
+  * struct fields). Outside that domain the SQL form is not even total —
+  * `sequence(1, -1)` steps DOWNWARD and the negative subscripts error
+  * under ANSI — so the kernel's empty-array answer for 0/1-token docs is
+  * a defined superset, never an observable difference. BigramKernelSpec
+  * pins kernel == SQL form over the real corpus plus the edge cases.
+  */
+object BigramKernel {
+  def pairs(words: ArrayData): ArrayData = {
+    if (words == null) return null
+    val m = words.numElements()
+    val cnt = math.max(m - 1, 0)
+    val out = new Array[AnyRef](cnt)
+    var i = 0
+    while (i < cnt) {
+      val a = if (words.isNullAt(i)) null else words.getUTF8String(i)
+      val b = if (words.isNullAt(i + 1)) null else words.getUTF8String(i + 1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, b))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `word_bigrams(array<string>) → array<struct<a, b>>`: every adjacent
+  * token pair of a tokenized document, via [[BigramKernel]]'s compiled
+  * loop. Replaces the interpreted per-pair lambda dispatch of the
+  * `transform(sequence(1, size(w) - 1), i -> struct(...))` spelling on
+  * the tx20/tx22 corpus-scan hot paths — the same promotion [[WordNgrams]]
+  * got for the n-gram string construction (r20), closing the last
+  * interpreted higher-order expression in those plans. NULL input → NULL
+  * (transform over a null sequence), matching the SQL form.
+  */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+  // field types follow the child's element type (collation propagation —
+  // the NfcNormalize/WordNgrams convention); fields are nullable exactly
+  // like the source elements they copy
+  override def dataType: DataType = {
+    val elem = child.dataType match {
+      case ArrayType(e, n) => StructType(Seq(
+        StructField("a", e, nullable = n), StructField("b", e, nullable = n)))
+      // unreachable post-checkInputDataTypes; keeps dataType total if
+      // consulted during error formatting (the r20 ADVICE note on
+      // WordNgrams' unconditional cast)
+      case _ => StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType)))
+    }
+    ArrayType(elem, containsNull = false)
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_bigrams requires an ARRAY<STRING> argument, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    BigramKernel.pairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramKernel.pairs($c)")
+  override protected def withNewChildInternal(c: Expression): WordBigrams =
+    copy(child = c)
+}
+
+/** Runtime kernel for [[DeletionVariants]] — the SymSpell deletion
+  * neighborhood in one compiled loop. Bit-for-bit the semantics of the SQL
+  * formulation it replaces (er01's candidate generation:
+  * `array_union(array(name), transform(sequence(1, length(name)),
+  * i -> concat(substring(name, 1, i - 1), substring(name, i + 1,
+  * length(name)))))`): the name itself first, then every single-CHARACTER
+  * (code point, like SQL substring) deletion in position order, each kept
+  * once (array_union dedups repeated-character deletions, keeping first
+  * occurrence). DeletionVariantsSpec pins kernel == SQL form over the real
+  * customer names plus the repeat/short/empty edges.
+  */
+object DeletionKernel {
+  def variants(name: UTF8String): ArrayData = {
+    val m = name.numChars()
+    // LinkedHashSet order == array_union's first-occurrence order
+    val seen = new java.util.LinkedHashSet[UTF8String](m + 2)
+    seen.add(name)
+    var i = 0
+    while (i < m) {
+      seen.add(UTF8String.concat(
+        name.substring(0, i), name.substring(i + 1, m)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** `deletion_variants(string) → array<string>`: a name plus its
+  * single-character-deletion neighborhood, via [[DeletionKernel]]'s
+  * compiled loop — er01's candidate generation, which used to dispatch an
+  * interpreted per-character lambda for every name (the same promotion
+  * [[WordNgrams]]/[[WordBigrams]] got for the gram constructions). NULL
+  * name → NULL, matching array_union over the null-propagated transform.
+  */
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(child.dataType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.string("deletion_variants", child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    DeletionKernel.variants(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeletionKernel.variants($c)")
+  override protected def withNewChildInternal(c: Expression): DeletionVariants =
+    copy(child = c)
+}
+
+/** `fx_quant(array<float|double>) → array<bigint>`: the ×10⁴ fixed-point
+  * quantization of an embedding — per element, `cast(floor(cast(x as
+  * double) * 10000) as bigint)` — in one compiled loop. Replaces the
+  * interpreted per-element `transform` lambda on the ss06/ss07/ss09
+  * corpus-scan paths (the integer-exact vector operators quantize EVERY
+  * embedding element this way, multiple plan branches each; same
+  * promotion as [[WordNgrams]]/[[LongVecFold]]). Semantics mirror the
+  * lambda form on its live domain: a NULL element stays NULL, finite
+  * values floor toward −∞ then narrow to BIGINT. (Non-finite elements
+  * would ANSI-error in the SQL cast; embeddings are parquet floats, and
+  * FxQuantSpec pins kernel == lambda over the real corpus.)
+  */
+case class FxQuant(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.floatArray("fx_quant", child.dataType)
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val isFloat = elemIsFloat
+  @transient private lazy val hasNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val m = xs.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) =
+        if (hasNulls && xs.isNullAt(i)) null
+        else {
+          val x = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+          math.floor(x * 10000.0).toLong
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val nullProbe =
+        if (hasNulls) s"if ($c.isNullAt($i)) { $out[$i] = null; } else"
+        else ""
+      s"""
+         |int $m = $c.numElements();
+         |Object[] $out = new Object[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $nullProbe
+         |  $out[$i] = java.lang.Long.valueOf(
+         |    (long) Math.floor(((double) $c.$get($i)) * 10000.0));
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): FxQuant =
     copy(child = c)
 }
 
@@ -375,6 +569,11 @@ object GraftFunctions {
     toCol(LongVecFold(toExpr(a), toExpr(b), squared = false))
   def word_ngrams(words: Column, n: Int): Column =
     toCol(WordNgrams(toExpr(words), n))
+  def word_bigrams(words: Column): Column =
+    toCol(WordBigrams(toExpr(words)))
+  def deletion_variants(name: Column): Column =
+    toCol(DeletionVariants(toExpr(name)))
+  def fx_quant(v: Column): Column = toCol(FxQuant(toExpr(v)))
   def sqdist_long(a: Column, b: Column): Column =
     toCol(LongVecFold(toExpr(a), toExpr(b), squared = true))
   def nfc_normalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))

@@ -49,7 +49,12 @@ object CorpusFilters {
     * definition for tx20 (PMI) and tx22 (LM fluency); the DuckDB twin is
     * the `list_transform(range(1, len(w)), ...)` CTE each oracle states.
     */
-  private val bigramPairsSql =
+  // The SQL spelling is no longer on any query path (r21 promoted it to
+  // the WordBigrams codegen kernel — the interpreted per-pair lambda was
+  // tx20/tx22's dominant scan CPU); it stays as the spec-pinned reference
+  // semantics: BigramKernelSpec asserts kernel == this form on the
+  // callers' size >= 2 domain.
+  private[graft] val bigramPairsSql =
     "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"
 
   // The ONE n-gram construction over a pre-split words column — 5-grams
@@ -345,7 +350,8 @@ object CorpusFilters {
         .groupBy("t").agg(count(lit(1)).as("c"))
       val n = toks.select(sum(size(col("w"))).as("n_tokens"))
       val bg = toks.filter(size(col("w")) >= 2)
-        .select(explode(expr(bigramPairsSql)).as("p"))
+        .select(explode(
+          graft.functions.GraftFunctions.word_bigrams(col("w"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 5)
@@ -408,7 +414,8 @@ object CorpusFilters {
       val uni = toks.select(explode(col("w")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c_a"))
       val docbg = toks.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(bigramPairsSql)).as("p"))
+        .select(col("doc_id"), explode(
+          graft.functions.GraftFunctions.word_bigrams(col("w"))).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       val bg = docbg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       docbg.join(bg, Seq("a", "b"))

@@ -316,20 +316,28 @@ object Relational5 {
       // neighborhood explode re-ran on BOTH sides of the self-join; from
       // scratch parquet the two sides are cheap re-reads of one small
       // (|customers| × ~name-length rows) table.
+      // deletion neighborhood via the DeletionVariants codegen kernel
+      // (r21): the SQL spelling — array_union(array(c_name),
+      // transform(sequence(1, length(c_name)), i -> concat(substring(...),
+      // substring(...)))) — dispatched an interpreted per-character lambda
+      // for every name; DeletionVariantsSpec pins kernel == that form.
       val c = MinHashDedup.materialized(
         Tables(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-          .withColumn("v", explode(expr(
-            """array_union(array(c_name),
-              | transform(sequence(1, length(c_name)),
-              |   i -> concat(substring(c_name, 1, i - 1),
-              |     substring(c_name, i + 1, length(c_name)))))""".stripMargin))),
+          .withColumn("v", explode(
+            graft.functions.GraftFunctions.deletion_variants(col("c_name")))),
         "er01_variants", dir)
       val a = c.select(col("c_custkey").as("id1"),
         col("c_nationkey").as("n1"), col("c_name").as("name1"), col("v"))
       val b = c.select(col("c_custkey").as("id2"),
         col("c_nationkey").as("n2"), col("c_name").as("name2"),
         col("v").as("v2"))
+      // NOTE (r21 plan audit): the dist <= 1 filter need not move below
+      // the distinct by hand — name1/name2 are grouping keys, so Catalyst
+      // already pushes the BANDED predicate (BoundedLevenshteinRule) all
+      // the way into the candidate join's condition; the distinct only
+      // ever shuffles surviving pairs. Verified in
+      // plans/r21/er01_fuzzy_match_before.txt line 57.
       a.join(b, col("v") === col("v2") && col("n1") === col("n2")
           && col("id1") < col("id2"))
         .select(col("id1"), col("id2"), col("name1"), col("name2"))

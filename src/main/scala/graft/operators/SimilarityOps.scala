@@ -222,8 +222,12 @@ object SimilarityOps {
     * cross-engine contract mirrored in each oracle string, so a one-sided
     * edit must fail loudly in all three gates, not silently in one.
     */
-  private val fxQuant: Column =
-    expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
+  // r21: the FxQuant codegen kernel replaces the interpreted per-element
+  // transform lambda (`transform(embedding, x -> cast(floor(cast(x as
+  // double) * 10000) as bigint))`) — FxQuantSpec pins kernel == that form
+  // over the real corpus; the oracle strings keep stating the arithmetic
+  // directly, so the cross-engine contract is unchanged.
+  private val fxQuant: Column = GraftFunctions.fx_quant(col("embedding"))
 
   /** ss09's pinned PQ codebook (M=4 sub-spaces × K=4 codes × 16 dims) and
     * encode — factored so PqCodeSpec can pin code DIVERSITY: the original

@@ -39,7 +39,12 @@ class NgramKernelSpec extends AnyFunSuite {
       Seq("a"),                      // shorter than n -> one partial gram
       Seq("a", "b", "c"),            // exactly n for n=3
       Seq.empty[String],             // empty -> single empty-string gram
-      null.asInstanceOf[Seq[String]] // null array -> null
+      // null array -> the single empty-string gram [''] on BOTH sides
+      // (greatest skips the null size, concat_ws over a null slice is '');
+      // NOT null — WordNgrams.nullable = false is load-bearing for
+      // dc01/tx10 parity (r20 ADVICE: the old comment here invited a
+      // "fix" to return NULL, which would break it)
+      null.asInstanceOf[Seq[String]]
     ).toDF("w")
     Seq(1, 3).foreach { n =>
       val rows = df.select(
@@ -47,8 +52,9 @@ class NgramKernelSpec extends AnyFunSuite {
         sqlForm("w", n).as("s"))
         .collect()
       rows.foreach { r =>
-        if (r.isNullAt(1)) assert(r.isNullAt(0))
-        else assert(r.getSeq[String](0) == r.getSeq[String](1))
+        assert(!r.isNullAt(0) && !r.isNullAt(1),
+          "both forms are total: the null-array answer is [''], never null")
+        assert(r.getSeq[String](0) == r.getSeq[String](1))
       }
     }
     // null ELEMENTS are skipped like concat_ws (split never produces
