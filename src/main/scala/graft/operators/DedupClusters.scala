@@ -315,8 +315,20 @@ object DedupClusters {
       // changed-count reads the round's own output — exactly the
       // two-shuffle round the object scaladoc documents (r20 plan audit,
       // guide §2.4).
+      // sym is LOOP-INVARIANT, so it is hash-partitioned on the join key
+      // ONCE before the checkpoint (checkpoints preserve
+      // outputPartitioning through LogicalRDD): every round's edge⋈labels
+      // join then finds its big side already distributed and inserts no
+      // sym-side exchange — per-round shuffle bytes drop from
+      // O(|E| + |touched|) to the labels side alone, and since each
+      // round's labels frame leaves its min-aggregate hash-partitioned on
+      // the SAME key, the join needs no exchange at all: a round is ONE
+      // shuffle (the aggregate). One-time cost: the repartition itself,
+      // paid once instead of every round (r21; guide §2.4 "share one
+      // exchange" applied across loop iterations).
       val sym = star.union(star.select(col("b").as("a"), col("a").as("b")))
         .union(touched.select(col("id").as("a"), col("id").as("b")))
+        .repartition(col("b"))
         .transform(Checkpoints.truncate)
       var labels = touched.select(col("id"), col("id").as("lab"))
         .transform(Checkpoints.truncate)

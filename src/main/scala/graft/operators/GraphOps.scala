@@ -167,12 +167,21 @@ object GraphOps {
     // AQE's per-stage job fan-out off for the 5 bounded rounds; a graph
     // past the cap runs unchanged)
     DedupClusters.withSmallLoopConfs(s, edges.count()) {
-    var ranks = edges.select(col("src").as("node")).distinct()
+    // the edge table is LOOP-INVARIANT: hash-partition it on the join key
+    // ONCE and checkpoint (partitioning survives through LogicalRDD), so
+    // none of the [[Iters]] rounds re-shuffles the big side — and each
+    // round's ranks leave their dst-keyed aggregate hash-partitioned on
+    // the SAME key, so the join plans with no exchange at all; a round is
+    // ONE shuffle (the contribution aggregate). Before this every round
+    // re-shuffled the full edge frame from its parquet scan (r21; guide
+    // §2.4 across iterations — the CC prefix gets the same treatment).
+    val pe = edges.repartition(col("src")).transform(Checkpoints.truncate)
+    var ranks = pe.select(col("src").as("node")).distinct()
       .withColumn("r", lit(Scale))
     var lastCp: Option[DataFrame] = None
     try {
       for (_ <- 1 to Iters) {
-        ranks = edges.join(ranks, edges("src") === ranks("node"))
+        ranks = pe.join(ranks, pe("src") === ranks("node"))
           // integer div: exact, order-independent
           .select(col("dst"), expr("r div deg").as("contrib"))
           .groupBy("dst")
@@ -191,7 +200,10 @@ object GraphOps {
       MinHashDedup.materialized(
         ranks.select(col("node"), col("r").as("rank_scaled")),
         "gr01_ranks", dir, fingerprintOf = Seq(edges))
-    } finally lastCp.foreach(DedupClusters.unpersistCheckpoint)
+    } finally {
+      lastCp.foreach(DedupClusters.unpersistCheckpoint)
+      DedupClusters.unpersistCheckpoint(pe)
+    }
     }
   }
 
@@ -211,8 +223,12 @@ object GraphOps {
     val hit = MinHashDedup.cachedScratch(s, "gr03_hops", dir, Seq(edges))
     if (hit.isDefined) return hit.get
     DedupClusters.withSmallLoopConfs(s, edges.count()) {
+    // loop-invariant edge frame pre-partitioned on the join key, like
+    // pageRanks above: no per-round edge shuffle
+    val pe = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).transform(Checkpoints.truncate)
     val srcDf = pairs.agg(min(col("id1")).as("s"))
-    var dist = edges.select(col("src").as("node")).distinct()
+    var dist = pe.select(col("src").as("node")).distinct()
       .crossJoin(broadcast(srcDf))
       .select(col("node"),
         when(col("node") === col("s"), 0L).as("h"))
@@ -222,7 +238,7 @@ object GraphOps {
       var hops = 0
       var frontierOpen = true
       while (frontierOpen && hops < MaxHops) {
-        val prop = edges.join(dist, edges("src") === dist("node"))
+        val prop = pe.join(dist, pe("src") === dist("node"))
           .filter(col("h").isNotNull)
           .select(col("dst").as("node"), (col("h") + 1).as("h"))
         dist = dist.union(prop).groupBy("node").agg(min("h").as("h"))
@@ -238,7 +254,10 @@ object GraphOps {
         dist.filter(col("h").isNotNull)
           .select(col("node"), col("h").cast("int").as("hops")),
         "gr03_hops", dir, fingerprintOf = Seq(edges))
-    } finally lastCp.foreach(DedupClusters.unpersistCheckpoint)
+    } finally {
+      lastCp.foreach(DedupClusters.unpersistCheckpoint)
+      DedupClusters.unpersistCheckpoint(pe)
+    }
     }
   }
 

@@ -33,7 +33,7 @@ object StreamProbe {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -41,7 +41,17 @@ object StreamProbe {
       .config("spark.sql.streaming.streamingQueryListeners",
         "graft.tools.StreamProbe$Recorder")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment aid (QueryProbe's convention): SPARK_GRAFT_EXTRA_CONFS=
+    // "k=v;k=v" for A/B conf probes. Builder configs land in the shared
+    // SparkConf, so the per-query CLONED sessions inherit them — the only
+    // way to A/B a conf (e.g. the state-store provider) that must reach
+    // the stream's own session.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     // warmup (JIT + page cache), mirroring Bench's steady-state methodology
