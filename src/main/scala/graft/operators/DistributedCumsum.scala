@@ -105,6 +105,13 @@ private[graft] object DistributedCumsum {
     */
   def rankBoundaries(counts: DataFrame, valueCol: String, freqCol: String,
       cuts: Seq[(String, Int, Int)]): DataFrame =
+    // EMPTY-INPUT contract (r20 ADVICE): since the r20 delegation to the
+    // keyed form, an empty `counts` yields ZERO rows (the groupBy has no
+    // groups) where the old global aggregate emitted one all-null row.
+    // The sole unkeyed consumer (q59) crossJoins the result against the
+    // same `counts`, so both shapes produce the identical EMPTY output —
+    // documented here rather than restored: a one-null-row resurrection
+    // would be dead code serving no caller.
     rankBoundariesKeyed(counts.withColumn("_k", lit(1)), "_k",
       valueCol, freqCol, cuts).drop("_k")
 

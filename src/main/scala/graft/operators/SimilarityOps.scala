@@ -542,14 +542,22 @@ object SimilarityOps {
       // the assignment pass's whole cost (r20; same null/mismatch/wrap
       // semantics, exact integer math preserved)
       val idot = GraftFunctions.dot_product_long(col("vq"), col("cq"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cid"))
+      // top-1-of-k as an argmax STRUCT AGGREGATE, not a window (r21): the
+      // row_number pick sorted the whole n·k frame inside a vec_id-keyed
+      // WindowExec, where max(struct(dot, -cid, vq)) partial-aggregates
+      // map-side to one candidate per vector per task — the dd13
+      // keep-best pattern. Identical pick: desc(dot) = max dot, tie →
+      // asc(cid) = max(-cid); (dot, -cid) pairs are distinct within a
+      // vector (cid unique), so the trailing vq leg is never compared —
+      // it just rides the winner out of the aggregate.
+      def assign(cents: DataFrame): DataFrame =
         e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("vq"), col("cid"), idot.as("dot"))
-          .withColumn("crk", row_number().over(w))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("vq"), col("cid"))
-      }
+          .groupBy("vec_id")
+          .agg(max(struct(col("dot"), (-col("cid")).as("nc"),
+            col("vq").as("v"))).as("m"))
+          .select(col("vec_id"), col("m.v").as("vq"),
+            (-col("m.nc")).as("cid"))
       def update(assigned: DataFrame): DataFrame =
         assigned.select(col("cid"), posexplode(col("vq")).as(Seq("idx", "q")))
           .groupBy("cid", "idx").agg(sum("q").as("sq"), count(lit(1)).as("n"))
