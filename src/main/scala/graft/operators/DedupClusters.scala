@@ -270,9 +270,20 @@ object DedupClusters {
     // node's own), the constant is the component minimum. Independent of
     // each kernel's own convergence test, so neither a signature collision
     // nor a propagation bug can produce silently-wrong clusters.
-    def certifyAndMaterialize(labels: DataFrame): DataFrame = {
-      val la = labels.select(col("id").as("a"), col("lab").as("labA"))
-      val lb = labels.select(col("id").as("b"), col("lab").as("labB"))
+    // `loopLabels` drives the CERTIFICATE joins (it must cover every edge
+    // endpoint — the touched universe suffices: a non-self-loop edge's
+    // endpoints are touched by definition, and an original self-loop can
+    // never violate, so the violation count over touched labels equals
+    // the count over full labels); `fullLabels` (defaults to loopLabels)
+    // is what MATERIALIZES. Splitting the two keeps the |V|-sized
+    // isolated-node extension out of the certificate's two join legs and
+    // out of any checkpoint — it is evaluated exactly once, inside the
+    // scratch write (r21: the first touched-nodes cut paid ~3 extra fixed
+    // jobs at toy scale, visible as dd06 +0.4 s at sf0.1).
+    def certifyAndMaterialize(loopLabels: DataFrame,
+        fullLabels: DataFrame = null): DataFrame = {
+      val la = loopLabels.select(col("id").as("a"), col("lab").as("labA"))
+      val lb = loopLabels.select(col("id").as("b"), col("lab").as("labB"))
       val violations = edges.select(col("a"), col("b"))
         .join(la, "a").join(lb, "b")
         .filter(col("labA") =!= col("labB")).count()
@@ -283,7 +294,8 @@ object DedupClusters {
       // checkpoint (no input files), so without them a rewritten source
       // would serve stale cluster ids from the scratch cache
       MinHashDedup.materialized(
-        labels.select(col("id"), col("lab").as("cluster_id")),
+        Option(fullLabels).getOrElse(loopLabels)
+          .select(col("id"), col("lab").as("cluster_id")),
         scratch._1, scratch._2, fingerprintOf = Seq(nodes, edges))
     }
     // bounded min-label propagation prefix (fast path — see the gate
@@ -301,10 +313,13 @@ object DedupClusters {
       // iterates over edge endpoints alone and [[extendToAll]] re-attaches
       // the isolated majority once at the end (r21; the r20 driver run
       // read the all-nodes self-loop union as dd06's one regression).
+      // NOT separately checkpointed: both consumers (sym, the round-0
+      // labels) checkpoint immediately, so the endpoints-distinct runs
+      // once inside each of those jobs over the already-checkpointed star
+      // — cheaper than a third checkpoint job of its own at toy scale
       val touched = star.select(col("a").as("id"))
         .union(star.select(col("b").as("id")))
         .distinct()
-        .transform(Checkpoints.truncate)
       // symmetrized edges PLUS one self-loop per TOUCHED node: a round is
       // then ONE edge⋈labels join + ONE min-aggregate — the self-loop
       // carries each node's own label into the min (new = least(old, min
@@ -369,7 +384,6 @@ object DedupClusters {
         while (rounds.length > 2) { unpersistCheckpoint(rounds.remove(0)) }
       }
       unpersistCheckpoint(sym)
-      unpersistCheckpoint(touched)
       // the final round's frame is the live result either way; release the
       // one superseded frame still in the buffer
       rounds.dropRight(1).foreach(unpersistCheckpoint)
@@ -394,11 +408,9 @@ object DedupClusters {
           case Right(labels) =>
             cps += labels
             lastKernel = "propagation"
-            // truncate so the |V|-sized extension computes once (the
-            // certificate count AND the materialize both read it)
-            val full = extendToAll(labels).transform(Checkpoints.truncate)
-            cps += full
-            return certifyAndMaterialize(full)
+            // certificate over the touched labels; the |V|-sized
+            // extension evaluates once, inside the scratch write
+            return certifyAndMaterialize(labels, extendToAll(labels))
           case Left(partial) =>
             // compress: collapse every edge to its endpoints' partial
             // labels. Near-clique components (the common dedup shape)
@@ -454,16 +466,18 @@ object DedupClusters {
           ids.join(centers, ids("id") === centers("a"), "left")
             .select(col("id"), coalesce(col("lab0"), col("id")).as("lab"))
         case Some(pl) =>
-          // pull back through the touched-only partial labels, then attach
-          // the isolated nodes (sound: the component minimum m survives
-          // compression as itself — lab(m) = m — and an isolated node IS
-          // its own minimum)
-          extendToAll(
-            pl.join(centers, pl("lab") === centers("a"), "left")
-              .select(pl("id"), coalesce(col("lab0"), pl("lab")).as("lab")))
+          // pull back through the touched-only partial labels; the
+          // isolated nodes attach in the materialize below (sound: the
+          // component minimum m survives compression as itself —
+          // lab(m) = m — and an isolated node IS its own minimum)
+          pl.join(centers, pl("lab") === centers("a"), "left")
+            .select(pl("id"), coalesce(col("lab0"), pl("lab")).as("lab"))
       }).transform(Checkpoints.truncate)
       cps += labels
-      certifyAndMaterialize(labels)
+      // the None path's labels already span `ids`; the Some path's span
+      // only the touched universe and extend inside the write
+      if (preLabels.isEmpty) certifyAndMaterialize(labels)
+      else certifyAndMaterialize(labels, extendToAll(labels))
     } finally {
       preLabels.foreach(unpersistCheckpoint)
       // failure paths (non-convergence, a failed certificate or scratch
